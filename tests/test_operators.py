@@ -1,0 +1,81 @@
+"""Unit tests for operator semantics (reference-parity invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tracy_matdb_spark.functions.prng import hash60
+from tracy_matdb_spark.operators.aflow_dsl import compile_filter
+from tracy_matdb_spark.operators.rank import global_rank_by_hash
+from tracy_matdb_spark.operators.split import assign_split, split_counts
+
+
+def test_split_counts_reference_formulas():
+    # matdb/database/utility.py:106-110
+    assert split_counts(10, 0.4) == (4, 3, 3)
+    assert split_counts(7, 0.5) == (4, 2, 1)
+    assert split_counts(0, 0.4) == (0, 0, 0)
+    assert split_counts(1, 0.99) == (1, 0, 0)
+
+
+def test_split_reproducible_and_exact(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select("o_orderkey")
+    n = orders.count()
+    a1 = assign_split(orders, "o_orderkey", 0.4, seed=42).toPandas().set_index("o_orderkey")["label"]
+    a2 = assign_split(orders, "o_orderkey", 0.4, seed=42).toPandas().set_index("o_orderkey")["label"]
+    assert a1.sort_index().equals(a2.sort_index())  # same seed => identical
+    ntrain, nhold, nsuper = split_counts(n, 0.4)
+    counts = a1.value_counts()
+    assert counts["train"] == ntrain and counts["holdout"] == nhold and counts["super"] == nsuper
+    a3 = assign_split(orders, "o_orderkey", 0.4, seed=43).toPandas().set_index("o_orderkey")["label"]
+    assert not a1.sort_index().equals(a3.sort_index())  # different seed => different shuffle
+
+
+def test_global_rank_is_exact(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select("o_orderkey")
+    h = hash60(F.lit(7), F.col("o_orderkey"))
+    ranked = global_rank_by_hash(df, h, ["o_orderkey"], out_col="rk", n_buckets=16).toPandas()
+    assert sorted(ranked["rk"]) == list(range(1, len(ranked) + 1))
+    # rank order must agree with hash order
+    ranked["h"] = None
+    back = (
+        df.withColumn("h", h).toPandas().merge(ranked[["o_orderkey", "rk"]], on="o_orderkey")
+    )
+    by_hash = back.sort_values(["h", "o_orderkey"]).reset_index(drop=True)
+    assert list(by_hash["rk"]) == list(range(1, len(back) + 1))
+
+
+def test_aflow_dsl_string_ops(spark):
+    df = spark.createDataFrame(
+        [("alpha", 1.0), ("alphabet", 5.0), ("beta", 2.0)], "name string, val double"
+    )
+    got = df.filter(compile_filter(["name", ">", "alpha"])).count()  # prefix
+    assert got == 2
+    got = df.filter(compile_filter(["name", "<", "bet"])).count()  # suffix
+    assert got == 1
+    got = df.filter(compile_filter(["&", ["name", "%", "a"], ["~", ["val", ">", 4.0]]])).count()
+    assert got == 2
+
+
+def test_aflow_dsl_rejects_bad_spec():
+    with pytest.raises(ValueError):
+        compile_filter([])
+    with pytest.raises(ValueError):
+        compile_filter(["name", "@@", "x"])
+
+
+def test_generators_dedupe_and_determinism(spark):
+    from tracy_matdb_spark.operators.generators import distortion_generate, vacancy_enumerate
+
+    d1 = distortion_generate(spark).toPandas()
+    d2 = distortion_generate(spark).toPandas()
+    assert d1.equals(d2)
+    assert d1["duid"].nunique() == len(d1)
+    v = vacancy_enumerate(spark).toPandas()
+    # C(n,2) per seed (vacancy.py:307-312 exact enumeration)
+    from tracy_matdb_spark.operators.generators import VACANCY_SEEDS
+
+    expected = sum(n * (n - 1) // 2 for _, n in VACANCY_SEEDS)
+    assert len(v) == expected and v["vuid"].nunique() == expected

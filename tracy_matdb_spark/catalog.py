@@ -1,0 +1,63 @@
+"""Catalog: the driver's parquet tables as named DataFrames / temp views.
+
+Mirrors the reference's Controller-as-catalog role (Controller holds
+databases/groups and a uuid registry; reference matdb/database/__init__.py:1585-2007,
+`find` at 1710-1786) re-expressed as Spark catalog lookups over Parquet.
+
+`load` returns a dict of DataFrames; `register` additionally creates
+temp views so `spark.sql` works. Reads are plain `spark.read.parquet`
+so Catalyst gets full predicate pushdown / column pruning on every
+query that consumes them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, whose `ts` is parquet TIMESTAMP(NANOS) — a type
+    Spark's vectorized reader rejects by default. We read it as raw BIGINT
+    nanos (`nanosAsLong`) and expose both `ts_ns` (exact) and `ts` (micros
+    TimestampType, for window()/session_window()). DuckDB oracles use
+    epoch_ns(ts) so both engines agree bit-for-bit on the nanos."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return (
+        df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    )
+
+
+def register(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    dfs = load(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

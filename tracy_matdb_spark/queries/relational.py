@@ -1,0 +1,296 @@
+"""Relational core: scan/filter/project/join/agg/window/set-op surface.
+
+The reference has no SQL engine — its relational patterns are Python
+dict/list manipulations (SURVEY.md §2.4-2.8; e.g. uuid-registry lookups
+matdb/database/__init__.py:208, status rollups 930-982). This module is
+the Spark-native relational substrate those capabilities compile onto,
+demonstrated on the driver's TPC-H-ish tables.
+
+Scale notes (100 TB):
+- Aggregations are expressed with built-in F.* so Catalyst plans
+  partial (map-side) aggregation before the shuffle.
+- Small dimensions (region/nation/supplier/customer-at-scale-factor)
+  are broadcast explicitly; big-big joins (orders x lineitem) are left
+  to sort-merge + AQE, which co-partitions on the join key.
+- Filters sit directly on the scan so parquet gets min/max pruning +
+  predicate pushdown (verify via .explain: PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.queries import register
+
+
+@register(
+    "q1_pricing_summary",
+    headline=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan aggregate with 8 measures; map-side partial agg."""
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    headline=True,
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective 3-way join + agg + top-10. Customer side broadcast."""
+    t = load(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1997-06-30 00:00:00").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    headline=True,
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way star join. Dims (region/nation/supplier) broadcast;
+    fact-fact join (orders x lineitem) sort-merge under AQE."""
+    t = load(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    nr = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    orders = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_name, c_acctbal, rank
+    FROM (
+        SELECT n_name, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rank
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rank <= 3
+    ORDER BY n_name, rank
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: window rank (reference analog: best-supercell pick,
+    matdb/database/hessian.py:341-380 / transforms.py:92-97)."""
+    t = load(spark, sf_dir, ("customer", "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_name", "c_acctbal", "rank")
+        .orderBy("n_name", "rank")
+    )
+
+
+@register(
+    "orders_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (status -> priority -> grand total). The reference's
+    status() aggregation (matdb/database/__init__.py:930-982, 1328-1347)
+    recursively merges per-group counts — GROUP BY ROLLUP is the relational
+    form, with partial aggregation before the shuffle."""
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no 1995 orders. The reference's
+    set-difference extension semantics (substitution.py:203-236
+    `combs.difference(old_combs)`) map to left_anti; at scale Spark plans a
+    broadcast/shuffled hash anti-join."""
+    t = load(spark, sf_dir, ("customer", "orders"))
+    o95 = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        t["customer"]
+        .join(o95.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customer_order_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate per customer (analytic window surface;
+    no reference precedent — engine-native, SURVEY.md §2.7)."""
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@register(
+    "part_supplier_semi",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY p_brand
+    ORDER BY n_parts DESC, p_brand
+    """,
+)
+def part_supplier_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) + aggregate: parts that ever shipped in bulk."""
+    t = load(spark, sf_dir, ("part", "lineitem"))
+    bulk = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_partkey")
+    return (
+        t["part"]
+        .join(bulk, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.col("n_parts").desc(), "p_brand")
+    )
