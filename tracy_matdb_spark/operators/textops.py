@@ -1,0 +1,90 @@
+"""Text-analysis column builders: tokenization, quality, lang-id, simhash.
+
+These are the LLM-training-data operators the north star adds on top of
+the reference's surface (BASELINE.json). Everything is built from
+Spark's array/lambda functions (JVM-side) — no Python UDFs — and every
+builder has a DuckDB twin so the driver's oracle can verify it exactly.
+
+Float parity: ratios are quantized floor(x*1e6) (see operators/generators.py).
+"""
+
+from __future__ import annotations
+
+STOPWORDS = ("the", "a")
+
+# language marker words -> deterministic n-gram-style heuristic lang-id
+LANG_MARKERS = {
+    "de": ("der", "und", "die"),
+    "en": ("the", "and", "of"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "la", "et"),
+    "zh": ("的", "是"),
+}
+
+SIMHASH_BITS = 16
+
+
+def toks_expr(dialect: str, text: str = "text") -> str:
+    if dialect == "spark":
+        return f"split(trim({text}), '\\\\s+')"
+    return f"regexp_split_to_array(trim({text}), '\\s+')"
+
+
+def count_in_expr(dialect: str, toks: str, words: tuple[str, ...]) -> str:
+    """# of tokens that are in `words` (counts duplicates)."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({toks}, t -> t IN ({inlist})))"
+    return f"len(list_filter({toks}, t -> t IN ({inlist})))"
+
+
+def sum_len_expr(dialect: str, toks: str) -> str:
+    if dialect == "spark":
+        return f"aggregate({toks}, 0L, (acc, t) -> acc + length(t))"
+    return f"cast(list_sum(list_transform({toks}, t -> strlen(t))) as bigint)"
+
+
+def quant_ratio_expr(num: str, den: str) -> str:
+    """floor(1e6 * num/den) — identical in both dialects."""
+    return (
+        f"cast(floor((cast({num} as double) / cast({den} as double)) * cast(1000000 as double)) as bigint)"
+    )
+
+
+def tok_hash60(dialect: str, tok_expr: str, salt: str = "s") -> str:
+    canon = f"concat('{salt}|', {tok_expr})"
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({canon}), 1, 15), 16, 10) as bigint)"
+    return f"(('0x' || substr(md5({canon}), 1, 15))::bigint)"
+
+
+def simhash_expr(dialect: str, toks: str) -> str:
+    """16-bit simhash over token multiset: bit b set iff the frequency-
+    weighted sign-sum of token-hash bit b is positive. Near-duplicate
+    documents land at small Hamming distance (document fingerprinting,
+    north-star op; no reference precedent)."""
+    h = tok_hash60(dialect, "t")
+    bit_sums = []
+    for b in range(SIMHASH_BITS):
+        if dialect == "spark":
+            bitval = f"(cast(shiftright({h}, {b}) as bigint) & 1)"
+            s = f"aggregate({toks}, 0L, (acc, t) -> acc + (2 * {bitval} - 1))"
+        else:
+            bitval = f"(({h} >> {b}) & 1)"
+            s = f"coalesce(cast(list_sum(list_transform({toks}, t -> 2 * {bitval} - 1)) as bigint), 0)"
+        bit_sums.append(f"(CASE WHEN {s} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(bit_sums) + ")"
+
+
+def lang_score_exprs(dialect: str, toks: str) -> dict[str, str]:
+    return {lang: count_in_expr(dialect, toks, words) for lang, words in sorted(LANG_MARKERS.items())}
+
+
+def lang_pred_expr(dialect: str, toks: str) -> str:
+    """argmax over marker counts, ties to the lexicographically first lang."""
+    scores = lang_score_exprs(dialect, toks)
+    langs = sorted(scores)
+    best = f"greatest({', '.join(scores[lang] for lang in langs)})"
+    cases = " ".join(f"WHEN {scores[lang]} = __best THEN '{lang}'" for lang in langs)
+    # wrap via a correlated expression: caller must alias __best first
+    return best, f"CASE {cases} END"  # type: ignore[return-value]
