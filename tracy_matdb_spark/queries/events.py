@@ -1,1 +1,217 @@
-"""Event-time windowing (tumbling/sliding/session) + as-of join."""
+"""Event-time windowing + as-of join on the events table.
+
+The reference has no streaming engine (SURVEY.md §2.11); these are the
+north-star additions. Each batch query here has a DuckDB oracle; the
+genuine Structured Streaming forms (readStream + watermark) live in
+tracy_matdb_spark/streaming/windows.py and are asserted equal to these
+batch results in tests/test_streaming.py (the classic batch/stream
+unification property of Spark).
+
+Timestamps: events.ts is parquet TIMESTAMP(NANOS); Spark reads it as
+BIGINT nanos (catalog.load_events) and converts to micros TimestampType;
+DuckDB truncates to micros natively — so both engines agree on micros.
+Window starts are output as epoch seconds BIGINTs (portable, no
+session-timezone surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tracy_matdb_spark.catalog import load_events
+from tracy_matdb_spark.queries import register
+
+ROUND2 = "cast(floor(v * cast(100 as double)) as bigint)"
+
+
+@register(
+    "events_tumbling_1h",
+    headline=True,
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+           event_type,
+           count(*) AS n_events,
+           cast(floor(sum(value) * cast(100 as double)) as bigint) AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_s, event_type
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type via native window() — at scale
+    a single hash aggregation keyed by (window, type), map-side partials."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("cast(floor(sum(value) * cast(100 as double)) as bigint)").alias("sum_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 1]) AS k),
+    assigned AS (
+        SELECT ((epoch_us(ts) - k * 1800000000) // 3600000000) * 3600000000
+                   + k * 1800000000 AS ws_us,
+               event_type, value
+        FROM events CROSS JOIN offsets
+        WHERE ((epoch_us(ts) - k * 1800000000) // 3600000000) * 3600000000
+                   + k * 1800000000 <= epoch_us(ts)
+    )
+    SELECT ws_us // 1000000 AS window_start_s,
+           event_type,
+           count(*) AS n_events,
+           cast(floor(sum(value) * cast(100 as double)) as bigint) AS sum_value_c
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY window_start_s, event_type
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): each event lands in 2 windows.
+    window() expands rows by length/slide — the shuffle grows by that factor,
+    which is the real cost model at scale (prefer tumbling + rollup when
+    downstream allows)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("cast(floor(sum(value) * cast(100 as double)) as bigint)").alias("sum_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+        .orderBy("window_start_s", "event_type")
+    )
+
+
+@register(
+    "events_session_10m",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, t,
+               CASE WHEN prev_t IS NULL OR t - prev_t > 600000000 THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, t,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           min(t) // 1000000 AS session_start_s,
+           max(t) // 1000000 AS session_end_s,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (10-minute inactivity gap) via the gaps-and-islands
+    window pattern — partitioned by user, so fully parallel across users;
+    the streaming twin uses native session_window() (streaming/windows.py)."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select("user_id", F.expr("ts_ns div 1000").alias("t"), "event_id")
+    w_lag = Window.partitionBy("user_id").orderBy("t", "event_id")
+    w_cum = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.withColumn("prev_t", F.lag("t").over(w_lag)).withColumn(
+        "new_session",
+        F.when(F.col("prev_t").isNull() | (F.col("t") - F.col("prev_t") > 600_000_000), 1).otherwise(0),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.expr("min(t) div 1000000").alias("session_start_s"),
+            F.expr("max(t) div 1000000").alias("session_end_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "asof_join_orders_events",
+    oracle="""
+    SELECT o_orderkey,
+           (SELECT max(epoch_us(e.ts)) FROM events e
+            WHERE e.user_id = o.o_custkey % 20 AND e.ts <= TIMESTAMP '2024-01-15 00:00:00'
+                  + to_microseconds((o.o_orderkey % 1000) * 60000000)) AS last_event_us
+    FROM orders o
+    WHERE o.o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one; SURVEY.md §2.5): for each probe
+    row, the latest event at-or-before its timestamp. Implemented as a
+    union-and-running-max over the merged timeline — one shuffle on the key,
+    no range explosion:
+
+        union(events as (key, t, is_event=1), probes as (key, t, is_event=0))
+        -> window last_value(event_t where is_event) over (key, order t)
+        -> keep probe rows.
+
+    This is the scale-correct pattern (vs. the naive t1<=t2 theta-join,
+    which is quadratic per key). Probe timestamps here are synthesized
+    deterministically from orderkeys to stay within the events range."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select(
+        (F.col("user_id")).alias("k"),
+        F.expr("ts_ns div 1000").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    orders = load(spark, sf_dir)
+    probes = orders.selectExpr(
+        "o_custkey % 20 AS k",
+        # 2024-01-15 00:00:00 UTC epoch micros + orderkey-derived offset
+        "cast(1705276800000000 + (o_orderkey % 1000) * 60000000 as bigint) AS t",
+        "cast(0 as int) AS is_event",
+        "o_orderkey",
+    ).filter("o_orderkey <= 500")
+    merged = ev.unionByName(probes)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", F.col("is_event").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # running max of event timestamps only (events sort before probes at equal t)
+    last_ev = F.max(F.when(F.col("is_event") == 1, F.col("t"))).over(w)
+    return (
+        merged.withColumn("last_event_us", last_ev)
+        .filter(F.col("is_event") == 0)
+        .select("o_orderkey", "last_event_us")
+        .orderBy("o_orderkey")
+    )
+
+
+def load(spark: SparkSession, sf_dir: str):
+    from tracy_matdb_spark.catalog import load as _load
+
+    return _load(spark, sf_dir, ("orders",))["orders"]

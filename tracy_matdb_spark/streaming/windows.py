@@ -1,0 +1,101 @@
+"""Structured Streaming surface over the events table.
+
+The reference's incremental patterns (active-learning appends, state
+polling; SURVEY.md §2.11) have no true streaming engine. Here the same
+windowed aggregations that run in batch (queries/events.py) run as real
+streams: parquet file source -> watermark -> windowed agg -> sink.
+Batch/stream result parity is asserted in tests/test_streaming.py.
+
+At scale: the file source becomes Kafka; watermarks bound state; the
+aggregation state store is keyed by (window, type) — the same shuffle
+keys as the batch plan, so capacity planning transfers 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; glob-filter down to the events table
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("cast(floor(sum(value) * cast(100 as double)) as bigint)").alias("sum_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start_s"), "event_type", "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Native session_window with watermark — the streaming twin of the
+    batch gaps-and-islands sessionization."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming aggregation over a finite file source to completion
+    and return the final result as a batch DataFrame (memory sink)."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
