@@ -1,0 +1,70 @@
+"""XYZ / CFG text-format source round-trips."""
+
+from __future__ import annotations
+
+import pytest
+
+from tracy_matdb_spark.sources import textformats as TF
+
+REC = {
+    "source_file": "",
+    "config_id": 0,
+    "n": 2,
+    "cell": [[4.0, 0.0, 0.0], [0.0, 4.0, 0.0], [0.0, 0.0, 4.0]],
+    "species": ["Pd", "Ag"],
+    "positions": [[0.0, 0.0, 0.0], [2.0, 2.0, 2.0]],
+    "forces": [[0.1, -0.2, 0.0], [-0.1, 0.2, 0.0]],
+    "energy": -3.5,
+}
+
+
+def test_xyz_text_roundtrip():
+    text = TF.format_xyz(REC) + "\n" + TF.format_xyz({**REC, "energy": -4.0})
+    recs = TF.parse_xyz(text, "mem")
+    assert len(recs) == 2
+    assert recs[0]["n"] == 2 and recs[0]["species"] == ["Pd", "Ag"]
+    assert recs[0]["cell"] == REC["cell"]
+    assert recs[0]["energy"] == -3.5 and recs[1]["energy"] == -4.0
+    assert recs[0]["forces"] == REC["forces"]
+
+
+def test_cfg_text_roundtrip():
+    type_of = {"Pd": 0, "Ag": 1}
+    text = "\n".join(TF.format_cfg({**REC, "config_id": i}, type_of) for i in range(3))
+    recs = TF.parse_cfg(text, "mem", type_map={0: "Pd", 1: "Ag"})
+    assert len(recs) == 3
+    assert recs[1]["species"] == ["Pd", "Ag"]
+    assert recs[1]["positions"] == REC["positions"]
+    assert recs[1]["energy"] == -3.5
+    assert recs[1]["cell"] == REC["cell"]
+
+
+def test_spark_xyz_ingest(spark, tmp_path):
+    d = tmp_path / "xyz"
+    d.mkdir()
+    for i in range(4):
+        (d / f"cfg{i}.xyz").write_text(TF.format_xyz({**REC, "energy": float(i)}) + "\n")
+    df = TF.read_xyz(spark, str(d))
+    pdf = df.toPandas().sort_values("energy").reset_index(drop=True)
+    assert len(pdf) == 4
+    assert list(pdf.energy) == [0.0, 1.0, 2.0, 3.0]
+    assert pdf.n.eq(2).all()
+
+
+def test_spark_cfg_export_ingest_roundtrip(spark, tmp_path):
+    d = tmp_path / "xyzsrc"
+    d.mkdir()
+    for i in range(3):
+        (d / f"c{i}.xyz").write_text(TF.format_xyz({**REC, "energy": float(i)}) + "\n")
+    df = TF.read_xyz(spark, str(d))
+    out = tmp_path / "cfgout"
+    TF.write_text_partitions(df, str(out), fmt="cfg")
+    back = TF.read_cfg(spark, str(out), glob="*.cfg").toPandas()
+    assert len(back) == 3
+    assert sorted(back.energy) == [0.0, 1.0, 2.0]
+
+
+def test_hdf5_gated():
+    if not TF.HAS_H5PY:
+        with pytest.raises(NotImplementedError):
+            TF.read_hdf5(None, "x")

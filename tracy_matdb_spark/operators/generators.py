@@ -86,13 +86,14 @@ def _seeds_df(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _distortion_stages(dialect: str) -> list[list[str]]:
+def _distortion_stages(dialect: str, ran_seed: int = RAN_SEED, sigma: float = SIGMA) -> list[list[str]]:
     """Stage-wise projection expressions (same tree for spark/duckdb)."""
+    seed_lit = "'" + str(ran_seed).replace("'", "") + "'"  # literal, not identifier
     key = lambda j, k: (  # noqa: E731
-        f"concat_ws('|', {_cast_str(RAN_SEED, dialect)}, seed_id, {_cast_str('cid', dialect)}, '{j}', '{k}')"
+        f"concat_ws('|', {seed_lit}, seed_id, {_cast_str('cid', dialect)}, '{j}', '{k}')"
     )
     m_stage = [
-        f"({'1.0' if j == k else '0.0'} + {SIGMA} * {_gauss(key(j, k), dialect)}) AS m{j}{k}"
+        f"({'1.0' if j == k else '0.0'} + {sigma!r} * {_gauss(key(j, k), dialect)}) AS m{j}{k}"
         for j in range(3)
         for k in range(3)
     ]
@@ -116,17 +117,35 @@ def _distortion_stages(dialect: str) -> list[list[str]]:
     return [m_stage, [det], f_stage, cprime, quant, out]
 
 
-def distortion_generate(spark: SparkSession) -> DataFrame:
-    seeds = _seeds_df(spark)
-    df = seeds.withColumn("cid", F.explode(F.sequence(F.lit(1), F.lit(NCONFIGS))))
-    stages = _distortion_stages("spark")
+def distortion_transform(
+    seeds: DataFrame,
+    nconfigs: int = NCONFIGS,
+    sigma: float = SIGMA,
+    ran_seed: int = RAN_SEED,
+    group: str = "",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Seeds (seed_id + b00..b22 cell) -> nconfigs distorted cells each.
+
+    Pure narrow transformation: explode + codegen'd arithmetic, then a
+    duid dropDuplicates (the only exchange; duid cardinality == rows so
+    AQE-balanced). `group` salts the PRNG key space so different groups
+    draw independent streams from one ran_seed (the reference reseeds
+    numpy per group, distortion.py:82-83)."""
+    df = seeds.withColumn("cid", F.explode(F.sequence(F.lit(1), F.lit(nconfigs))))
+    salted = ran_seed if not group else f"{ran_seed}-{group}"
+    stages = _distortion_stages("spark", ran_seed=salted, sigma=sigma)  # type: ignore[arg-type]
     carry = df
     for stage in stages[:-1]:
         carry = carry.select("*", *[F.expr(e) for e in stage])
-    final = carry.select(*[F.expr(e) for e in stages[-1]])
+    final = carry.select(*[F.expr(e) for e in stages[-1]], *carry_cols)
     # duid dedupe within the batch (reference distortion.py:210-215); the
     # hash covers the full quantized cell so collisions == true duplicates.
-    return final.dropDuplicates(["duid"]).orderBy("seed_id", "config_id")
+    return final.dropDuplicates(["duid"])
+
+
+def distortion_generate(spark: SparkSession) -> DataFrame:
+    return distortion_transform(_seeds_df(spark)).orderBy("seed_id", "config_id")
 
 
 def distortion_oracle_sql() -> str:
@@ -165,6 +184,60 @@ def vacancy_enumerate(spark: SparkSession) -> DataFrame:
         "j",
         F.md5(F.concat_ws("|", "seed_id", F.col("i").cast("string"), F.col("j").cast("string"))).alias("vuid"),
     ).orderBy("seed_id", "i", "j")
+
+
+def vacancy_transform(seeds: DataFrame) -> DataFrame:
+    """Seeds (seed_id, n_atoms) -> one config per removed index-pair
+    (exact C(n,2) enumeration, vacancy.py:307-312). config_id encodes the
+    pair; vuid is its content hash."""
+    pairs = seeds.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("n_atoms") - 2))).withColumn(
+        "j", F.explode(F.sequence(F.col("i") + 1, F.col("n_atoms") - 1))
+    )
+    return pairs.select(
+        "seed_id",
+        (F.col("i") * 1000 + F.col("j")).alias("config_id"),
+        "i",
+        "j",
+        F.md5(F.concat_ws("|", "seed_id", F.col("i").cast("string"), F.col("j").cast("string"))).alias("duid"),
+        *[c for c in pairs.columns if c not in ("seed_id", "i", "j")],
+    )
+
+
+def substitution_transform(
+    seeds: DataFrame, nconfigs: int = 12, frac_a: float = 0.5, ran_seed: int = RAN_SEED
+) -> DataFrame:
+    """Seeds (seed_id, n_atoms) -> nconfigs exact-stoichiometry relabelings
+    (shuffle-by-hash-rank, substitution.py:196-302)."""
+    from pyspark.sql import Window
+
+    atoms = (
+        seeds.withColumn("cid", F.explode(F.sequence(F.lit(1), F.lit(nconfigs))))
+        .withColumn("atom", F.explode(F.sequence(F.lit(0), F.col("n_atoms") - 1)))
+        .withColumn(
+            "h",
+            F.expr(
+                _h60(
+                    f"concat_ws('|', {_cast_str(ran_seed, 'spark')}, seed_id, "
+                    f"{_cast_str('cid', 'spark')}, {_cast_str('atom', 'spark')})",
+                    "spark",
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("seed_id", "cid").orderBy("h", "atom")
+    labeled = atoms.withColumn("rk", F.row_number().over(w)).withColumn(
+        "species",
+        F.when(F.col("rk") <= F.ceil(F.col("n_atoms") * F.lit(frac_a)), F.lit("A")).otherwise(F.lit("B")),
+    )
+    return (
+        labeled.groupBy("seed_id", F.col("cid").alias("config_id"))
+        .agg(
+            F.expr("bit_xor(h)").alias("duid"),
+            F.sum(F.when(F.col("species") == "A", 1).otherwise(0)).alias("n_a"),
+            F.count(F.lit(1)).alias("n_atoms"),
+        )
+        .withColumn("duid", F.col("duid").cast("string"))
+    )
 
 
 def vacancy_oracle_sql() -> str:

@@ -36,7 +36,7 @@ def split_assign_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_type, p_size
     FROM part
-    WHERE ((p_type LIKE '%BRASS%' AND p_size > 20) OR p_brand = 'Brand#33')
+    WHERE ((p_type LIKE '%ECO%' AND p_size > 20) OR p_brand = 'Brand#13')
       AND NOT p_type LIKE 'PROMO%'
     ORDER BY p_retailprice DESC, p_partkey
     LIMIT 25
@@ -49,7 +49,7 @@ def aflow_dsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, ("part",))["part"]
     spec = [
         "&",
-        ["|", ["&", ["p_type", "%", "BRASS"], ["p_size", ">", 20]], ["p_brand", "==", "Brand#33"]],
+        ["|", ["&", ["p_type", "%", "ECO"], ["p_size", ">", 20]], ["p_brand", "==", "Brand#13"]],
         ["~", ["p_type", ">", "PROMO"]],
     ]
     return aflow_query(
