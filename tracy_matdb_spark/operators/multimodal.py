@@ -1,0 +1,115 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star addition (BASELINE.json): treat image/audio/video as
+`binary` columns with a metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+mapInPandas. The image/audio codec libraries are NOT in this image, so
+the codec call itself is stubbed: `decode_stub` produces a
+deterministic fake decode (so the distributed plumbing — schema,
+batching, partitioning, UDF signatures — is real and tested), and
+`decode_real` raises NotImplementedError until a codec lib is present.
+
+Scale notes: binary payloads ride the same parquet row-groups as other
+columns; keep them in a separate table keyed by content hash so scans
+that don't need pixels never read them (column pruning + late
+materialization via join-on-demand).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ])),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),  # 8-dim sketch
+    ]
+)
+
+
+def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    kinds = ("image", "audio", "video")
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        meta = (64 + i % 8, 48, 1) if kind == "image" else (0, 0, 30 if kind == "video" else 1)
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_real(payload: bytes, kind: str):  # pragma: no cover
+    raise NotImplementedError(
+        "real decode needs an image/audio codec library (PIL/av), absent in this image"
+    )
+
+
+def decode_stub(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic fake decode: payload bytes -> pseudo-sample array.
+    Stands in for PIL.Image.open / av.decode; same shape contract."""
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+    return arr
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: decode (stubbed) -> 8-bin histogram
+    sketch + content hash. Arrow-batched; one pass over payload bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                arr = decode_stub(payload, r["kind"])
+                hist, _ = np.histogram(arr, bins=8, range=(0, 256))
+                total = max(int(hist.sum()), 1)
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "content_sha": hashlib.sha256(payload).hexdigest(),
+                        "n_bytes": len(payload),
+                        "feature": [float(h) / total for h in hist],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
+    """Video frame sampling plan: explode frame indices, keep every Nth —
+    the decode of each kept frame would run in the same mapInPandas stage
+    (stubbed here; the row explosion and pruning are the real plumbing)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame"),
+        )
+        .filter(F.col("frame") % every == 0)
+    )

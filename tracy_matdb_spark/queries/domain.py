@@ -157,6 +157,117 @@ def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hessian_eigen",
+    oracle=None,  # eigh is not SQL-expressible; pytest asserts eigen identities
+    doc="Hessian eigenpair UDTF: applyInPandas eigh + explode (hessian.py:243-269)",
+)
+def hessian_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.hessian import eigen_explode
+
+    seeds = spark.createDataFrame(
+        [("fcc", 2), ("bcc", 3), ("hcp", 4)], "seed_id string, n_atoms int"
+    )
+    return (
+        eigen_explode(seeds)
+        .select("seed_id", "n", "eig_index", F.round("eigenvalue", 6).alias("eigenvalue"))
+        .orderBy("seed_id", "eig_index")
+    )
+
+
+@register(
+    "validation_rms",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           round(sqrt(avg((o_totalprice - (o_totalprice * 0.98 + 500)) *
+                          (o_totalprice - (o_totalprice * 0.98 + 500)))), 2) AS rms,
+           round(avg(o_totalprice - (o_totalprice * 0.98 + 500)), 2) AS residual_mean,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    doc="Trainer validation RMS aggregation (fitting/basic.py:450-488)",
+)
+def validation_rms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMS of (ref - predicted) per group; `predicted` synthesized from the
+    ref column so the oracle can reproduce it."""
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    df = orders.withColumn("pred", F.col("o_totalprice") * 0.98 + 500)
+    delta = F.col("o_totalprice") - F.col("pred")
+    return (
+        df.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.sqrt(F.avg(delta * delta)), 2).alias("rms"),
+            F.round(F.avg(delta), 2).alias("residual_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "dbfilter_exclude",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_kept,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE NOT (l_quantity > 45)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Trainer dbfilter exclusion semantics (fitting/basic.py:164-204, 347-391)",
+)
+def dbfilter_exclude_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.fitting import dbfilter_exclude
+
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    kept = dbfilter_exclude(li, "l_quantity", ">", 45)
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "active_learning_iterations",
+    oracle=None,  # driver-loop operator; invariants asserted in tests
+    doc="Active-learning append + anti-join dedupe loop (active.py:158-205)",
+)
+def active_learning_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.active import generate_until_count
+    from tracy_matdb_spark.operators.generators import _seeds_df, distortion_transform
+
+    seeds = _seeds_df(spark)
+
+    def make_batch(it: int) -> DataFrame:
+        return distortion_transform(seeds, nconfigs=10, ran_seed=42, group=f"al-{it}")
+
+    history, iters = generate_until_count(make_batch, target=75, uid="duid")
+    return (
+        history.groupBy("iteration")
+        .agg(F.count(F.lit(1)).alias("n_configs"))
+        .orderBy("iteration")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # payload decode is stubbed (no codec libs); plumbing rows-only
+    doc="Multimodal binary columns: mapInPandas decode/feature sketch (north star)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=48)
+    return (
+        extract_features(media)
+        .select("media_id", "kind", "content_sha", "n_bytes")
+        .orderBy("media_id")
+    )
+
+
+@register(
     "group_content_hash",
     oracle="""
     SELECT l_returnflag AS grp,
