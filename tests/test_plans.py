@@ -1,0 +1,57 @@
+"""Physical-plan quality gates: pushdown, broadcast, no Python in hot path.
+
+These tests pin the *plan shape*, not just results — the properties that
+keep the same code fast at 1000x the data.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tracy_matdb_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused columns like l_comment-ish
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_knn_uses_topk_not_full_sort(spark):
+    plan = _plan(spark, "knn_embeddings")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_generators_have_no_python_eval(spark):
+    for name in ("distortion_generate", "substitution_generate", "text_quality", "doc_fingerprint"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "codegen id" in plan  # formatted mode tags codegen'd operators

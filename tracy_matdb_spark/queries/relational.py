@@ -294,3 +294,144 @@ def part_supplier_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy(F.col("n_parts").desc(), "p_brand")
     )
+
+
+@register(
+    "orders_pivot_status",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with explicit pivot values — planned as one
+    conditional aggregation, no extra shuffle vs a plain groupBy."""
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    out = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return (
+        out.select(
+            "priority",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("total_o"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("total_f"),
+            F.coalesce(F.col("P"), F.lit(0.0)).alias("total_p"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "lineitem_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '*') AS rf,
+           coalesce(l_linestatus, '*') AS ls,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) in a single pass — the
+    engine-native generalization of the reference's recursive status
+    rollups (SURVEY.md §2.6)."""
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles. At 100 TB prefer approx_percentile
+    (t-digest sketch, mergeable map-side) — exact percentile requires a
+    per-group sort; kept exact here because the oracle must match
+    bit-for-bit (approx sketches differ across engines by design)."""
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "repeat_customers_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ORDER BY o_custkey
+    """,
+)
+def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics) — customers active in both years. The
+    reference has no intersect (SURVEY.md §2.8); engine-native."""
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+
+    def year(y):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1996).intersect(year(1997)).orderBy("o_custkey")
+
+
+@register(
+    "above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (orders 50% above their customer's mean)
+    decorrelated into a window aggregate — one shuffle on the correlation
+    key instead of a per-row subquery."""
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
