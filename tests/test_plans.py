@@ -53,5 +53,9 @@ def test_generators_have_no_python_eval(spark):
 
 
 def test_whole_stage_codegen_active(spark):
-    plan = _plan(spark, "q1_pricing_summary")
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "codegen id" in plan  # formatted mode tags codegen'd operators
