@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tracy_matdb_spark.functions.prng import hash60
-from tracy_matdb_spark.operators.rank import global_rank_by_hash
+from tracy_matdb_spark.operators.rank import bucketize, ranked_from_buckets
 
 
 def split_counts(n: int, p: float) -> tuple[int, int, int]:
@@ -47,9 +47,10 @@ def assign_split(
     Exactly reproducible for a given (seed, key-set): assignment depends
     only on the hash order, never on partitioning or task scheduling.
     """
-    n = df.count()
+    bucketed, counts = bucketize(df, hash60(F.lit(seed), F.col(key)))
+    n = sum(counts.values())  # total comes free with the bucket pass
     ntrain, nhold, _ = split_counts(n, train_perc)
-    ranked = global_rank_by_hash(df, hash60(F.lit(seed), F.col(key)), [key], out_col="__rank")
+    ranked = ranked_from_buckets(bucketed, counts, [key], out_col="__rank")
     label: Column = (
         F.when(F.col("__rank") <= ntrain, F.lit("train"))
         .when(F.col("__rank") <= ntrain + nhold, F.lit("holdout"))
