@@ -90,3 +90,36 @@ def test_multimodal_plumbing(spark):
     assert (frames.frame % 10 == 0).all()
     n_videos = (len([i for i in range(30) if i % 3 == 2]))
     assert len(frames) == n_videos * 3  # frames 0,10,20 of 30
+
+
+def test_hnf_enumeration_counts(spark):
+    from tracy_matdb_spark.operators.crystal import conform_supercell, hnf_enumerate, vegard
+
+    # number of HNFs of determinant n is sum_{a*c*f=n} c*f^2 (classic result;
+    # reference enumerates the same set in database/utility.py:383-496)
+    def expected(n):
+        total = 0
+        for a in range(1, n + 1):
+            if n % a:
+                continue
+            for c in range(1, n // a + 1):
+                if (n // a) % c:
+                    continue
+                f = n // (a * c)
+                total += c * f * f
+        return total
+
+    counts = {
+        r.det: r.cnt
+        for r in hnf_enumerate(spark, 8).groupBy("det").count().withColumnRenamed("count", "cnt").collect()
+    }
+    for n in range(1, 9):
+        assert counts[n] == expected(n), n
+
+    # conform_supercell: 3 / 9 / 3x3 forms (transforms.py:32-52)
+    assert conform_supercell([2, 2, 2]) == [[2, 0, 0], [0, 2, 0], [0, 0, 2]]
+    assert conform_supercell([1, 0, 0, 0, 1, 0, 0, 0, 1]) == [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    assert conform_supercell([[1, 2, 3], [4, 5, 6], [7, 8, 9]])[1] == [4, 5, 6]
+
+    # vegard's law is a plain weighted mean (data.py:30-40)
+    assert abs(vegard({"Ag": 0.5, "Pd": 0.5}) - (4.09 + 3.89) / 2) < 1e-12

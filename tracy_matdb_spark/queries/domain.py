@@ -294,3 +294,99 @@ def group_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_xor(h)").alias("content_hash"), F.count(F.lit(1)).alias("n_rows"))
         .orderBy("grp")
     )
+
+
+@register(
+    "hnf_enumerate",
+    oracle=None,  # set below after import (needs max_det constant)
+    doc="HNF supercell enumeration (database/utility.py:383-496, transforms.py:54-99)",
+)
+def hnf_enumerate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HNF enumeration as a codegen'd explode chain — the engine
+    form of the reference's supercell search; one narrow stage, no UDF."""
+    from tracy_matdb_spark.operators.crystal import hnf_enumerate
+
+    return hnf_enumerate(spark, max_det=6).orderBy("det", "a", "b", "c", "d", "e", "f")
+
+
+# fill the oracle in-place (function needed the constant)
+from tracy_matdb_spark.operators.crystal import hnf_oracle_sql as _hnf_sql  # noqa: E402
+from tracy_matdb_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_REG["hnf_enumerate"].oracle = _hnf_sql(6) + " ORDER BY det, a, b, c, d, e, f"
+
+
+@register(
+    "legacy_subset",
+    oracle="""
+    SELECT p_partkey AS pid, p_name AS name, p_retailprice AS energy
+    FROM part
+    ORDER BY ('0x' || substr(md5(7 || '|' || p_partkey), 1, 15))::bigint, p_partkey
+    LIMIT 40
+    """,
+    doc="Legacy ingest: rename + seeded random subset (legacy.py:76-282, 141-151)",
+)
+def legacy_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LegacyDatabase adaptation: column renames to the engine schema plus
+    the reference's seeded random `limit` subset — the shuffle is a
+    deterministic hash order, so the subset is reproducible anywhere."""
+    from tracy_matdb_spark.functions.prng import hash60
+
+    part = load(spark, sf_dir, ("part",))["part"]
+    return (
+        part.select(
+            F.col("p_partkey").alias("pid"),
+            F.col("p_name").alias("name"),
+            F.col("p_retailprice").alias("energy"),
+        )
+        .orderBy(hash60(F.lit(7), F.col("pid")), "pid")
+        .limit(40)
+    )
+
+
+@register(
+    "prototypes_crossjoin",
+    oracle="""
+    SELECT s.structure, p.perm,
+           md5(concat(s.structure, '|', p.perm)) AS puuid
+    FROM (VALUES ('L10'), ('L12'), ('B2'), ('D019')) s(structure)
+    CROSS JOIN (VALUES ('AB'), ('BA')) p(perm)
+    ORDER BY structure, perm
+    """,
+    doc="Prototypes: structures x species-permutations (prototype.py:244-256)",
+)
+def prototypes_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's prototype expansion — product(structures, perms) with
+    a puuid content hash (prototype.py:249-252) — as a broadcast crossJoin."""
+    structures = spark.createDataFrame([("L10",), ("L12",), ("B2",), ("D019",)], "structure string")
+    perms = spark.createDataFrame([("AB",), ("BA",)], "perm string")
+    return (
+        structures.crossJoin(F.broadcast(perms))
+        .withColumn("puuid", F.md5(F.concat(F.col("structure"), F.lit("|"), F.col("perm"))))
+        .orderBy("structure", "perm")
+    )
+
+
+@register(
+    "vegard_lattice",
+    oracle="""
+    SELECT alloy, cast(floor(lat * cast(1000000 as double)) as bigint) AS lat_q
+    FROM (VALUES
+        ('Ag0.5-Pd0.5', (4.09 * 0.5 + 3.89 * 0.5) / (0.5 + 0.5)),
+        ('Cu0.25-Ni0.75', (3.61 * 0.25 + 3.52 * 0.75) / (0.25 + 0.75)),
+        ('Au1', (4.08 * 1.0) / 1.0)
+    ) t(alloy, lat)
+    ORDER BY alloy
+    """,
+    doc="Vegard's-law lattice mixing (matdb/data.py:30-40)",
+)
+def vegard_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("Ag0.5-Pd0.5", (4.09 * 0.5 + 3.89 * 0.5) / (0.5 + 0.5)),
+        ("Cu0.25-Ni0.75", (3.61 * 0.25 + 3.52 * 0.75) / (0.25 + 0.75)),
+        ("Au1", (4.08 * 1.0) / 1.0),
+    ]
+    df = spark.createDataFrame(rows, "alloy string, lat double")
+    return df.select(
+        "alloy", F.expr("cast(floor(lat * cast(1000000 as double)) as bigint)").alias("lat_q")
+    ).orderBy("alloy")
