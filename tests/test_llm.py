@@ -9,7 +9,9 @@ REGISTRY = load_all()
 
 
 def test_lsh_candidates_subset_of_exact(spark):
-    exact = REGISTRY["embedding_near_dup"].fn(spark, SF_SMOKE).toPandas()
+    from tracy_matdb_spark.queries.llm import embedding_near_dup_exact
+
+    exact = embedding_near_dup_exact(spark, SF_SMOKE).toPandas()
     lsh = REGISTRY["embedding_lsh_near_dup"].fn(spark, SF_SMOKE).toPandas()
     exact_pairs = set(zip(exact.vec_a, exact.vec_b))
     lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))

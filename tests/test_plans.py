@@ -52,6 +52,23 @@ def test_generators_have_no_python_eval(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+# Bounded-literal fan-outs where a broadcast nested-loop is the *intended*
+# physical op: a 1-row query vector (knn) and a tiny literal perm table
+# (prototypes). Everything else must be hash/sort-merge joinable.
+NLJ_ALLOWED = {"knn_embeddings", "prototypes_crossjoin"}
+
+
+def test_no_quadratic_joins_in_registered_queries(spark):
+    """No registered query may plan a CartesianProduct, and only the
+    bounded-literal allowlist may plan a BroadcastNestedLoopJoin — the
+    scale gate from the round-1 verdict (O(n^2) stages are scale-killers)."""
+    for name in REGISTRY:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in NLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_whole_stage_codegen_active(spark):
     df = REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE)
     df.collect()  # AQE finalizes the plan only on execution

@@ -55,6 +55,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
+        # the driver's value-hash is TYPE-KIND-sensitive (round-1 lesson:
+        # DuckDB HUGEINT surfaces as float/object and hashed differently
+        # despite equal values; int32-vs-int64 width was tolerated — e.g.
+        # vacancy_enumerate passed) — flag kind mismatches only.
+        if s[c].dtype.kind != d[c].dtype.kind:
+            problems.append(
+                f"col {c}: dtype spark={s[c].dtype} duck={d[c].dtype} (driver hash is type-sensitive)"
+            )
+    for c in s.columns:
         sv, dv = s[c], d[c]
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sv = sv.astype(float)

@@ -50,5 +50,8 @@ def generate_until_count(
         # doesn't recompute every prior batch (driver-loop hygiene at scale).
         history = history.localCheckpoint(eager=True)
         if history.count() >= target:
-            return history.limit(target), it + 1
+            # order before truncating: a bare limit() takes a partition-
+            # dependent subset, which would break reproducibility across
+            # cluster sizes. (iteration, uid) is a total order here.
+            return history.orderBy("iteration", uid).limit(target), it + 1
     return history, max_iterations  # type: ignore[return-value]

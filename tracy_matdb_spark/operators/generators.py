@@ -229,10 +229,17 @@ def substitution_transform(
         "species",
         F.when(F.col("rk") <= F.ceil(F.col("n_atoms") * F.lit(frac_a)), F.lit("A")).otherwise(F.lit("B")),
     )
+    # duid hashes the assignment CONTENT (seed, atom, species) — never cid —
+    # so two configs that drew the same relabeling collide and dedupe, the
+    # reference's `combs` set semantics (substitution.py:224-231).
+    h_content = F.expr(
+        _h60("concat_ws('|', seed_id, cast(atom as string), species)", "spark")
+    )
     return (
-        labeled.groupBy("seed_id", F.col("cid").alias("config_id"))
+        labeled.withColumn("hc", h_content)
+        .groupBy("seed_id", F.col("cid").alias("config_id"))
         .agg(
-            F.expr("bit_xor(h)").alias("duid"),
+            F.expr("bit_xor(hc)").alias("duid"),
             F.sum(F.when(F.col("species") == "A", 1).otherwise(0)).alias("n_a"),
             F.count(F.lit(1)).alias("n_atoms"),
         )
@@ -319,7 +326,9 @@ def substitution_oracle_sql() -> str:
     )
     SELECT seed_id, cid AS config_id,
            bit_xor(h) AS suid_xor,
-           sum(CASE WHEN rk <= ceil(n_atoms * {SUB_FRAC_A}) THEN 1 ELSE 0 END) AS n_a,
+           -- cast: DuckDB sum(INTEGER) is HUGEINT, Spark's is BIGINT; the
+           -- driver's value-hash is type-sensitive.
+           cast(sum(CASE WHEN rk <= ceil(n_atoms * {SUB_FRAC_A}) THEN 1 ELSE 0 END) as bigint) AS n_a,
            count(*) AS n_atoms
     FROM labeled
     GROUP BY seed_id, cid

@@ -78,13 +78,3 @@ def simhash_expr(dialect: str, toks: str) -> str:
 
 def lang_score_exprs(dialect: str, toks: str) -> dict[str, str]:
     return {lang: count_in_expr(dialect, toks, words) for lang, words in sorted(LANG_MARKERS.items())}
-
-
-def lang_pred_expr(dialect: str, toks: str) -> str:
-    """argmax over marker counts, ties to the lexicographically first lang."""
-    scores = lang_score_exprs(dialect, toks)
-    langs = sorted(scores)
-    best = f"greatest({', '.join(scores[lang] for lang in langs)})"
-    cases = " ".join(f"WHEN {scores[lang]} = __best THEN '{lang}'" for lang in langs)
-    # wrap via a correlated expression: caller must alias __best first
-    return best, f"CASE {cases} END"  # type: ignore[return-value]

@@ -133,8 +133,8 @@ def md_frame_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus AS status,
            count(*) AS n_total,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS n_ready,
-           sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_done
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) as bigint) AS n_ready,
+           cast(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) as bigint) AS n_done
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY status
@@ -251,9 +251,28 @@ def active_learning_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_oracle_sql(n: int = 48) -> str:
+    """Expected-output fixture: the synthetic payloads are deterministic
+    (operators/multimodal.py synth_media), so content_sha/n_bytes are exact
+    and hash-verifiable even though the codec decode itself is stubbed."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        rows.append(f"({i}, '{kind}', '{hashlib.sha256(payload).hexdigest()}', {len(payload)})")
+    return (
+        "SELECT cast(media_id as bigint) AS media_id, kind, content_sha, "
+        "cast(n_bytes as int) AS n_bytes "
+        f"FROM (VALUES {', '.join(rows)}) t(media_id, kind, content_sha, n_bytes) "
+        "ORDER BY media_id"
+    )
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # payload decode is stubbed (no codec libs); plumbing rows-only
+    oracle=_multimodal_oracle_sql(),
     doc="Multimodal binary columns: mapInPandas decode/feature sketch (north star)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

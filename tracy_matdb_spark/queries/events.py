@@ -116,8 +116,8 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, t,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
         FROM marked
     )
     SELECT user_id, session_id,

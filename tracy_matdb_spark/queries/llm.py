@@ -183,10 +183,13 @@ N_PERM = 6
 BAND_SIZE = 2  # -> 3 bands
 
 
-def _minhash_sql_duckdb() -> str:
+def _lsh_ctes_duckdb() -> str:
+    """Shared DuckDB CTE chain: docs -> shingles -> minhash -> bands ->
+    candidate pairs. Reused by the minhash oracle AND the jaccard oracle
+    (which computes exact similarity over the candidates only)."""
     toks = textops.toks_expr("duckdb")
     return f"""
-    WITH docs_t AS (
+    docs_t AS (
         SELECT doc_id, {toks} AS toks FROM documents
         WHERE len({toks}) >= 3
     ),
@@ -194,7 +197,8 @@ def _minhash_sql_duckdb() -> str:
         SELECT DISTINCT doc_id,
                array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
         FROM docs_t
-        CROSS JOIN (SELECT unnest(generate_series(1, 600)) AS i) g
+        CROSS JOIN (SELECT unnest(generate_series(1,
+            (SELECT max(len(toks)) FROM docs_t))) AS i) g
         WHERE i <= len(toks) - 2
     ),
     mh AS (
@@ -207,35 +211,45 @@ def _minhash_sql_duckdb() -> str:
                md5(string_agg(mh, '|' ORDER BY perm)) AS sig
         FROM mh
         GROUP BY doc_id, cast(floor(perm / cast({BAND_SIZE} as double)) as int)
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_sql_duckdb() -> str:
+    return f"""
+    WITH {_lsh_ctes_duckdb()}
+    SELECT doc_a, doc_b FROM cands
     ORDER BY doc_a, doc_b
     """
 
 
-@register("minhash_lsh_pairs", headline=True, oracle=_minhash_sql_duckdb())
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidate pairs over word-3-gram shingles.
-
-    Pipeline: shingle (explode, distinct) -> per-permutation minhash
-    (md5 hex min — identical total order in both engines) -> band
-    signatures -> self-join on (band, sig). At 100 TB the only wide ops
-    are the two groupBys and the final band-bucket join, all on keys
-    whose cardinality grows with the corpus — classic shuffle-balanced
-    LSH. Candidate pairs would then be verified by exact Jaccard
-    (ngram_jaccard_pairs) on the tiny candidate set."""
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, word-3-gram shingle) rows — the substrate for both
+    LSH candidate generation and exact Jaccard verification."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
     toks = textops.toks_expr("spark")
     docs_t = docs.selectExpr("doc_id", f"{toks} AS toks").filter(F.expr("size(toks) >= 3"))
-    shingles = (
+    return (
         docs_t.select("doc_id", F.explode(F.expr("sequence(1, size(toks) - 2)")).alias("i"), "toks")
         .selectExpr("doc_id", "array_join(slice(toks, i, 3), ' ') AS sh")
         .distinct()
     )
-    perms = spark.range(N_PERM).select(F.col("id").cast("int").alias("perm"))
+
+
+def _lsh_candidate_pairs(shingles: DataFrame) -> DataFrame:
+    """Shingles -> per-permutation minhash (md5 hex min — identical total
+    order in both engines) -> band signatures -> self-join on (band, sig).
+    At 100 TB the only wide ops are the two groupBys and the band-bucket
+    join, all on keys whose cardinality grows with the corpus — classic
+    shuffle-balanced LSH, no O(n^2) stage. The permutation fan-out is an
+    explode (narrow), not a crossJoin — no join operator at all."""
     mh = (
-        shingles.crossJoin(F.broadcast(perms))
+        shingles.select(
+            "doc_id", "sh", F.explode(F.expr(f"sequence(0, {N_PERM - 1})")).alias("perm")
+        )
         .select("doc_id", "perm", F.expr("md5(concat(cast(perm as string), '|', sh))").alias("mh_in"))
         .groupBy("doc_id", "perm")
         .agg(F.min("mh_in").alias("mh"))
@@ -256,8 +270,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("minhash_lsh_pairs", headline=True, oracle=_minhash_sql_duckdb())
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs over word-3-gram shingles.
+    Candidates are then verified by exact Jaccard (ngram_jaccard_pairs)
+    on the (small) candidate set."""
+    return _lsh_candidate_pairs(_shingles_df(spark, sf_dir)).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -268,23 +289,16 @@ JACCARD_MIN_Q = 200_000  # 0.2 quantized
 
 
 def _jaccard_sql_duckdb() -> str:
-    toks = textops.toks_expr("duckdb")
     jac = textops.quant_ratio_expr("common", "(na + nb - common)")
     return f"""
-    WITH docs_t AS (
-        SELECT doc_id, {toks} AS toks FROM documents WHERE len({toks}) >= 3
-    ),
-    shingles AS (
-        SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS sh
-        FROM docs_t
-        CROSS JOIN (SELECT unnest(generate_series(1, 600)) AS i) g
-        WHERE i <= len(toks) - 2
-    ),
+    WITH {_lsh_ctes_duckdb()},
     sizes AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
     common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+        SELECT c.doc_a, c.doc_b, count(*) AS common
+        FROM cands c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b, {jac} AS jaccard_q
     FROM (
@@ -300,30 +314,24 @@ def _jaccard_sql_duckdb() -> str:
 
 @register("ngram_jaccard_pairs", oracle=_jaccard_sql_duckdb())
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard similarity pairs (>= 0.2). The shingle
-    equi-join is the scale risk (hot shingles fan out quadratically) — at
-    100 TB this runs only on LSH candidates (minhash_lsh_pairs) or drops
-    stop-shingles; AQE skew-join splits residual hot keys."""
-    docs = load(spark, sf_dir, ("documents",))["documents"]
-    toks = textops.toks_expr("spark")
-    docs_t = docs.selectExpr("doc_id", f"{toks} AS toks").filter(F.expr("size(toks) >= 3"))
-    shingles = (
-        docs_t.select("doc_id", F.explode(F.expr("sequence(1, size(toks) - 2)")).alias("i"), "toks")
-        .selectExpr("doc_id", "array_join(slice(toks, i, 3), ' ') AS sh")
-        .distinct()
-    )
+    """Exact word-3-gram Jaccard (>= 0.2) computed over LSH candidate pairs
+    only — the 100 TB shape. The raw shingle self-join would fan out
+    quadratically on hot shingles; gating on minhash candidates makes the
+    verify stage linear in the candidate count. No broadcast hints: sizes
+    and candidates are unbounded relations, AQE picks the join strategy."""
+    shingles = _shingles_df(spark, sf_dir)
+    cands = _lsh_candidate_pairs(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands.join(shingles.selectExpr("doc_id AS doc_a", "sh"), "doc_a")
+        .join(shingles.selectExpr("doc_id AS doc_b", "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = textops.quant_ratio_expr("common", "(na + nb - common)")
     return (
-        common.join(F.broadcast(sizes.selectExpr("doc_id AS doc_a", "nsh AS na")), "doc_a")
-        .join(F.broadcast(sizes.selectExpr("doc_id AS doc_b", "nsh AS nb")), "doc_b")
+        common.join(sizes.selectExpr("doc_id AS doc_a", "nsh AS na"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "nsh AS nb"), "doc_b")
         .withColumn("jaccard_q", F.expr(jac))
         .filter(F.col("jaccard_q") >= JACCARD_MIN_Q)
         .select("doc_a", "doc_b", "jaccard_q")
@@ -391,26 +399,10 @@ def knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_MIN_Q = 400_000  # cosine >= 0.4 (synthetic embeddings are near-orthogonal)
 
 
-@register(
-    "embedding_near_dup",
-    oracle=f"""
-    WITH n AS (
-        SELECT vec_id, embedding, {_norm_expr('duckdb', 'embedding')} AS nrm
-        FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           cast(floor(({_dot_expr('duckdb', 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm))
-                * cast(1000000 as double)) as bigint) AS sim_q
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE cast(floor(({_dot_expr('duckdb', 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm))
-                * cast(1000000 as double)) as bigint) >= {NEAR_DUP_MIN_Q}
-    ORDER BY vec_a, vec_b
-    """,
-)
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine >= 0.4) via self-join. O(n^2) —
-    correct baseline at correctness scale; the LSH-bucketed variant below is
-    the 100 TB path (bucket first, exact-check within buckets)."""
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEST-ONLY exact baseline: all-pairs cosine via self-theta-join.
+    O(n^2) nested-loop — deliberately NOT a registered query (it cannot
+    survive scale); tests/test_llm.py uses it to measure LSH recall."""
     emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
     n = emb.selectExpr("vec_id", "embedding", f"{_norm_expr('spark', 'embedding')} AS nrm")
     a = n.alias("a")
@@ -431,15 +423,44 @@ LSH_BANDS = 4
 LSH_BAND_BITS = 4
 
 
-@register("embedding_lsh_near_dup", oracle=None)
+def _embedding_lsh_sql_duckdb() -> str:
+    """DuckDB twin of the banded sign-LSH near-dup — the bucketing is fully
+    deterministic (dimension signs), so the scale path is hash-verifiable."""
+    bucket = " + ".join(
+        f"(CASE WHEN cast(embedding[band * {LSH_BAND_BITS} + {i + 1}] as double) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_BAND_BITS)
+    )
+    sim = (
+        f"cast(floor(({_dot_expr('duckdb', 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    return f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {_norm_expr('duckdb', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    banded AS (
+        SELECT vec_id, embedding, nrm, band, {bucket} AS bucket
+        FROM n CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) bs
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim} AS sim_q
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {sim} >= {NEAR_DUP_MIN_Q}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@register("embedding_lsh_near_dup", oracle=_embedding_lsh_sql_duckdb())
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for near-dup: banded sign-LSH. Each vector gets
+    """PRIMARY near-dup query — banded sign-LSH. Each vector gets
     LSH_BANDS buckets (LSH_BAND_BITS dimension-signs each); pairs sharing
     any band bucket are exact-cosine-checked. Tunable recall/cost: more
     bands -> higher recall, more candidates. The candidate join is on
-    (band, bucket) — bounded fan-out, no O(n^2) stage. Approximate by
-    design => rows-only check; tests/test_llm.py asserts candidates are a
-    subset of the exact pairs and measures recall."""
+    (band, bucket) — bounded fan-out, no O(n^2) stage. The bucketing is
+    deterministic, so a DuckDB oracle verifies it exactly; recall vs the
+    exact baseline is measured in tests/test_llm.py."""
     emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
     n = emb.selectExpr("vec_id", "embedding", f"{_norm_expr('spark', 'embedding')} AS nrm")
     band_rows = []
