@@ -189,9 +189,13 @@ def vacancy_enumerate(spark: SparkSession) -> DataFrame:
 def vacancy_transform(seeds: DataFrame) -> DataFrame:
     """Seeds (seed_id, n_atoms) -> one config per removed index-pair
     (exact C(n,2) enumeration, vacancy.py:307-312). config_id encodes the
-    pair; vuid is its content hash."""
-    pairs = seeds.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("n_atoms") - 2))).withColumn(
-        "j", F.explode(F.sequence(F.col("i") + 1, F.col("n_atoms") - 1))
+    pair; vuid is its content hash. Seeds with n_atoms < 2 have no pairs
+    (Spark's sequence() would otherwise run DESCENDING for start > stop
+    and fabricate junk rows)."""
+    pairs = (
+        seeds.filter(F.col("n_atoms") >= 2)
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("n_atoms") - 2)))
+        .withColumn("j", F.explode(F.sequence(F.col("i") + 1, F.col("n_atoms") - 1)))
     )
     return pairs.select(
         "seed_id",

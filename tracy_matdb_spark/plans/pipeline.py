@@ -19,9 +19,9 @@ order-independent hash compare (…:1965-1976).
 
 from __future__ import annotations
 
-import fnmatch
 import json
 import os
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,12 +137,21 @@ class Pipeline:
 
     def find(self, spark: SparkSession, pattern: str) -> list[str]:
         """Glob lookup over database/group paths (Controller.find,
-        matdb/database/__init__.py:1710-1786) as a metadata query."""
+        matdb/database/__init__.py:1710-1786) as a metadata query.
+
+        The glob is compiled to a regex evaluated BY THE ENGINE (rlike on
+        the groups table) — only matches reach the driver, so the catalog
+        can hold millions of groups without a driver-side materialize."""
         groups = spark.read.parquet(os.path.join(self.out_dir, "groups"))
-        paths = [
-            f"{r['database']}/{r['group_name']}" for r in groups.select("database", "group_name").collect()
-        ]
-        return sorted(p for p in paths if fnmatch.fnmatch(p, pattern))
+        regex = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch) for ch in pattern
+        ) + "$"
+        matched = (
+            groups.select(F.concat_ws("/", "database", "group_name").alias("path"))
+            .filter(F.col("path").rlike(regex))
+            .collect()
+        )
+        return sorted(r["path"] for r in matched)
 
     def status(self, spark: SparkSession) -> DataFrame:
         """Per-group config counts (Database.status, …:1328-1347)."""

@@ -1,0 +1,548 @@
+"""CORRECTNESS registrations for operators previously covered by pytest only.
+
+Round-1 verdict: "the bar is a green CORRECTNESS row per operator". This
+module registers the XYZ/CFG parse+export round-trips, quantity
+projection, conform_supercell, special_values expansion, the pipeline
+find/status/split lifecycle, DOS-convergence selection, and the small
+aggregation sweep (energy-key scan, split-average, BZ band error).
+
+Oracle strategy, per operator class:
+- Pure functions of literal inputs (conform_supercell, dos_convergence,
+  small aggs): literal VALUES on both sides, DuckDB recomputes the
+  aggregation independently.
+- special_values: DuckDB recomputes linspace/logspace/range/random from
+  generate_series + the same md5 counter PRNG — fully independent.
+- Text-format round-trips: fixture records (exact dyadic rationals, so
+  text formatting and float parsing are bit-exact) are formatted, written
+  to files, re-parsed through the Spark binaryFile+mapInPandas reader;
+  the oracle is the ground-truth VALUES of the original records. Any
+  parser/formatter defect breaks the round-trip identity.
+- Pipeline lifecycle: a deterministic 3-group spec materialized under
+  /tmp; counts are hand-computable from the generator definitions
+  (explode cardinalities + ceil split arithmetic), so the oracle VALUES
+  are independent arithmetic, not captured output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# XYZ / CFG round-trips (sources/textformats.py; reference matdb/io.py:57-343)
+# ---------------------------------------------------------------------------
+
+# All coordinates/energies are dyadic rationals: exact in binary doubles,
+# exact through %.10g text and back — so round-trip parity is bit-exact.
+TEXT_FIXTURE: list[tuple[str, list[dict]]] = [
+    (
+        "fx_a",
+        [
+            {
+                "n": 2,
+                "cell": [[4.0, 0.0, 0.0], [0.0, 4.0, 0.0], [0.0, 0.0, 4.0]],
+                "species": ["Ag", "Pd"],
+                "positions": [[0.0, 0.0, 0.0], [2.0, 2.0, 2.0]],
+                "forces": [[0.5, -0.25, 0.0], [0.125, 0.0, -1.5]],
+                "energy": -3.5,
+            },
+            {
+                "n": 1,
+                "cell": [[2.5, 0.0, 0.0], [0.0, 2.5, 0.0], [0.0, 0.0, 2.5]],
+                "species": ["Cu"],
+                "positions": [[1.25, 0.5, 0.75]],
+                "forces": None,
+                "energy": 0.625,
+            },
+        ],
+    ),
+    (
+        "fx_b",
+        [
+            {
+                "n": 3,
+                "cell": [[3.0, 0.5, 0.0], [0.0, 3.0, 0.0], [0.25, 0.0, 3.0]],
+                "species": ["Ni", "Ni", "Pt"],
+                "positions": [[0.0, 0.0, 0.0], [1.5, 1.5, 0.0], [0.75, 0.25, 1.5]],
+                "forces": [[0.0, 0.0, 0.0], [0.5, 0.5, -0.5], [-0.5, -0.5, 0.5]],
+                "energy": -7.25,
+            }
+        ],
+    ),
+]
+
+SPECIES_TYPES = {"Ag": 0, "Pd": 1, "Cu": 2, "Ni": 3, "Pt": 4}
+TYPE_SPECIES = {v: k for k, v in SPECIES_TYPES.items()}
+
+FIXTURE_ROOT = "/tmp/tracy_matdb_fixtures"
+
+
+def _write_text_fixture(fmt: str) -> str:
+    """Format the fixture records to <fmt> files (idempotent)."""
+    from tracy_matdb_spark.sources.textformats import format_cfg, format_xyz
+
+    out_dir = os.path.join(FIXTURE_ROOT, fmt)
+    os.makedirs(out_dir, exist_ok=True)
+    for fname, recs in TEXT_FIXTURE:
+        if fmt == "xyz":
+            body = "\n".join(format_xyz(r) for r in recs)
+        else:
+            body = "\n".join(format_cfg(r, type_of=SPECIES_TYPES) for r in recs)
+        with open(os.path.join(out_dir, f"{fname}.{fmt}"), "w") as f:
+            f.write(body + "\n")
+    return out_dir
+
+
+def _roundtrip_projection(df: DataFrame) -> DataFrame:
+    """Flatten a parsed-config DataFrame to exact-comparable scalars."""
+    return df.select(
+        F.regexp_extract("source_file", r"([^/]+)\.[a-z]+$", 1).alias("fname"),
+        "config_id",
+        "n",
+        F.col("energy").cast("double").alias("energy"),
+        F.concat_ws(",", "species").alias("species_str"),
+        F.expr("aggregate(flatten(positions), cast(0 as double), (a, x) -> a + x)").alias("pos_sum"),
+        F.expr("aggregate(flatten(cell), cast(0 as double), (a, x) -> a + x)").alias("cell_sum"),
+        F.expr(
+            "CASE WHEN forces IS NULL THEN NULL "
+            "ELSE aggregate(flatten(forces), cast(0 as double), (a, x) -> a + x) END"
+        ).alias("force_sum"),
+    ).orderBy("fname", "config_id")
+
+
+def _roundtrip_oracle_sql() -> str:
+    """Ground-truth VALUES computed from the literal fixture records."""
+    rows = []
+    for fname, recs in TEXT_FIXTURE:
+        for cid, r in enumerate(recs):
+            pos_sum = sum(v for row in r["positions"] for v in row)
+            cell_sum = sum(v for row in r["cell"] for v in row)
+            force_sum = (
+                "NULL" if r["forces"] is None else repr(sum(v for row in r["forces"] for v in row))
+            )
+            rows.append(
+                f"('{fname}', {cid}, {r['n']}, {r['energy']!r}, "
+                f"'{','.join(r['species'])}', {pos_sum!r}, {cell_sum!r}, {force_sum})"
+            )
+    return f"""
+    SELECT fname, config_id, n, cast(energy as double) AS energy, species_str,
+           cast(pos_sum as double) AS pos_sum, cast(cell_sum as double) AS cell_sum,
+           cast(force_sum as double) AS force_sum
+    FROM (VALUES {', '.join(rows)})
+         t(fname, config_id, n, energy, species_str, pos_sum, cell_sum, force_sum)
+    ORDER BY fname, config_id
+    """
+
+
+@register(
+    "xyz_roundtrip",
+    oracle=_roundtrip_oracle_sql(),
+    doc="Extended-XYZ export -> binaryFile+mapInPandas parse round-trip "
+    "(matdb/io.py:290-343, atoms.py:117-122)",
+)
+def xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.sources.textformats import read_xyz
+
+    out_dir = _write_text_fixture("xyz")
+    return _roundtrip_projection(read_xyz(spark, out_dir))
+
+
+@register(
+    "cfg_roundtrip",
+    oracle=_roundtrip_oracle_sql(),
+    doc="MTP CFG export -> parse round-trip with species type_map "
+    "(matdb/io.py:57-141, 204-266)",
+)
+def cfg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.sources.textformats import read_cfg
+
+    out_dir = _write_text_fixture("cfg")
+
+    def parse_with_map(content: str, source: str = "") -> list[dict]:
+        from tracy_matdb_spark.sources.textformats import parse_cfg
+
+        return parse_cfg(content, source, type_map=TYPE_SPECIES)
+
+    from tracy_matdb_spark.sources.textformats import CONFIG_SCHEMA, _reader
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.cfg").load(out_dir)
+    parsed = files.select("path", "content").mapInPandas(_reader(parse_with_map), CONFIG_SCHEMA)
+    return _roundtrip_projection(parsed)
+
+
+# ---------------------------------------------------------------------------
+# Quantity projection (operators/fitting.py; reference fitting/basic.py:292-345)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantities_mean",
+    oracle="""
+    SELECT avg(l_quantity) AS l_quantity_mean
+    FROM lineitem
+    """,
+    doc="Trainer.quantities projection + FQDN aggregator (fitting/basic.py:292-345)",
+)
+def quantities_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantities() with the numpy.mean aggregator over an integer-valued
+    double column — the sum is exact (< 2^53), so the mean is bit-equal
+    across engines regardless of partial-aggregation order."""
+    from tracy_matdb_spark.operators.fitting import quantities
+
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    return quantities(li, ["l_quantity"], aggregate="numpy.mean")
+
+
+# ---------------------------------------------------------------------------
+# conform_supercell (operators/crystal.py; reference transforms.py:32-52)
+# ---------------------------------------------------------------------------
+
+SUPERCELL_FORMS: list[tuple[int, object]] = [
+    (0, [2, 3, 4]),                                   # 3 -> diagonal
+    (1, [1, 0, 0, 0, 2, 0, 0, 1, 3]),                 # 9 -> rows
+    (2, [[2, 1, 0], [0, 2, 0], [0, 0, 5]]),           # 3x3 -> itself
+]
+
+
+@register(
+    "conform_supercell_forms",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 2, 0, 0, 0, 3, 0, 0, 0, 4),
+        (1, 1, 0, 0, 0, 2, 0, 0, 1, 3),
+        (2, 2, 1, 0, 0, 2, 0, 0, 0, 5)
+    ) t(form_id, s00, s01, s02, s10, s11, s12, s20, s21, s22)
+    ORDER BY form_id
+    """,
+    doc="conform_supercell 3/9/3x3 normalization (transforms.py:32-52)",
+)
+def conform_supercell_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.crystal import conform_supercell
+
+    rows = []
+    for fid, form in SUPERCELL_FORMS:
+        m = conform_supercell(form)
+        rows.append((fid, *[m[j][k] for j in range(3) for k in range(3)]))
+    cols = "form_id int, " + ", ".join(f"s{j}{k} int" for j in range(3) for k in range(3))
+    return spark.createDataFrame(rows, cols).orderBy("form_id")
+
+
+# ---------------------------------------------------------------------------
+# special_values expansion (plans/spec.py; reference utility.py:589-654)
+# ---------------------------------------------------------------------------
+
+SPECIALS = {
+    "lin": "linspace(1,2,5)",
+    "log": "logspace(0,2,3)",
+    "rng": "range(0,10,2.5)",
+    "rnd": "random:4",
+}
+SPECIALS_SEED = 42
+
+
+def _special_values_oracle_sql() -> str:
+    """DuckDB recomputes every expansion independently: linspace/logspace/
+    range from generate_series arithmetic (same operation order as the
+    Python expansion, so doubles are bit-equal), random from the identical
+    md5 counter PRNG."""
+    prng = (
+        f"(('0x' || substr(md5('{SPECIALS_SEED}|rnd|' || i), 1, 15))::bigint"
+        " / cast(1152921504606846976 as double))"
+    )
+    return f"""
+    WITH lin AS (
+        SELECT 'lin' AS name, i, 1.0 + i * ((2.0 - 1.0) / 4) AS v
+        FROM (SELECT unnest(generate_series(0, 4)) AS i)
+    ),
+    log AS (
+        SELECT 'log' AS name, i, power(10.0, 0.0 + i * ((2.0 - 0.0) / 2)) AS v
+        FROM (SELECT unnest(generate_series(0, 2)) AS i)
+    ),
+    rng AS (
+        SELECT 'rng' AS name, i, 0.0 + i * 2.5 AS v
+        FROM (SELECT unnest(generate_series(0, 3)) AS i)
+    ),
+    rnd AS (
+        SELECT 'rnd' AS name, i, {prng} AS v
+        FROM (SELECT unnest(generate_series(0, 3)) AS i)
+    )
+    SELECT name, cast(i as int) AS idx,
+           cast(floor(v * cast(1000000 as double)) as bigint) AS value_q
+    FROM (SELECT * FROM lin UNION ALL SELECT * FROM log
+          UNION ALL SELECT * FROM rng UNION ALL SELECT * FROM rnd)
+    ORDER BY name, idx
+    """
+
+
+@register(
+    "special_values_expand",
+    oracle=_special_values_oracle_sql(),
+    doc="special_values parameter expansion: linspace/logspace/range/random "
+    "(matdb/utility.py:589-654)",
+)
+def special_values_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from tracy_matdb_spark.plans.spec import special_values
+
+    # quantization uses the same floor(x * 1e6) convention as the oracle
+    rows = []
+    for name in sorted(SPECIALS):
+        vals = special_values(SPECIALS[name], seed=SPECIALS_SEED, key=name)
+        for i, v in enumerate(vals):
+            rows.append((name, i, int(math.floor(v * 1_000_000))))
+    return spark.createDataFrame(rows, "name string, idx int, value_q bigint").orderBy("name", "idx")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline lifecycle: find / status / split (plans/pipeline.py;
+# reference Controller find 1710-1786, Database.status 1328-1347,
+# split 1401-1424 + database/utility.py:42-165)
+# ---------------------------------------------------------------------------
+
+PIPE_SPEC = {
+    "ran_seed": 7,
+    "databases": {
+        "main": {
+            "steps": [
+                {
+                    "type": "distortion",
+                    "name": "dist",
+                    "params": {"nconfigs": 8, "sigma*": [0.02, 0.05]},
+                    "chain": False,
+                },
+                {
+                    "type": "vacancy",
+                    "name": "vac",
+                    "params": {},
+                    "chain": False,
+                    "splittable": False,
+                },
+            ]
+        }
+    },
+}
+PIPE_DIR = os.path.join(FIXTURE_ROOT, "pipeline")
+
+
+def _pipeline(spark: SparkSession):
+    """Materialize the fixture pipeline (idempotent overwrite)."""
+    from tracy_matdb_spark.plans.pipeline import Pipeline
+
+    p = Pipeline(PIPE_SPEC, PIPE_DIR)
+    p.setup(spark)
+    return p
+
+
+@register(
+    "pipeline_status",
+    # hand-computed: distortion = 8 configs x 3 builtin seeds per grid combo
+    # (duid dedupe cannot collide across distinct (seed, cid) draws);
+    # vacancy = C(4,2) + C(2,2) + C(1,2) = 6 + 1 + 0 = 7 index pairs.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('main', 'dist-sigma-0.02', cast(24 as bigint), cast(24 as bigint)),
+        ('main', 'dist-sigma-0.05', cast(24 as bigint), cast(24 as bigint)),
+        ('main', 'vac', cast(7 as bigint), cast(7 as bigint))
+    ) t(database, group_name, n_configs, n_unique)
+    ORDER BY database, group_name
+    """,
+    doc="Pipeline status() rollup over the materialized catalog "
+    "(Database.status, matdb/database/__init__.py:1328-1347)",
+)
+def pipeline_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark).status(spark)
+
+
+@register(
+    "pipeline_find",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('main/dist-sigma-0.02'), ('main/dist-sigma-0.05')
+    ) t(path) ORDER BY path
+    """,
+    doc="Pipeline find() glob over catalog metadata (Controller.find, "
+    "matdb/database/__init__.py:1710-1786)",
+)
+def pipeline_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _pipeline(spark)
+    matches = p.find(spark, "main/dist*")
+    return spark.createDataFrame([(m,) for m in matches], "path string").orderBy("path")
+
+
+@register(
+    "pipeline_split_counts",
+    # splittable N = 48 (two distortion groups x 24), p = 0.4:
+    #   Ntrain = ceil(19.2) = 20, Nhold = ceil((48-20)*0.4) = 12, Nsuper = 16;
+    # vac (splittable=False, 7 rows) is forced into train: 20 + 7 = 27.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('A', 'holdout', cast(12 as bigint)),
+        ('A', 'super', cast(16 as bigint)),
+        ('A', 'train', cast(27 as bigint))
+    ) t(split_name, label, n)
+    ORDER BY split_name, label
+    """,
+    doc="Pipeline split(): reproducible assignment + unsplittable-to-train "
+    "(matdb/database/__init__.py:1414-1419; database/utility.py:42-165)",
+)
+def pipeline_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _pipeline(spark)
+    assignments = p.split(spark, {"A": 0.4})
+    return (
+        assignments.groupBy("split_name", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split_name", "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DOS-convergence supercell selection (operators/hessian.py;
+# reference hessian.py:341-380)
+# ---------------------------------------------------------------------------
+
+BAND_ERRORS = [
+    # (seed_id, supercell_size, dos_err, tolerance)
+    ("fcc", 8, 0.50, 0.25),
+    ("fcc", 27, 0.20, 0.25),
+    ("fcc", 64, 0.05, 0.25),
+    ("bcc", 8, 0.10, 0.25),
+    ("bcc", 27, 0.02, 0.25),
+    ("hcp", 8, 0.90, 0.25),
+]
+
+
+@register(
+    "dos_convergence",
+    oracle="""
+    SELECT seed_id,
+           arg_min(supercell_size, supercell_size) AS best_supercell,
+           min(supercell_size) AS min_size
+    FROM (VALUES
+        ('fcc', 8, 0.50, 0.25), ('fcc', 27, 0.20, 0.25), ('fcc', 64, 0.05, 0.25),
+        ('bcc', 8, 0.10, 0.25), ('bcc', 27, 0.02, 0.25), ('hcp', 8, 0.90, 0.25)
+    ) t(seed_id, supercell_size, dos_err, tolerance)
+    WHERE dos_err < tolerance
+    GROUP BY seed_id
+    ORDER BY seed_id
+    """,
+    doc="Smallest supercell under DOS-error tolerance via min_by "
+    "(_best_bands, matdb/database/hessian.py:341-380)",
+)
+def dos_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.hessian import dos_convergence_select
+
+    df = spark.createDataFrame(
+        BAND_ERRORS, "seed_id string, supercell_size int, dos_err double, tolerance double"
+    )
+    return dos_convergence_select(df).orderBy("seed_id")
+
+
+# ---------------------------------------------------------------------------
+# Small aggregation sweep (SURVEY §2.6 leftovers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "energy_key_scan",
+    oracle="""
+    SELECT config,
+           cast(coalesce(vasp_energy, qe_energy, dft_energy) as double) AS energy
+    FROM (VALUES
+        ('c1', 1.5, NULL, NULL),
+        ('c2', NULL, -2.25, NULL),
+        ('c3', NULL, NULL, 0.75),
+        ('c4', NULL, NULL, NULL)
+    ) t(config, vasp_energy, qe_energy, dft_energy)
+    ORDER BY config
+    """,
+    doc="First energy-like key scan as coalesce over calculator columns "
+    "(matdb/atoms.py:202-208)",
+)
+def energy_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("c1", 1.5, None, None),
+        ("c2", None, -2.25, None),
+        ("c3", None, None, 0.75),
+        ("c4", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "config string, vasp_energy double, qe_energy double, dft_energy double"
+    )
+    return df.select(
+        "config", F.coalesce("vasp_energy", "qe_energy", "dft_energy").alias("energy")
+    ).orderBy("config")
+
+
+@register(
+    "split_average_param",
+    oracle="""
+    SELECT split_name, avg(cast(fraction as double)) AS mean_fraction, count(*) AS n_dbs
+    FROM (VALUES
+        ('A', 'db1', 0.5), ('A', 'db2', 0.25), ('A', 'db3', 0.75),
+        ('B', 'db1', 0.125), ('B', 'db2', 0.375)
+    ) t(split_name, db, fraction)
+    GROUP BY split_name
+    ORDER BY split_name
+    """,
+    doc="Mean per-database split fraction (fitting/basic.py:206-217)",
+)
+def split_average_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("A", "db1", 0.5), ("A", "db2", 0.25), ("A", "db3", 0.75),
+        ("B", "db1", 0.125), ("B", "db2", 0.375),
+    ]
+    df = spark.createDataFrame(rows, "split_name string, db string, fraction double")
+    return (
+        df.groupBy("split_name")
+        .agg(F.avg("fraction").alias("mean_fraction"), F.count(F.lit(1)).alias("n_dbs"))
+        .orderBy("split_name")
+    )
+
+
+@register(
+    "bz_band_error",
+    # std is computed as sqrt(E[d^2] - E[d]^2) rather than stddev_pop: the
+    # moment averages are exact dyadic rationals (group sizes are powers of
+    # two), so both engines feed identical doubles into one IEEE sqrt —
+    # whereas two Welford implementations could differ in the last ulp.
+    oracle="""
+    SELECT grid,
+           avg(abs(d)) AS mean_abs_err,
+           sqrt(avg(d * d) - avg(d) * avg(d)) AS err_std,
+           count(*) AS n_bands
+    FROM (
+        SELECT grid, cast(eig_a as double) - cast(eig_b as double) AS d
+        FROM (VALUES
+            ('g2', 1.0, 0.0), ('g2', 2.0, 5.0), ('g2', 4.0, 3.0), ('g2', 8.0, 9.0),
+            ('g3', 1.5, 1.5), ('g3', 2.5, 2.5)
+        ) t(grid, eig_a, eig_b)
+    )
+    GROUP BY grid
+    ORDER BY grid
+    """,
+    doc="BZ band-error compare: mean-abs + std of eigenvalue diffs across "
+    "grids (Hessian.compare, matdb/database/hessian.py:319-339)",
+)
+def bz_band_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("g2", 1.0, 0.0), ("g2", 2.0, 5.0), ("g2", 4.0, 3.0), ("g2", 8.0, 9.0),
+        ("g3", 1.5, 1.5), ("g3", 2.5, 2.5),
+    ]
+    df = spark.createDataFrame(rows, "grid string, eig_a double, eig_b double")
+    d = F.col("eig_a") - F.col("eig_b")
+    return (
+        df.select("grid", d.alias("d"))
+        .groupBy("grid")
+        .agg(
+            F.avg(F.abs(F.col("d"))).alias("mean_abs_err"),
+            F.sqrt(F.avg(F.col("d") * F.col("d")) - F.avg("d") * F.avg("d")).alias("err_std"),
+            F.count(F.lit(1)).alias("n_bands"),
+        )
+        .orderBy("grid")
+    )
