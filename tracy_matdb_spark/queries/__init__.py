@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
         coverage,
         domain,
         events,
+        ingest,
         llm,
         relational,
     )

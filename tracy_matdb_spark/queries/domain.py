@@ -409,3 +409,55 @@ def vegard_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "alloy", F.expr("cast(floor(lat * cast(1000000 as double)) as bigint)").alias("lat_q")
     ).orderBy("alloy")
+
+
+@register(
+    "enumerated_generate",
+    # Independent oracle: Burnside's lemma. For the translation group
+    # G = Z^3/HZ^3 acting on itself, #labeling classes =
+    # (1/n) * sum_{g in G} 2^(n/ord(g)). Per size:
+    #   n=1: 1 HNF (trivial G)            -> 1 * 2                    = 2
+    #   n=2: 7 HNFs, G=Z2                 -> 7 * (2^2 + 2)/2          = 21
+    #   n=3: 13 HNFs, G=Z3                -> 13 * (2^3 + 2*2)/3       = 52
+    #   n=4: 35 HNFs; 7 have G=Z2xZ2 (one per order-2 subgroup of
+    #        (Z/2)^3), 28 have G=Z4:
+    #        7*(2^4+3*2^2)/4 + 28*(2^4+2^2+2*2)/4 = 7*7 + 28*6        = 217
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, cast(1 as bigint), cast(2 as bigint)),
+        (2, cast(7 as bigint), cast(21 as bigint)),
+        (3, cast(13 as bigint), cast(52 as bigint)),
+        (4, cast(35 as bigint), cast(217 as bigint))
+    ) t(size, n_hnfs, n_unique)
+    ORDER BY size
+    """,
+    doc="Derivative-structure enumeration with translation-group euid "
+    "dedupe; counts independently predicted by Burnside's lemma "
+    "(matdb/database/enumerated.py:33-449, _enumerate 387-429)",
+)
+def enumerated_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.enumerated import enumerated_counts
+
+    return enumerated_counts(spark, max_size=4, k=2)
+
+
+@register(
+    "enumerated_until_nconfigs",
+    # retry-until-nconfigs (enumerated.py:376-379): sizes grow until the
+    # cumulative unique count reaches 60 (2 + 21 + 52 = 75 >= 60 at
+    # size 3); the first 60 by (size, euid) keep all of sizes 1-2 and a
+    # deterministic 37 of size 3.
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, cast(2 as bigint)), (2, cast(21 as bigint)), (3, cast(37 as bigint))
+    ) t(size, n_taken)
+    ORDER BY size
+    """,
+    doc="Enumerated retry loop: grow size range until nconfigs unique "
+    "structures, deterministic truncation (enumerated.py:376-379)",
+)
+def enumerated_until_nconfigs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.enumerated import enumerated_until_nconfigs
+
+    taken = enumerated_until_nconfigs(spark, nconfigs=60, k=2)
+    return taken.groupBy("size").agg(F.count(F.lit(1)).alias("n_taken")).orderBy("size")
