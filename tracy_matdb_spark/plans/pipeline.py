@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from tracy_matdb_spark.operators import generators as G
 from tracy_matdb_spark.operators.split import assign_split
+from tracy_matdb_spark.plans import provenance as P
 from tracy_matdb_spark.plans.spec import expand_grid
 
 CANON_SEED_COLS = ["seed_id", "n_atoms"] + [f"b{j}{k}" for j in range(3) for k in range(3)]
@@ -96,7 +97,22 @@ class Pipeline:
                 step_outputs = []
                 for suffix, params in expand_grid(step.get("params", {}), seed=self.ran_seed):
                     name, out = self._run_step(spark, seeds, step, suffix, params, db_name)
-                    out.write.mode("overwrite").parquet(os.path.join(cfg_path, f"database={db_name}", f"group_name={name}"))
+                    group_dir = os.path.join(cfg_path, f"database={db_name}", f"group_name={name}")
+                    # the partition directories carry database/group_name;
+                    # storing them again as data columns would shadow the
+                    # partition columns on read
+                    out.drop("database", "group_name").write.mode("overwrite").parquet(group_dir)
+                    # provenance sidecar per group write (dbcat semantics,
+                    # matdb/utility.py:933-983)
+                    P.write_manifest(
+                        group_dir,
+                        sources=[],
+                        database=db_name,
+                        group_name=name,
+                        group_type=step["type"],
+                        params=params,
+                        ran_seed=self.ran_seed,
+                    )
                     group_row = {
                         "database": db_name,
                         "group_name": name,
@@ -126,7 +142,16 @@ class Pipeline:
             [tuple(g.values()) for g in self.groups],
             "database string, group_name string, group_type string, params_json string, trainable boolean, splittable boolean",
         )
-        groups_df.write.mode("overwrite").parquet(os.path.join(self.out_dir, "groups"))
+        groups_path = os.path.join(self.out_dir, "groups")
+        groups_df.write.mode("overwrite").parquet(groups_path)
+        P.write_manifest(
+            groups_path,
+            sources=[
+                os.path.join(cfg_path, f"database={g['database']}", f"group_name={g['group_name']}")
+                for g in self.groups
+            ],
+            ran_seed=self.ran_seed,
+        )
 
     # -- catalog queries ----------------------------------------------------
 
@@ -181,9 +206,19 @@ class Pipeline:
         }
         return got == expected
 
-    def split(self, spark: SparkSession, splits: dict[str, float]) -> DataFrame:
+    def split(self, spark: SparkSession, splits: dict[str, float], recalc: int = 0) -> DataFrame:
         """Persisted reproducible splits over all trainable configurations;
-        unsplittable groups go wholly to train (…:1414-1419)."""
+        unsplittable groups go wholly to train (…:1414-1419).
+
+        Re-split semantics (database/utility.py:76-87): each materialized
+        split is a `version=<k>` partition with its own manifest. With
+        recalc <= 0 an existing latest version is returned as-is (the
+        idfile memoization); recalc > 0 writes version k+1 and leaves
+        prior versions archived in place."""
+        root = os.path.join(self.out_dir, "split_assignments")
+        versions = P.list_versions(root)
+        if versions and recalc <= 0:
+            return spark.read.parquet(P.version_dir(root, versions[-1]))
         cfg = self.configurations(spark)
         groups = spark.read.parquet(os.path.join(self.out_dir, "groups"))
         annotated = cfg.join(
@@ -203,6 +238,23 @@ class Pipeline:
             )
             part = assigned.unionByName(forced).withColumn("split_name", F.lit(split_name))
             out = part if out is None else out.unionByName(part)
-        path = os.path.join(self.out_dir, "split_assignments")
-        out.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        v = P.next_version(root)
+        vdir = P.version_dir(root, v)
+        out.write.mode("overwrite").parquet(vdir)
+        P.write_manifest(
+            vdir,
+            sources=[os.path.join(self.out_dir, "groups")],
+            splits=splits,
+            ran_seed=self.ran_seed,
+            split_version=v,
+        )
+        return spark.read.parquet(vdir)
+
+    def split_versions(self, spark: SparkSession) -> list[dict]:
+        """Archived split versions with their manifests (the reference's
+        uuid-suffixed prior id-files, database/utility.py:80-87)."""
+        root = os.path.join(self.out_dir, "split_assignments")
+        return [
+            {"split_version": v, **(P.read_manifest(P.version_dir(root, v)) or {})}
+            for v in P.list_versions(root)
+        ]

@@ -546,3 +546,100 @@ def bz_band_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Provenance manifests + re-split versioning (plans/provenance.py;
+# reference dbcat matdb/utility.py:933-983, re-split archiving
+# database/utility.py:76-87)
+# ---------------------------------------------------------------------------
+
+PROV_DIR = os.path.join(FIXTURE_ROOT, "pipeline_prov")
+
+
+def _fresh_prov_pipeline(spark: SparkSession):
+    import shutil
+
+    from tracy_matdb_spark.plans.pipeline import Pipeline
+
+    shutil.rmtree(PROV_DIR, ignore_errors=True)
+    p = Pipeline(PIPE_SPEC, PROV_DIR)
+    p.setup(spark)
+    return p
+
+
+@register(
+    "manifest_verify",
+    # every group write carries a sidecar manifest whose params round-trip
+    # the spec; the groups-table manifest chains each group dir as a
+    # (path, version-uuid) source pair with a resolvable version.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('main/dist-sigma-0.02', true, true),
+        ('main/dist-sigma-0.05', true, true),
+        ('main/vac', true, true),
+        ('groups-table', true, true)
+    ) t(path, has_version, params_ok)
+    ORDER BY path
+    """,
+    doc="Provenance manifest round-trip: version uuid + chained source "
+    "versions on every write (dbcat, matdb/utility.py:933-983)",
+)
+def manifest_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from tracy_matdb_spark.plans import provenance as P
+
+    p = _fresh_prov_pipeline(spark)
+    cfg_path = os.path.join(PROV_DIR, "configurations")
+    rows = []
+    for g in p.groups:
+        gdir = os.path.join(cfg_path, f"database={g['database']}", f"group_name={g['group_name']}")
+        m = P.read_manifest(gdir) or {}
+        params_ok = _json.dumps(m.get("params", {}), sort_keys=True) == g["params_json"]
+        rows.append((f"{g['database']}/{g['group_name']}", bool(m.get("version")), params_ok))
+    gm = P.read_manifest(os.path.join(PROV_DIR, "groups")) or {}
+    chained = bool(gm.get("sources")) and all(v is not None for _, v in gm["sources"])
+    rows.append(("groups-table", bool(gm.get("version")), chained))
+    return spark.createDataFrame(rows, "path string, has_version boolean, params_ok boolean").orderBy(
+        "path"
+    )
+
+
+@register(
+    "split_versioning",
+    # re-split (recalc > 0) writes version=2 and leaves version=1 archived;
+    # same seed -> identical assignment counts in both versions
+    # (splittable N=48, p=0.4 -> 20/12/16; +7 unsplittable into train).
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'holdout', cast(12 as bigint)), (1, 'super', cast(16 as bigint)),
+        (1, 'train', cast(27 as bigint)),
+        (2, 'holdout', cast(12 as bigint)), (2, 'super', cast(16 as bigint)),
+        (2, 'train', cast(27 as bigint))
+    ) t(split_version, label, n)
+    ORDER BY split_version, label
+    """,
+    doc="Re-split archiving: version=k partitions with per-version "
+    "manifests (database/utility.py:76-87)",
+)
+def split_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.plans import provenance as P
+
+    p = _fresh_prov_pipeline(spark)
+    p.split(spark, {"A": 0.4})
+    p.split(spark, {"A": 0.4}, recalc=1)
+    meta = p.split_versions(spark)
+    assert [m["split_version"] for m in meta] == [1, 2]
+    assert meta[0]["version"] != meta[1]["version"]  # distinct uuids
+    root = os.path.join(PROV_DIR, "split_assignments")
+    out = None
+    for v in (1, 2):
+        part = (
+            spark.read.parquet(P.version_dir(root, v))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("split_version", F.lit(v))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("split_version", "label", "n").orderBy("split_version", "label")
