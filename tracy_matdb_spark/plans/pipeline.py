@@ -85,6 +85,11 @@ class Pipeline:
             out = G.substitution_transform(seeds, nconfigs=nconfigs, frac_a=frac_a, ran_seed=self.ran_seed)
         else:
             raise ValueError(f"unknown step type: {kind}")
+        # FQDN transform hooks applied to every created config
+        # (database/__init__.py:77-79, 822-826)
+        from tracy_matdb_spark.functions.registry import apply_transforms
+
+        out = apply_transforms(out, step.get("transforms"))
         return name, _with_identity(out, database, name)
 
     def setup(self, spark: SparkSession) -> None:

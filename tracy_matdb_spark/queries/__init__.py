@@ -46,6 +46,7 @@ def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY) and return it."""
     from tracy_matdb_spark.queries import (  # noqa: F401
         coverage,
+        crystalq,
         domain,
         events,
         ingest,
