@@ -85,3 +85,58 @@ def test_pipeline_end_to_end(spark, tmp_path):
 
     # partition layout is the catalog: group dirs exist on disk
     assert os.path.isdir(os.path.join(out, "configurations", "database=demo", "group_name=vac"))
+
+
+def test_special_functions_variants():
+    import math
+
+    import pytest
+
+    from tracy_matdb_spark.plans.spec import special_functions
+
+    assert special_functions("math:sqrt", 16.0) == 4.0
+    assert special_functions({"func": "linalg:det", "reshape": [2, 2]}, [2, 0, 0, 3]) == 6.0
+    assert special_functions("numpy:prod", [2, 3, 4]) == 24
+    with pytest.raises(ValueError):
+        special_functions("nosuchmod:fn", 1)
+    with pytest.raises(ValueError):
+        special_functions(12, 1)
+
+
+def test_expand_grid_suffix_directives():
+    from tracy_matdb_spark.plans.spec import expand_grid
+
+    # format-string directive
+    combos = expand_grid({"temp*": [100, 200], "temp_suffix": "T{0}K"})
+    assert [s for s, _ in combos] == ["tem-T100K", "tem-T200K"]
+    # indexed list directive
+    combos = expand_grid({"temp*": [100, 200], "temp_suffix*": ["lo", "hi"]})
+    assert [s for s, _ in combos] == ["tem-lo", "tem-hi"]
+    # _suffix* keys must not become grid dimensions
+    assert all(set(c) == {"temp", "temp_suffix"} or set(c) == {"temp"} for _, c in combos)
+    # default naming unchanged without directives
+    combos = expand_grid({"sigma*": [0.02, 0.05]})
+    assert [s for s, _ in combos] == ["sigma-0.02", "sigma-0.05"]
+
+
+def test_finalize_snapshot_versions(spark, tmp_path):
+    from tracy_matdb_spark.plans import provenance as P
+    from tracy_matdb_spark.plans.pipeline import Pipeline
+
+    spec = {
+        "ran_seed": 5,
+        "databases": {
+            "m": {"steps": [{"type": "vacancy", "name": "v", "params": {}, "chain": False}]}
+        },
+    }
+    import os
+
+    d = str(tmp_path / "pipe")
+    p = Pipeline(spec, d)
+    p.setup(spark)
+    s1 = p.finalize(spark)
+    s2 = p.finalize(spark)
+    assert s1.count() == s2.count() == 1
+    assert P.list_versions(os.path.join(d, "final")) == [1, 2]
+    # dfilter narrows the snapshot
+    assert p.finalize(spark, dfilter="nomatch*").count() == 0

@@ -371,3 +371,23 @@ def param_grid_oracle_sql() -> str:
     FROM {' CROSS JOIN '.join(selects)}
     ORDER BY suffix
     """
+
+
+def liquid_transform(frames: DataFrame, samplerate: int) -> DataFrame:
+    """LiquidGroup (matdb/database/liquid.py:24-116): one DFT
+    configuration per subsampled MD frame, gated downstream of the MD
+    group. The reference reads the subsample file and `create()`s a
+    folder per POSCAR; here the subsample filter and the config-row
+    projection compose into one narrow Catalyst stage over the parsed
+    trajectory — no files, no driver loop."""
+    sub = frames.filter(F.col("frame") % samplerate == 0)
+    return sub.select(
+        F.md5(F.concat_ws("|", "source_file", F.col("frame").cast("string"))).alias("uuid"),
+        (F.col("frame") / samplerate).cast("int").alias("config_id"),
+        F.lit("liq").alias("config_type"),
+        "frame",
+        "n",
+        "species",
+        "cell",
+        "frac_positions",
+    )

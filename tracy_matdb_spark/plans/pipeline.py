@@ -255,6 +255,37 @@ class Pipeline:
         )
         return spark.read.parquet(vdir)
 
+    def finalize(self, spark: SparkSession, dfilter: str | None = None) -> DataFrame:
+        """Whole-catalog snapshot (Controller.finalize,
+        matdb/database/__init__.py:1978-2006, 1466-1492): per-group row
+        counts + content hashes, optionally database-filtered, written as
+        a versioned `final/version=<k>` table whose manifest chains the
+        groups table and every split version. The reference writes
+        final_<ver>.h5; the snapshot table + manifest carries the same
+        provenance in engine-native form."""
+        groups = spark.read.parquet(os.path.join(self.out_dir, "groups"))
+        hashes = self.group_hashes(spark)
+        snap = groups.join(hashes, ["database", "group_name"], "left")
+        if dfilter:
+            regex = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else re.escape(ch) for ch in dfilter
+            ) + "$"
+            snap = snap.filter(F.col("database").rlike(regex))
+        root = os.path.join(self.out_dir, "final")
+        v = P.next_version(root)
+        vdir = P.version_dir(root, v)
+        snap.write.mode("overwrite").parquet(vdir)
+        split_root = os.path.join(self.out_dir, "split_assignments")
+        P.write_manifest(
+            vdir,
+            sources=[os.path.join(self.out_dir, "groups")]
+            + [P.version_dir(split_root, sv) for sv in P.list_versions(split_root)],
+            dfilter=dfilter,
+            ran_seed=self.ran_seed,
+            snapshot_version=v,
+        )
+        return spark.read.parquet(vdir)
+
     def split_versions(self, spark: SparkSession) -> list[dict]:
         """Archived split versions with their manifests (the reference's
         uuid-suffixed prior id-files, database/utility.py:80-87)."""

@@ -92,6 +92,56 @@ def special_values(value: Any, seed: int = 42, key: str = "") -> Any:
     return value
 
 
+def special_functions(sf: Any, values: Any) -> Any:
+    """Apply a named function to a parameter value for suffix naming
+    (matdb/utility.py:658-699): "linalg:<fn>" / "math:<fn>" /
+    "numpy:<fn>", or the dict form {"func": "...", "reshape": [r, c]}."""
+    import math as _math
+
+    import numpy as _np
+
+    mods = {"linalg": _np.linalg, "math": _math, "numpy": _np}
+    reshape = None
+    if isinstance(sf, dict):
+        modfn = sf["func"]
+        reshape = sf.get("reshape")
+    elif isinstance(sf, str):
+        modfn = sf
+    else:
+        raise ValueError("special function must be a string or dict")
+    mod_name, _, fn_name = modfn.partition(":")
+    if mod_name not in mods or not fn_name:
+        raise ValueError(f"bad special function {modfn!r}")
+    arg = _np.array(values).reshape(reshape) if reshape is not None else values
+    out = getattr(mods[mod_name], fn_name)(arg)
+    if isinstance(out, _np.floating):
+        return float(out)
+    if isinstance(out, _np.integer):
+        return int(out)
+    return out
+
+
+def _suffix_for(params: dict, key: str, index: int, value: Any) -> str | None:
+    """Reference suffix rules for one starred key (get_suffix,
+    matdb/utility.py:737-764): `<key>_suffix` may be a special-function
+    spec, a format string, or a `<key>_suffix*` list indexed by combo
+    position; floats render as <key[:3]>-<v:.2f>. Returns None when no
+    suffix directive exists (caller falls back to the default naming)."""
+    sk = f"{key}_suffix"
+    ssk = sk + "*"
+    if sk in params and (isinstance(params[sk], dict) or (isinstance(params[sk], str) and ":" in params[sk])):
+        keyval = special_functions(params[sk], value)
+    elif sk in params and isinstance(params[sk], str):
+        keyval = params[sk].format(value)
+    elif ssk in params:
+        keyval = params[ssk][index]
+    else:
+        return None
+    if isinstance(keyval, float):
+        return f"{key[:3]}-{keyval:.2f}"
+    return f"{key[:3]}-{keyval}"
+
+
 def _fmt(v: Any) -> str:
     if isinstance(v, float):
         return f"{v:g}"
@@ -109,15 +159,22 @@ def expand_grid(params: dict, seed: int = 42) -> list[tuple[str, dict]]:
     """
     fixed = {k: special_values(v, seed, k) for k, v in params.items() if not k.endswith("*")}
     starred = {
-        k[:-1]: special_values(v, seed, k[:-1]) for k, v in params.items() if k.endswith("*")
+        k[:-1]: special_values(v, seed, k[:-1])
+        for k, v in params.items()
+        if k.endswith("*") and not k.endswith("_suffix*")
     }
     if not starred:
         return [("", dict(fixed))]
     keys = sorted(starred)
+    value_lists = [starred[k] if isinstance(starred[k], list) else [starred[k]] for k in keys]
     combos = []
-    for values in itertools.product(*(starred[k] if isinstance(starred[k], list) else [starred[k]] for k in keys)):
+    for indexed in itertools.product(*(list(enumerate(vl)) for vl in value_lists)):
         combo = dict(fixed)
-        combo.update(dict(zip(keys, values)))
-        suffix = "-".join(f"{k}-{_fmt(v)}" for k, v in zip(keys, values))
-        combos.append((suffix, combo))
+        combo.update({k: v for k, (_, v) in zip(keys, indexed)})
+        parts = []
+        for k, (idx, v) in zip(keys, indexed):
+            # `<key>_suffix` directives override the default naming
+            # (get_suffix, matdb/utility.py:737-764)
+            parts.append(_suffix_for(params, k, idx, v) or f"{k}-{_fmt(v)}")
+        combos.append(("-".join(parts), combo))
     return combos

@@ -643,3 +643,60 @@ def split_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.select("split_version", "label", "n").orderBy("split_version", "label")
+
+
+@register(
+    "finalize_snapshot",
+    # snapshot = groups x content-hashes: the three fixture groups with
+    # their known config counts and a nonzero bit_xor hash each.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('main', 'dist-sigma-0.02', cast(24 as bigint), true),
+        ('main', 'dist-sigma-0.05', cast(24 as bigint), true),
+        ('main', 'vac', cast(7 as bigint), true)
+    ) t(database, group_name, n, hash_nonzero)
+    ORDER BY database, group_name
+    """,
+    doc="Catalog finalize: versioned snapshot of per-group counts + "
+    "content hashes with provenance chaining (Controller.finalize, "
+    "matdb/database/__init__.py:1978-2006)",
+)
+def finalize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.plans import provenance as P
+
+    p = _fresh_prov_pipeline(spark)
+    p.split(spark, {"A": 0.4})
+    snap = p.finalize(spark)
+    meta = P.read_manifest(os.path.join(PROV_DIR, "final", "version=1"))
+    assert meta is not None and len(meta["sources"]) == 2  # groups + 1 split version
+    return snap.select(
+        "database", "group_name", F.col("n"), (F.col("group_hash") != 0).alias("hash_nonzero")
+    ).orderBy("database", "group_name")
+
+
+@register(
+    "param_grid_suffix_func",
+    # cov matrices [[2,0],[0,3]] and [[1,0],[0,4]] -> linalg:det = 6, 4;
+    # reference float suffix format '<key[:3]>-<det:.2f>'
+    # (get_suffix, matdb/utility.py:737-764).
+    oracle="""
+    SELECT * FROM (VALUES
+        ('cov-4.00', 4.0), ('cov-6.00', 6.0)
+    ) t(suffix, det_val)
+    ORDER BY suffix
+    """,
+    doc="special_functions suffix naming: linalg:det over a reshaped "
+    "matrix parameter (matdb/utility.py:658-699, 737-764)",
+)
+def param_grid_suffix_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.plans.spec import expand_grid, special_functions
+
+    params = {
+        "cov*": [[2.0, 0.0, 0.0, 3.0], [1.0, 0.0, 0.0, 4.0]],
+        "cov_suffix": {"func": "linalg:det", "reshape": [2, 2]},
+    }
+    rows = [
+        (suffix, float(special_functions(params["cov_suffix"], combo["cov"])))
+        for suffix, combo in expand_grid(params)
+    ]
+    return spark.createDataFrame(rows, "suffix string, det_val double").orderBy("suffix")

@@ -216,3 +216,115 @@ def md_xdatcar_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame")
     )
+
+
+# ---------------------------------------------------------------------------
+# AFLOW paged materialize (sources/aflow_reader.py; reference
+# matdb/database/aflux.py:263-316, paging 168-177)
+# ---------------------------------------------------------------------------
+
+AFLOW_SPACEGROUPS = [225, 221, 194, 139, 123]
+
+
+def _aflow_entries() -> list[dict]:
+    """Deterministic canned catalog (the reference's
+    tests/files/aflow/data.json approach): 26 distinct auids, with the
+    last two entries of each page repeated at the start of the next —
+    the overlap AFLOW paging can serve — so the auid dedupe is load-
+    bearing. All numeric values dyadic."""
+    base = []
+    for i in range(26):
+        base.append(
+            {
+                "auid": f"aflow:{i:04d}",
+                "compound": f"Ag{i % 3 + 1}Pd{(i * 7) % 5 + 1}",
+                "Egap": (i % 8) / 4.0,
+                "energy_atom": -(i % 16) / 8.0 - 1.0,
+                "spacegroup_relax": AFLOW_SPACEGROUPS[i % 5],
+                "natoms": i % 6 + 1,
+                "catalog": "icsd",
+            }
+        )
+    pages: list[dict] = []
+    for start in range(0, 26, 10):
+        if start:
+            pages.extend(base[start - 2 : start])  # page-boundary repeats
+        pages.extend(base[start : start + 10])
+    return pages
+
+
+def _aflow_oracle_sql() -> str:
+    rows = []
+    seen = set()
+    for e in _aflow_entries():
+        if e["auid"] in seen:
+            continue
+        seen.add(e["auid"])
+        rows.append(
+            f"('{e['auid']}', '{e['compound']}', {e['Egap']!r}, {e['energy_atom']!r}, "
+            f"{e['spacegroup_relax']}, {e['natoms']})"
+        )
+    return f"""
+    SELECT auid, compound, cast(Egap as double) AS Egap,
+           cast(energy_atom as double) AS energy_atom
+    FROM (VALUES {', '.join(rows)})
+         t(auid, compound, Egap, energy_atom, spacegroup_relax, natoms)
+    WHERE Egap > 0 AND spacegroup_relax = 225
+    ORDER BY energy_atom ASC, auid
+    LIMIT 4
+    """
+
+
+@register(
+    "aflow_materialize",
+    oracle=_aflow_oracle_sql(),
+    doc="AFLOW paged-catalog materialize: parallel page scan -> DSL filter "
+    "-> auid dedupe -> orderby/limit (matdb/database/aflux.py:263-316)",
+)
+def aflow_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.sources.aflow_reader import materialize, write_pages
+
+    out_dir = os.path.join(FIXTURE_ROOT, "aflow_pages")
+    write_pages(_aflow_entries(), out_dir, batch_size=12)
+    return materialize(
+        spark,
+        out_dir,
+        filters=["&", ["Egap", ">", 0.0], ["spacegroup_relax", "==", 225]],
+        select=["auid", "compound", "Egap", "energy_atom"],
+        orderby="energy_atom",
+        limit=4,
+    )
+
+
+@register(
+    "liquid_group",
+    # frames 3/6/9 of the 10-frame fixture survive samplerate=3; config
+    # ids are frame/samplerate; pos sums recomputed from the fixture
+    # closed form.
+    oracle=f"""
+    SELECT * FROM (VALUES
+        {', '.join(
+            f"({k // 3}, {k}, 3, 'liq', {sum(v for row in _xd_frac(k) for v in row)!r})"
+            for k in (3, 6, 9)
+        )}
+    ) t(config_id, frame, n, config_type, pos_sum)
+    ORDER BY config_id
+    """,
+    doc="LiquidGroup: DFT config per subsampled MD frame, downstream of "
+    "the trajectory parse (matdb/database/liquid.py:24-116)",
+)
+def liquid_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.generators import liquid_transform
+    from tracy_matdb_spark.sources.calcoutputs import read_xdatcar
+
+    out_dir = _write_xdatcar_fixture()
+    liq = liquid_transform(read_xdatcar(spark, out_dir), samplerate=XD_SAMPLERATE)
+    return liq.select(
+        "config_id",
+        "frame",
+        "n",
+        "config_type",
+        F.expr("aggregate(flatten(frac_positions), cast(0 as double), (a, x) -> a + x)").alias(
+            "pos_sum"
+        ),
+    ).orderBy("config_id")

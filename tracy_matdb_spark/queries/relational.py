@@ -435,3 +435,53 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "price_percentiles_approx",
+    # Sketches are engine-specific, so value parity is impossible by
+    # design; the contract that IS checkable is the accuracy guarantee:
+    # the returned value must hold some rank r with |r/N - p| <= eps.
+    # The Spark side computes approx_percentile (mergeable sketch, the
+    # 100 TB path), then verifies the guarantee by counting the value's
+    # actual rank bracket [#(x < v) + 1, #(x <= v)] — a check that is
+    # exact at ANY scale factor, unlike a fixed quantile envelope. The
+    # oracle asserts the guarantee held.
+    oracle="""
+    SELECT o_orderstatus AS status, true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of price_percentiles: approx_percentile with
+    accuracy 10000 (rank error <= N/10000), rank-verified."""
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    eps = 1.0 / 10000
+    approx = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        *[
+            F.expr(f"approx_percentile(o_totalprice, {p}, 10000)").alias(f"p{int(p * 100)}_v")
+            for p in (0.5, 0.9, 0.99)
+        ]
+    )
+    joined = orders.join(
+        F.broadcast(approx), orders["o_orderstatus"] == approx["status"]
+    )
+    counts = joined.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            agg
+            for t in (50, 90, 99)
+            for agg in (
+                F.sum(F.when(F.col("o_totalprice") <= F.col(f"p{t}_v"), 1).otherwise(0)).alias(f"le{t}"),
+                F.sum(F.when(F.col("o_totalprice") < F.col(f"p{t}_v"), 1).otherwise(0)).alias(f"lt{t}"),
+            )
+        ],
+    )
+    checks = []
+    for t, p in ((50, 0.5), (90, 0.9), (99, 0.99)):
+        lo = (F.lit(p) - F.lit(eps)) * F.col("n_rows") - F.lit(1.0)
+        hi = (F.lit(p) + F.lit(eps)) * F.col("n_rows") + F.lit(1.0)
+        checks.append(((F.col(f"le{t}") >= lo) & (F.col(f"lt{t}") <= hi)).alias(f"p{t}_ok"))
+    return counts.select("status", *checks).orderBy("status")
