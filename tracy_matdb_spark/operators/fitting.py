@@ -72,3 +72,25 @@ def validation_rms(df: DataFrame, ref: str, pred: str, group_by: list[str] | Non
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def fit_linear(train: DataFrame, features: list[str], label: str):
+    """MLlib trainer stage (the built-in path of SURVEY §1.1's Trainer
+    mapping; the reference shells out to `mlp train`,
+    matdb/fitting/mtp.py:476-553 — external trainers remain external).
+    Plain OLS via the normal-equation solver: deterministic, no
+    iteration, exact on exactly-linear data."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    va = VectorAssembler(inputCols=features, outputCol="__features")
+    lr = LinearRegression(
+        featuresCol="__features", labelCol=label, regParam=0.0, solver="normal"
+    )
+    model = lr.fit(va.transform(train))
+    return model, va
+
+
+def predict_with(model, va, df: DataFrame, out_col: str = "prediction") -> DataFrame:
+    pred = model.transform(va.transform(df))
+    return pred.withColumnRenamed("prediction", out_col).drop("__features")

@@ -461,3 +461,53 @@ def enumerated_until_nconfigs_query(spark: SparkSession, sf_dir: str) -> DataFra
 
     taken = enumerated_until_nconfigs(spark, nconfigs=60, k=2)
     return taken.groupBy("size").agg(F.count(F.lit(1)).alias("n_taken")).orderBy("size")
+
+
+@register(
+    "mllib_fit_validate",
+    # the synthetic data lies EXACTLY on y = 2.5*x1 - 1.25*x2 + 0.5, so
+    # the normal-equation OLS recovers the coefficients to ~1e-12 and the
+    # holdout RMS is ~1e-13; rounding at 6 dp lands exactly on the dyadic
+    # truth in any engine. Split arithmetic: N=200, p=0.6 -> Ntrain =
+    # ceil(120) = 120, Nhold = ceil(80 * 0.6) = 48.
+    oracle="""
+    SELECT 2.5 AS coef_x1, -1.25 AS coef_x2, 0.5 AS intercept,
+           0.0 AS holdout_rms, cast(120 as bigint) AS n_train,
+           cast(48 as bigint) AS n_holdout
+    """,
+    doc="Trainer integration: reproducible split -> MLlib OLS fit -> "
+    "holdout validation RMS (SURVEY §3.2; reference fitting/basic.py:"
+    "393-488 with mlp replaced by the built-in path)",
+)
+def mllib_fit_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.fitting import fit_linear, predict_with, validation_rms
+    from tracy_matdb_spark.operators.split import assign_split
+
+    data = spark.range(200).select(
+        F.col("id"),
+        ((F.col("id") % 16) / 4.0).alias("x1"),
+        (((F.col("id") * 7) % 8) / 2.0).alias("x2"),
+    ).withColumn("y", 2.5 * F.col("x1") - 1.25 * F.col("x2") + 0.5)
+    labeled = assign_split(data, "id", 0.6, seed=11)
+    train = labeled.filter(F.col("label") == "train")
+    holdout = labeled.filter(F.col("label") == "holdout")
+    model, va = fit_linear(train, ["x1", "x2"], "y")
+    rms = (
+        validation_rms(predict_with(model, va, holdout), "y", "prediction")
+        .select("rms", "n")
+        .collect()[0]
+    )
+    c1, c2 = (float(v) for v in model.coefficients)
+    row = (
+        round(c1, 6),
+        round(c2, 6),
+        round(float(model.intercept), 6),
+        round(float(rms["rms"]), 6),
+        train.count(),
+        int(rms["n"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "coef_x1 double, coef_x2 double, intercept double, holdout_rms double, "
+        "n_train bigint, n_holdout bigint",
+    )

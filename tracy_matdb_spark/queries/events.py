@@ -215,3 +215,28 @@ def load(spark: SparkSession, sf_dir: str):
     from tracy_matdb_spark.catalog import load as _load
 
     return _load(spark, sf_dir, ("orders",))["orders"]
+
+
+@register(
+    "events_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           cast(round(sum(value) * cast(100 as double)) as bigint) AS sum_value_c
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running totals over the finite event stream, equal to the "
+    "batch aggregation (SURVEY §2.11 incremental surface)",
+)
+def events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.streaming.windows import (
+        read_events_stream,
+        run_stateful_to_completion,
+        stateful_user_totals,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_stateful_to_completion(stateful_user_totals(ev), "stateful_totals_q")
+    return out.orderBy("user_id")

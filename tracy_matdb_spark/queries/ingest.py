@@ -328,3 +328,34 @@ def liquid_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_sum"
         ),
     ).orderBy("config_id")
+
+
+@register(
+    "run_state_rollup",
+    # expected configs run_a/run_b/run_c vs the two extracted fixture
+    # outputs: run_a converged -> done, run_b unconverged -> failed,
+    # run_c has no output -> pending.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('done', cast(1 as bigint)), ('failed', cast(1 as bigint)),
+        ('pending', cast(1 as bigint))
+    ) t(state, n_configs)
+    ORDER BY state
+    """,
+    doc="Run-state derivation: expected-config catalog LEFT JOIN extracted "
+    "results -> pending/running/done/failed, replacing filesystem polling "
+    "(matdb/database/__init__.py:539-554, calculators/vasp.py:405-446)",
+)
+def run_state_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.runstate import derive_run_state, run_state_rollup
+    from tracy_matdb_spark.sources.calcoutputs import read_vasprun
+
+    out_dir = _write_vasp_fixture("vasprun")
+    extracted = read_vasprun(spark, out_dir).withColumn(
+        "run_id", F.regexp_extract("source_file", r"(run_[a-z])\.xml$", 1)
+    )
+    expected = spark.createDataFrame(
+        [("run_a",), ("run_b",), ("run_c",)], "run_id string"
+    )
+    states = derive_run_state(expected, extracted)
+    return run_state_rollup(states)

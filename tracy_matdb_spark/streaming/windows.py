@@ -99,3 +99,67 @@ def run_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
     finally:
         q.stop()
     return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+TOTALS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_c", T.LongType()),
+    ]
+)
+TOTALS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("sv", T.DoubleType())]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful per-user accumulator via applyInPandasWithState —
+    the engine's template for operators Spark's built-in windows can't
+    express (the reference's closest analog is the active-learning
+    running membership state, matdb/database/active.py:158-205).
+
+    State = (event count, value sum) per user, updated per micro-batch;
+    each invocation emits the user's current totals (update mode). Sum
+    is emitted as round(sum * 100): the per-user totals are near-integer
+    multiples of 0.01, and round() (unlike floor) is insensitive to the
+    last-ulp differences that distinct accumulation orders produce."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, sv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+        state.update((n, sv))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_c": [int(round(sv * 100))]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, TOTALS_OUT, TOTALS_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stateful_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
+    """Drive an update-mode stateful stream over a finite source; the
+    memory sink holds one row per update — the last per key is the
+    final state (with a single-batch finite source, exactly one)."""
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
