@@ -46,3 +46,22 @@ def test_simhash_close_for_identical_docs(spark):
     # identical text => identical simhash (determinism)
     fp2 = REGISTRY["doc_fingerprint"].fn(spark, SF_SMOKE).toPandas()
     assert fp.simhash16.equals(fp2.simhash16)
+
+
+def test_simhash_near_dup_banding_lossless(spark):
+    """The 4-band bucketed join must find EXACTLY the brute-force pairs
+    (pigeonhole: hd<=1 leaves >=3 of 4 bands identical)."""
+    import itertools
+
+    from tracy_matdb_spark.queries.llm import SIMHASH_MAX_HD
+
+    out = REGISTRY["simhash_near_dup"].fn(spark, SF_SMOKE).toPandas()
+    fp = REGISTRY["doc_fingerprint"].fn(spark, SF_SMOKE).toPandas()
+    sh = dict(zip(fp.doc_id, fp.simhash16))
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= SIMHASH_MAX_HD
+    }
+    assert set(zip(out.doc_a, out.doc_b)) == brute
+    assert (out.hamming <= SIMHASH_MAX_HD).all()

@@ -123,3 +123,19 @@ def test_hnf_enumeration_counts(spark):
 
     # vegard's law is a plain weighted mean (data.py:30-40)
     assert abs(vegard({"Ag": 0.5, "Pd": 0.5}) - (4.09 + 3.89) / 2) < 1e-12
+
+
+def test_householder_hessian_known_spectrum(spark):
+    import numpy as np
+
+    from tracy_matdb_spark.operators.hessian import eigen_exact_explode, householder_hessian
+
+    h, lam = householder_hessian(3)
+    vals = np.linalg.eigh(h)[0]
+    assert np.allclose(vals, lam, atol=1e-10)  # spectrum is exactly the design
+    assert np.allclose(h, h.T)
+
+    seeds = spark.createDataFrame([("s", 2)], "seed_id string, n_atoms int")
+    rows = eigen_exact_explode(seeds).orderBy("eig_index").collect()
+    assert [r["eigenvalue_r"] for r in rows] == [i + 1.125 for i in range(6)]
+    assert all(r["resid_ok"] and r["unit_ok"] for r in rows)

@@ -91,6 +91,61 @@ def eigen_explode(seeds: DataFrame, n_atoms_col: str = "n_atoms") -> DataFrame:
     return seeds.groupBy("seed_id").applyInPandas(per_group, EIG_SCHEMA)
 
 
+EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_id", T.StringType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("eig_index", T.IntegerType()),
+        T.StructField("eigenvalue_r", T.DoubleType()),
+        T.StructField("resid_ok", T.BooleanType()),
+        T.StructField("unit_ok", T.BooleanType()),
+    ]
+)
+
+
+def householder_hessian(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric 3n x 3n matrix with a KNOWN spectrum: H = Q diag(lam) Q^T
+    where Q = I - 2 w w^T / (w^T w) is a Householder reflection of the
+    fixed vector w = [1..3n] and lam_i = i + 1.125 (dyadic, distinct,
+    all above ZERO_TOL). eigh recovers lam to ~1e-13, so a 6-dp rounding
+    is bit-stable — this makes the eigen UDTF *oracle-checkable* (the
+    random-PSD variant in eigen_explode has no closed form).
+    Returns (H, lam)."""
+    m = 3 * n
+    w = np.arange(1.0, m + 1.0)
+    q = np.eye(m) - 2.0 * np.outer(w, w) / (w @ w)
+    lam = np.arange(m) + 1.125
+    return q @ np.diag(lam) @ q.T, lam
+
+
+def eigen_exact_explode(seeds: DataFrame, n_atoms_col: str = "n_atoms") -> DataFrame:
+    """Known-spectrum twin of eigen_explode: one row per eigenpair with
+    the eigenvalue rounded at 6 dp plus residual/normalization checks
+    (H v = lam v, |v| = 1), all verifiable by a closed-form oracle."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            n = int(r[n_atoms_col])
+            h, _ = householder_hessian(n)
+            vals, vecs = np.linalg.eigh(h)
+            for idx in range(3 * n):
+                lam, v = float(vals[idx]), vecs[:, idx]
+                rows.append(
+                    {
+                        "seed_id": r["seed_id"],
+                        "n": n,
+                        "eig_index": idx,
+                        "eigenvalue_r": round(lam, 6),
+                        "resid_ok": bool(np.linalg.norm(h @ v - lam * v) < 1e-8),
+                        "unit_ok": bool(abs(np.linalg.norm(v) - 1.0) < 1e-10),
+                    }
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in EXACT_SCHEMA.fields])
+
+    return seeds.groupBy("seed_id").applyInPandas(per_group, EXACT_SCHEMA)
+
+
 def dos_convergence_select(band_errors: DataFrame) -> DataFrame:
     """Best-supercell pick (hessian.py:341-380): per seed, the smallest
     supercell whose accumulated DOS error is under tolerance — min_by over

@@ -252,3 +252,127 @@ def optimal_supercell(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tracy_matdb_spark.operators.crystalmath import optimal_supercells
 
     return optimal_supercells(spark, SUPER_MAX_DET, FCC, reach=SUPER_REACH)
+
+
+# ---------------------------------------------------------------------------
+# k-point meshes + high-symmetry path (operators/kpoints.py; reference
+# matdb/kpoints.py:24-176 — external Mueller/getKPoints service replaced by
+# the public Monkhorst–Pack algorithm and published special points)
+# ---------------------------------------------------------------------------
+
+KP_CASES = [
+    # (case_id, l1, l2, l3, spacing) — orthorhombic cells; chosen away
+    # from ceil() boundaries so float rounding can't flip a division.
+    ("cubic", 3.1, 3.1, 3.1, 0.5),
+    ("ortho", 2.9, 4.3, 6.7, 0.45),
+    ("slab", 3.3, 3.3, 30.0, 0.4),  # long axis -> max(1, ...) branch
+]
+TWO_PI = 6.283185307179586
+
+
+def _kp_mesh_oracle() -> str:
+    cases = ", ".join(f"('{c}', {l1}, {l2}, {l3}, {sp})" for c, l1, l2, l3, sp in KP_CASES)
+    qexpr = {
+        i: f"greatest(1, cast(ceil((cast({TWO_PI} as double) / l{i}) / spacing) as int))"
+        for i in (1, 2, 3)
+    }
+    return f"""
+    WITH cases(case_id, l1, l2, l3, spacing) AS (VALUES {cases}),
+    q AS (
+        SELECT case_id, {qexpr[1]} AS q1, {qexpr[2]} AS q2, {qexpr[3]} AS q3
+        FROM cases
+    )
+    SELECT case_id, q1, q2, q3,
+           cast(2 * r1.r - q1 - 1 as int) AS k1_num, cast(2 * q1 as int) AS k1_den,
+           cast(2 * r2.r - q2 - 1 as int) AS k2_num, cast(2 * q2 as int) AS k2_den,
+           cast(2 * r3.r - q3 - 1 as int) AS k3_num, cast(2 * q3 as int) AS k3_den,
+           cast(1.0 as double) / (q1 * q2 * q3) AS weight
+    FROM q
+    JOIN (SELECT unnest(generate_series(1, 32)) AS r) r1 ON r1.r <= q1
+    JOIN (SELECT unnest(generate_series(1, 32)) AS r) r2 ON r2.r <= q2
+    JOIN (SELECT unnest(generate_series(1, 32)) AS r) r3 ON r3.r <= q3
+    ORDER BY case_id, k1_num, k2_num, k3_num
+    """
+
+
+@register(
+    "kpoint_mesh",
+    oracle=_kp_mesh_oracle(),
+    doc="Spacing-driven Monkhorst–Pack mesh: reciprocal lengths -> "
+    "divisions (VASP KSPACING convention) -> exploded mesh fractions as "
+    "exact integer numerators/denominators (matdb/kpoints.py:24-176)",
+)
+def kpoint_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.kpoints import mp_mesh, spacing_divisions
+
+    cells = spark.createDataFrame(
+        KP_CASES, "case_id string, l1 double, l2 double, l3 double, spacing double"
+    )
+    mesh = mp_mesh(spacing_divisions(cells))
+    return mesh.select(
+        "case_id", "q1", "q2", "q3",
+        "k1_num", "k1_den", "k2_num", "k2_den", "k3_num", "k3_den", "weight",
+    ).orderBy("case_id", "k1_num", "k2_num", "k3_num")
+
+
+@register(
+    "kpoint_gamma_mesh",
+    oracle="""
+    SELECT cast(r1.r as int) AS k1_num, 2 AS k1_den,
+           cast(r2.r as int) AS k2_num, 3 AS k2_den,
+           cast(r3.r as int) AS k3_num, 4 AS k3_den,
+           cast(1.0 as double) / 24 AS weight
+    FROM (SELECT unnest(generate_series(0, 1)) AS r) r1
+    CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r) r2
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r3
+    ORDER BY k1_num, k2_num, k3_num
+    """,
+    doc="Gamma-centered 2x3x4 mesh: u_r = r/q including the Gamma point "
+    "(matdb/kpoints.py gamma branch)",
+)
+def kpoint_gamma_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.kpoints import mp_mesh
+
+    divided = spark.createDataFrame([(2, 3, 4)], "q1 int, q2 int, q3 int")
+    return (
+        mp_mesh(divided, gamma_centered=True)
+        .select("k1_num", "k1_den", "k2_num", "k2_den", "k3_num", "k3_den", "weight")
+        .orderBy("k1_num", "k2_num", "k3_num")
+    )
+
+
+def _kpath_oracle() -> str:
+    from tracy_matdb_spark.operators.kpoints import FCC_PATH, PATH_DEN
+
+    segs = []
+    for seg, ((n0, p0), (n1, p1)) in enumerate(zip(FCC_PATH[:-1], FCC_PATH[1:])):
+        from fractions import Fraction
+
+        a = [int(Fraction(x) * PATH_DEN) for x in p0]
+        b = [int(Fraction(x) * PATH_DEN) for x in p1]
+        segs.append(f"({seg}, '{n0}-{n1}', {a[0]}, {a[1]}, {a[2]}, {b[0]}, {b[1]}, {b[2]})")
+    last = len(FCC_PATH) - 2
+    return f"""
+    WITH segs(segment, leg, x0, y0, z0, x1, y1, z1) AS (VALUES {', '.join(segs)})
+    SELECT segment, leg, cast(s.s as int) AS step,
+           cast(x0 + s.s * (x1 - x0) / 4 as int) AS kx_q,
+           cast(y0 + s.s * (y1 - y0) / 4 as int) AS ky_q,
+           cast(z0 + s.s * (z1 - z0) / 4 as int) AS kz_q
+    FROM segs
+    JOIN (SELECT unnest(generate_series(0, 4)) AS s) s
+      ON s.s < 4 OR segment = {last}
+    ORDER BY segment, step
+    """
+
+
+@register(
+    "kpoint_path_fcc",
+    oracle=_kpath_oracle(),
+    doc="fcc high-symmetry path Γ-X-W-K-Γ-L, 4 interpolation steps per "
+    "segment, exact /32 integer fractions (matdb/kpoints.py path logic "
+    "re-derived from published special points)",
+)
+def kpoint_path_fcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.kpoints import kpath_points
+
+    return kpath_points(spark).orderBy("segment", "step")

@@ -174,6 +174,34 @@ def hessian_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HESS_EXACT_SEEDS = [("fcc", 2), ("bcc", 3), ("hcp", 4)]
+
+
+@register(
+    "hessian_eigen_exact",
+    # H is constructed as Q diag(lam) Q^T with lam_i = i + 1.125 (see
+    # householder_hessian), so DuckDB re-derives the full expected output
+    # from the spectrum alone — the eigen UDTF becomes hash-checkable.
+    oracle=f"""
+    SELECT seed_id, n, cast(idx.i as int) AS eig_index,
+           cast(idx.i as double) + 1.125 AS eigenvalue_r,
+           true AS resid_ok, true AS unit_ok
+    FROM (VALUES {', '.join(f"('{s}', {n})" for s, n in HESS_EXACT_SEEDS)}) t(seed_id, n)
+    JOIN (SELECT unnest(generate_series(0, 11)) AS i) idx
+      ON idx.i < 3 * n
+    ORDER BY seed_id, eig_index
+    """,
+    doc="Known-spectrum eigen UDTF: applyInPandas eigh over a Householder-"
+    "constructed Hessian; spectrum + residual identities verified exactly "
+    "(hessian.py:243-269)",
+)
+def hessian_eigen_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.hessian import eigen_exact_explode
+
+    seeds = spark.createDataFrame(HESS_EXACT_SEEDS, "seed_id string, n_atoms int")
+    return eigen_exact_explode(seeds).orderBy("seed_id", "eig_index")
+
+
 @register(
     "validation_rms",
     oracle="""
@@ -231,7 +259,18 @@ def dbfilter_exclude_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "active_learning_iterations",
-    oracle=None,  # driver-loop operator; invariants asserted in tests
+    # The loop is fully deterministic (counter-based PRNG, content-hash
+    # dedupe, ordered truncation), so the expected counts are provable
+    # arithmetic: 3 seeds x 10 configs = 30/iteration with distinct md5
+    # duids (no cross-batch collisions: the group salt differs per
+    # iteration), target 75 -> stop after iteration 2 (90 >= 75), then
+    # orderBy(iteration, duid).limit(75) keeps 30 + 30 + 15.
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, cast(30 as bigint)), (1, cast(30 as bigint)), (2, cast(15 as bigint))
+    ) t(iteration, n_configs)
+    ORDER BY iteration
+    """,
     doc="Active-learning append + anti-join dedupe loop (active.py:158-205)",
 )
 def active_learning_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -175,6 +175,75 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+SIMHASH_MAX_HD = 1  # near-dup threshold on the 16-bit simhash
+SIMHASH_BANDS = 4  # 4 bands x 4 bits; hd<=1 touches <=1 band, so any
+#                    true pair agrees on >=3 bands -> band join is lossless
+
+
+@register(
+    "simhash_near_dup",
+    # The oracle verifies the banded join against the exhaustive
+    # all-pairs form — quadratic is fine at oracle scale; the Spark side
+    # only ever joins within 4-bit band buckets (bounded fan-out).
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               {textops.simhash_expr('duckdb', textops.toks_expr('duckdb'))} AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(bit_count(xor(cast(a.sh as bigint), cast(b.sh as bigint))) as int) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(cast(a.sh as bigint), cast(b.sh as bigint))) <= {SIMHASH_MAX_HD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 16-bit simhash -> 4-bit band
+    bucketing -> within-bucket join -> exact Hamming filter. By
+    pigeonhole, any pair within the Hamming threshold shares at least
+    one identical band, so the bucketed join finds exactly the all-pairs
+    result without ever comparing across buckets — the same
+    candidates-only discipline as MinHash-LSH, linear-ish at 100 TB."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.selectExpr(
+        "doc_id",
+        f"cast({textops.simhash_expr('spark', textops.toks_expr('spark'))} as bigint) AS sh",
+    )
+    bands = fp.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(sh, {4 * b}) & 15").alias("val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "sh", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("cast(bit_count(a.sh ^ b.sh) as int)").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= SIMHASH_MAX_HD)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH candidate pairs (word-3-gram shingles)
 # ---------------------------------------------------------------------------
