@@ -311,23 +311,46 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_candidate_pairs(shingles: DataFrame) -> DataFrame:
     """Shingles -> per-permutation minhash (md5 hex min — identical total
     order in both engines) -> band signatures -> self-join on (band, sig).
-    At 100 TB the only wide ops are the two groupBys and the band-bucket
-    join, all on keys whose cardinality grows with the corpus — classic
-    shuffle-balanced LSH, no O(n^2) stage. The permutation fan-out is an
-    explode (narrow), not a crossJoin — no join operator at all."""
-    mh = (
-        shingles.select(
-            "doc_id", "sh", F.explode(F.expr(f"sequence(0, {N_PERM - 1})")).alias("perm")
-        )
-        .select("doc_id", "perm", F.expr("md5(concat(cast(perm as string), '|', sh))").alias("mh_in"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("mh_in").alias("mh"))
+
+    All N_PERM minima are computed in ONE groupBy(doc_id) pass (each
+    shingle row evaluates N_PERM md5s map-side; partial aggregation
+    shrinks every partition to one row per doc before the exchange), and
+    band signatures are derived map-side from the min columns — so the
+    whole sketch costs a single shuffle whose volume is |shingles|, not
+    |shingles| x N_PERM. The only other wide op is the band-bucket join,
+    keyed on (band, sig) whose cardinality grows with the corpus —
+    classic shuffle-balanced LSH, no O(n^2) stage."""
+    mins = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"md5(concat('{p}|', sh))")).alias(f"mh{p}")
+            for p in range(N_PERM)
+        ]
     )
-    bands = (
-        mh.withColumn("band", F.expr(f"cast(floor(perm / cast({BAND_SIZE} as double)) as int)"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.struct("perm", "mh")))["mh"])).alias("sig"))
-    )
+    n_bands = N_PERM // BAND_SIZE
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{p}")
+                                    for p in range(
+                                        band * BAND_SIZE, (band + 1) * BAND_SIZE
+                                    )
+                                ],
+                            )
+                        ).alias("sig"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

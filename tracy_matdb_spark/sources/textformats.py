@@ -237,20 +237,12 @@ def write_text_partitions(df: DataFrame, out_dir: str, fmt: str = "xyz") -> None
     df.foreachPartition(dump)
 
 
-# HDF5 interop (reference atoms.h5, io.py:442-509): optional — h5py is not
-# in this image, so the converter is gated.
-try:  # pragma: no cover
-    import h5py  # noqa: F401
-
-    HAS_H5PY = True
-except ImportError:
-    HAS_H5PY = False
+# HDF5 interop lives in sources/hdf5io.py (real read/write/convert code
+# paths, gated on the optional h5py dependency — see its module docstring
+# for the documented cut and the one-time migration design).
 
 
-def read_hdf5(spark: SparkSession, path: str) -> DataFrame:  # pragma: no cover
-    if not HAS_H5PY:
-        raise NotImplementedError(
-            "HDF5 ingest requires h5py (absent in this image); convert via "
-            "XYZ/CFG or parquet instead"
-        )
-    raise NotImplementedError("h5py present but converter not implemented yet")
+def read_hdf5(spark: SparkSession, path: str) -> DataFrame:
+    from tracy_matdb_spark.sources.hdf5io import read_atoms_h5
+
+    return read_atoms_h5(spark, path)
