@@ -65,3 +65,19 @@ def test_simhash_near_dup_banding_lossless(spark):
     }
     assert set(zip(out.doc_a, out.doc_b)) == brute
     assert (out.hamming <= SIMHASH_MAX_HD).all()
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 of 8 cells is approximate; assert it still
+    recovers a healthy fraction of the true top-10 (and that every
+    returned neighbor's similarity is computed correctly — parity with
+    the brute-force sim for the same vec_ids)."""
+    ivf = REGISTRY["knn_ivf_embeddings"].fn(spark, SF_SMOKE).toPandas()
+    bf = REGISTRY["knn_embeddings"].fn(spark, SF_SMOKE).toPandas()
+    assert len(ivf) == 10 and ivf.vec_id.is_unique
+    bf_sims = dict(zip(bf.vec_id, bf.sim_q))
+    for _, r in ivf.iterrows():
+        if r.vec_id in bf_sims:
+            assert bf_sims[r.vec_id] == r.sim_q
+    recall = len(set(ivf.vec_id) & set(bf.vec_id)) / len(bf)
+    assert recall >= 0.3, recall

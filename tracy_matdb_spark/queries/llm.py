@@ -488,6 +488,123 @@ def knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat approximate nearest neighbor (the coarse-quantizer scale path
+# next to the sign-LSH one): assign every vector to its nearest of K
+# centroids, probe only the NPROBE cells nearest the query, brute-force
+# inside the probed cells. At 100 TB: assignment is one broadcast-K map
+# pass + a co-partitioned property join; the search touches NPROBE/K of
+# the corpus instead of all of it.
+# ---------------------------------------------------------------------------
+
+IVF_K = 8  # deterministic seed centroids: vec_id 1..K (kmeans-init stand-in)
+IVF_NPROBE = 2
+IVF_TOPK = 10
+# argmax tiebreak as pure integer math (hash-exact in both engines):
+# combined = (sim_q + 2_000_000) * 16 + (15 - cid); max -> highest sim,
+# ties -> smallest centroid id. The +2e6 offset keeps combined positive
+# so the mod-16 decode is sign-safe.
+_IVF_COMBINE = "( ({sim} + 2000000) * 16 + (15 - {cid}) )"
+
+
+def _ivf_sql_duckdb() -> str:
+    simc = (
+        f"cast(floor(({_dot_expr('duckdb', 'v.embedding', 'c.cv')} / (v.nrm * c.cnrm))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    simq = (
+        f"cast(floor(({_dot_expr('duckdb', 'v.embedding', 'q.qv')} / (v.nrm * q.qnrm))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    comb = _IVF_COMBINE.format(sim=simc, cid="c.cid")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_norm_expr('duckdb', 'embedding')} AS nrm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM base
+        WHERE vec_id BETWEEN 1 AND {IVF_K}
+    ),
+    assign AS (
+        SELECT v.vec_id, 15 - (max({comb}) % 16) AS cid
+        FROM base v CROSS JOIN cents c
+        WHERE v.vec_id <> 0
+        GROUP BY v.vec_id
+    ),
+    q AS (
+        SELECT embedding AS qv, nrm AS qnrm FROM base WHERE vec_id = 0
+    ),
+    probes AS (
+        SELECT cid FROM (
+            SELECT c.cid,
+                   row_number() OVER (ORDER BY {simc.replace('v.embedding', 'q.qv').replace('v.nrm', 'q.qnrm')} DESC, c.cid) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT v.vec_id, a.cid, {simq} AS sim_q
+    FROM assign a
+    JOIN probes p ON a.cid = p.cid
+    JOIN base v ON v.vec_id = a.vec_id
+    CROSS JOIN q
+    ORDER BY sim_q DESC, v.vec_id
+    LIMIT {IVF_TOPK}
+    """
+
+
+@register("knn_ivf_embeddings", oracle=_ivf_sql_duckdb())
+def knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: nearest-centroid assignment (broadcast K centroids,
+    one narrow pass + partial-agg argmax), probe the NPROBE best cells
+    for the query, exact cosine only inside the probed cells, global
+    top-k via TakeOrderedAndProject. Deterministic end-to-end (integer
+    argmax combine), so the whole index+search pipeline hash-verifies
+    against DuckDB; recall vs brute force is measured in tests."""
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.selectExpr(
+        "vec_id", "embedding", f"{_norm_expr('spark', 'embedding')} AS nrm"
+    )
+    cents = base.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)).selectExpr(
+        "vec_id AS cid", "embedding AS cv", "nrm AS cnrm"
+    )
+    simc = (
+        f"cast(floor(({_dot_expr('spark', 'embedding', 'cv')} / (nrm * cnrm))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    comb = _IVF_COMBINE.format(sim=simc, cid="cid")
+    assign = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cents))
+        .selectExpr("vec_id", f"{comb} AS combined")
+        .groupBy("vec_id")
+        .agg((F.lit(15) - (F.max("combined") % 16)).alias("cid"))
+    )
+    q = base.filter(F.col("vec_id") == 0).selectExpr("embedding AS qv", "nrm AS qnrm")
+    simc_q = (
+        f"cast(floor(({_dot_expr('spark', 'qv', 'cv')} / (qnrm * cnrm))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .selectExpr("cid", f"{simc_q} AS s")
+        .orderBy(F.col("s").desc(), "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    simq = (
+        f"cast(floor(({_dot_expr('spark', 'embedding', 'qv')} / (nrm * qnrm))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    return (
+        assign.join(F.broadcast(probes), "cid")
+        .join(base, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .selectExpr("vec_id", "cid", f"{simq} AS sim_q")
+        .orderBy(F.col("sim_q").desc(), "vec_id")
+        .limit(IVF_TOPK)
+    )
+
+
 NEAR_DUP_MIN_Q = 400_000  # cosine >= 0.4 (synthetic embeddings are near-orthogonal)
 
 
