@@ -53,9 +53,10 @@ def test_generators_have_no_python_eval(spark):
 
 
 # Bounded-literal fan-outs where a broadcast nested-loop is the *intended*
-# physical op: a 1-row query vector (knn) and a tiny literal perm table
-# (prototypes). Everything else must be hash/sort-merge joinable.
-NLJ_ALLOWED = {"knn_embeddings", "prototypes_crossjoin"}
+# physical op: a 1-row query vector (knn), a tiny literal perm table
+# (prototypes), and the K-centroid/1-query broadcasts of IVF (K=8 rows by
+# construction). Everything else must be hash/sort-merge joinable.
+NLJ_ALLOWED = {"knn_embeddings", "prototypes_crossjoin", "knn_ivf_embeddings"}
 
 
 def test_no_quadratic_joins_in_registered_queries(spark):
@@ -76,3 +77,13 @@ def test_whole_stage_codegen_active(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "codegen id" in plan  # formatted mode tags codegen'd operators
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    """Correlated scalar subquery and EXISTS/NOT EXISTS must compile to
+    joins (aggregate-join / semi / anti), never a per-row subplan."""
+    p17 = _plan(spark, "q17_small_quantity_avg")
+    assert "Subquery" not in p17  # scalar subquery fused into an agg+join
+    assert p17.count("Join") >= 2
+    pex = _plan(spark, "exists_customer_segments")
+    assert "LeftSemi" in pex and "LeftAnti" in pex

@@ -485,3 +485,97 @@ def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = (F.lit(p) + F.lit(eps)) * F.col("n_rows") + F.lit(1.0)
         checks.append(((F.col(f"le{t}") >= lo) & (F.col(f"lt{t}") <= hi)).alias(f"p{t}_ok"))
     return counts.select("status", *checks).orderBy("status")
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (Catalyst decorrelation surface). The reference's
+# closest analog is the trainer dbfilter value chain resolving thresholds
+# from another object (fitting/basic.py:182-196); a SQL engine owes the
+# general form: correlated scalar subqueries and EXISTS/NOT EXISTS, which
+# Catalyst rewrites into aggregate-join / semi / anti joins — verified by
+# plan tests (no per-row re-execution anywhere).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_avg",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND l.l_quantity < 0.2 * (
+          SELECT avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average) "
+    "gating a fact-side filter; Catalyst decorrelates it into one "
+    "aggregate + join, not a per-row subplan",
+)
+def q17_small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "part"))
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    t["part"].createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 5
+          AND l.l_quantity < 0.2 * (
+              SELECT avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    )
+
+
+@register(
+    "exists_customer_segments",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+          )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="EXISTS / NOT EXISTS decorrelation: Catalyst plans a left-semi "
+    "plus a left-anti join on o_custkey — set-membership at shuffle "
+    "cost, never a per-row probe",
+)
+def exists_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "orders"))
+    t["customer"].createOrReplaceTempView("customer")
+    t["orders"].createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o2
+                WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+              )
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
