@@ -52,3 +52,71 @@ def test_streaming_session_matches_batch(spark):
         _norm(want, keys),
         check_dtype=False,
     )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode watermark semantics across micro-batches: once the
+    watermark has finalized+evicted a window, a late event for it is
+    DROPPED (counted by numRowsDroppedByWatermark) and the window is
+    never re-emitted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base_ns = 1_700_000_000 * 10**9
+    minute = 60 * 10**9
+
+    def mk(path, rows, start=0):
+        pd.DataFrame(
+            {
+                "event_id": range(start, start + len(rows)),
+                "ts": [base_ns + m * minute for m in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["t"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+
+    src = tmp_path / "late"
+    src.mkdir()
+    # batch 0: windows [0,10) x2, [10,20) x1, [40,50) x1 -> wm 35min after
+    # batch 1: fresh 60min -> [0,10) and [10,20) finalize+evict; wm -> 55min
+    # batch 2: LATE minute-3 (window already evicted -> dropped) + 80min
+    batches = [[0, 4, 12, 40], [60], [3, 80]]
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.parquet"
+        mk(f, rows, start=i * 100)
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))  # deterministic order
+
+    raw = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    agg = S.tumbling_agg(ev, window="10 minutes", watermark="5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    assert dropped == 1  # exactly the late minute-3 event
+    out = spark.sql("SELECT * FROM t_late").toPandas()
+    got = dict(zip(out.window_start_s - base_ns // 10**9 + 200, out.n_events))
+    # [0,10)=2 (late event NOT re-counted, window emitted exactly once),
+    # [10,20)=1, [40,50)=1, [60,70)=1; the 80min window never finalized.
+    assert got == {0: 2, 600: 1, 2400: 1, 3600: 1}, got
+    assert out.window_start_s.is_unique  # no double emission
