@@ -65,6 +65,8 @@ def test_spark_cfg_export_ingest_roundtrip(spark, tmp_path):
 
 
 def test_hdf5_gated():
-    if not TF.HAS_H5PY:
-        with pytest.raises(NotImplementedError):
+    from tracy_matdb_spark.sources import hdf5io
+
+    if not hdf5io.HAS_H5PY:
+        with pytest.raises(ImportError):
             TF.read_hdf5(None, "x")

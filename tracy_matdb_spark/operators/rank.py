@@ -62,3 +62,48 @@ def global_rank_by_hash(
     """
     bucketed, counts = bucketize(df, hash_col, n_buckets)
     return ranked_from_buckets(bucketed, counts, tiebreak, out_col)
+
+
+def global_rank_lazy(
+    df: DataFrame,
+    hash_col: Column,
+    tiebreak: list[str],
+    out_col: str = "rank",
+    n_buckets: int = 128,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Single-action variant of global_rank_by_hash: the per-bucket
+    prefix sums come from a window over the (n_buckets-row) count
+    aggregate instead of a driver collect, so the whole rank is ONE lazy
+    plan — no driver materialization, composable inside larger plans,
+    and safe under speculative re-execution. The count aggregate is a
+    second (automatic) traversal of df inside the same job.
+
+    With total_col set, every row also carries the global row count
+    (free from the same aggregate) — callers needing N for thresholds
+    avoid a separate count() action."""
+    width = TWO60 // n_buckets
+    bucketed = df.withColumn("__h", hash_col).withColumn(
+        "__b", (F.col("__h") / F.lit(width)).cast("int")
+    )
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    # n_buckets rows -> the single-partition window is O(buckets), not O(rows)
+    w_all = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = counts.select(
+        "__b",
+        (F.sum("__cnt").over(w_all) - F.col("__cnt")).alias("__offset"),
+        F.sum("__cnt").over(
+            Window.orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__h"), *[F.col(c) for c in tiebreak])
+    out = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, F.row_number().over(w) + F.col("__offset"))
+    )
+    if total_col is not None:
+        out = out.withColumnRenamed("__total", total_col)
+        return out.drop("__h", "__b", "__offset")
+    return out.drop("__h", "__b", "__offset", "__total")

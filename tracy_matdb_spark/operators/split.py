@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tracy_matdb_spark.functions.prng import hash60
-from tracy_matdb_spark.operators.rank import bucketize, ranked_from_buckets
+from tracy_matdb_spark.operators.rank import global_rank_lazy
 
 
 def split_counts(n: int, p: float) -> tuple[int, int, int]:
@@ -46,17 +46,21 @@ def assign_split(
 
     Exactly reproducible for a given (seed, key-set): assignment depends
     only on the hash order, never on partitioning or task scheduling.
+    Fully lazy — the ceil thresholds are computed from the rank pass's
+    own total (global_rank_lazy total_col), so labeling is ONE plan with
+    no driver-side count() or collect() anywhere.
     """
-    bucketed, counts = bucketize(df, hash60(F.lit(seed), F.col(key)))
-    n = sum(counts.values())  # total comes free with the bucket pass
-    ntrain, nhold, _ = split_counts(n, train_perc)
-    ranked = ranked_from_buckets(bucketed, counts, [key], out_col="__rank")
+    ranked = global_rank_lazy(
+        df, hash60(F.lit(seed), F.col(key)), [key], out_col="__rank", total_col="__n"
+    )
+    ntrain = F.ceil(F.col("__n") * F.lit(train_perc))
+    nhold = F.ceil((F.col("__n") - ntrain) * F.lit(train_perc))
     label: Column = (
         F.when(F.col("__rank") <= ntrain, F.lit("train"))
         .when(F.col("__rank") <= ntrain + nhold, F.lit("holdout"))
         .otherwise(F.lit("super"))
     )
-    return ranked.withColumn(label_col, label).drop("__rank")
+    return ranked.withColumn(label_col, label).drop("__rank", "__n")
 
 
 def oracle_split_sql(table: str, key: str, train_perc: float, seed: int = 42) -> str:
