@@ -81,3 +81,19 @@ def test_ivf_recall_vs_brute_force(spark):
             assert bf_sims[r.vec_id] == r.sim_q
     recall = len(set(ivf.vec_id) & set(bf.vec_id)) / len(bf)
     assert recall >= 0.3, recall
+
+
+def test_connected_components_known_graph(spark):
+    from tracy_matdb_spark.operators.graph import connected_components
+
+    # two chains (1-2-3-4, 10-11) + an isolate (99): diameter-3 path
+    # exercises multi-round propagation, isolate keeps itself.
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["id"])
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (11, 10)], ["src", "dst"]
+    )
+    out = {
+        r.id: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}

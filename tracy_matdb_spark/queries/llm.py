@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from tracy_matdb_spark.catalog import load
 from tracy_matdb_spark.operators import textops
+from tracy_matdb_spark.operators.graph import connected_components
 from tracy_matdb_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -380,10 +381,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_MIN_Q = 200_000  # 0.2 quantized
 
 
-def _jaccard_sql_duckdb() -> str:
+def _jaccard_ctes_duckdb() -> str:
+    """LSH CTE chain extended with exact-Jaccard verification: jpairs =
+    candidate pairs whose word-3-gram Jaccard >= threshold. Shared by the
+    jaccard query and the cluster-resolution oracle."""
     jac = textops.quant_ratio_expr("common", "(na + nb - common)")
-    return f"""
-    WITH {_lsh_ctes_duckdb()},
+    return f"""{_lsh_ctes_duckdb()},
     sizes AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
     common AS (
         SELECT c.doc_a, c.doc_b, count(*) AS common
@@ -391,26 +394,34 @@ def _jaccard_sql_duckdb() -> str:
         JOIN shingles a ON a.doc_id = c.doc_a
         JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
         GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT doc_a, doc_b, {jac} AS jaccard_q
-    FROM (
-        SELECT doc_a, doc_b, common, sa.nsh AS na, sb.nsh AS nb
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-    )
-    WHERE {jac} >= {JACCARD_MIN_Q}
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b, {jac} AS jaccard_q
+        FROM (
+            SELECT doc_a, doc_b, common, sa.nsh AS na, sb.nsh AS nb
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        )
+        WHERE {jac} >= {JACCARD_MIN_Q}
+    )"""
+
+
+def _jaccard_sql_duckdb() -> str:
+    return f"""
+    WITH {_jaccard_ctes_duckdb()}
+    SELECT doc_a, doc_b, jaccard_q FROM jpairs
     ORDER BY doc_a, doc_b
     """
 
 
-@register("ngram_jaccard_pairs", oracle=_jaccard_sql_duckdb())
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard (>= 0.2) computed over LSH candidate pairs
-    only — the 100 TB shape. The raw shingle self-join would fan out
-    quadratically on hot shingles; gating on minhash candidates makes the
-    verify stage linear in the candidate count. No broadcast hints: sizes
-    and candidates are unbounded relations, AQE picks the join strategy."""
+def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-verified near-dup edges (doc_a, doc_b, jaccard_q), computed
+    over LSH candidates only — the 100 TB shape. The raw shingle self-join
+    would fan out quadratically on hot shingles; gating on minhash
+    candidates makes the verify stage linear in the candidate count. No
+    broadcast hints: sizes and candidates are unbounded relations, AQE
+    picks the join strategy."""
     shingles = _shingles_df(spark, sf_dir)
     cands = _lsh_candidate_pairs(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
@@ -427,8 +438,58 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard_q", F.expr(jac))
         .filter(F.col("jaccard_q") >= JACCARD_MIN_Q)
         .select("doc_a", "doc_b", "jaccard_q")
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@register("ngram_jaccard_pairs", oracle=_jaccard_sql_duckdb())
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard (>= 0.2) over LSH candidates — see
+    _jaccard_pairs_df for the scale rationale."""
+    return _jaccard_pairs_df(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _clusters_sql_duckdb() -> str:
+    return f"""
+    WITH RECURSIVE {_jaccard_ctes_duckdb()},
+    e2 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e2.dst, reach.r FROM reach JOIN e2 ON e2.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, (min(r) <> id) AS is_dup
+    FROM reach GROUP BY id
+    ORDER BY doc_id
+    """
+
+
+@register("near_dup_clusters", oracle=_clusters_sql_duckdb())
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-game of the dedup pipeline: LSH candidates -> exact-Jaccard
+    edges -> connected components -> one canonical doc (min doc_id) per
+    cluster; is_dup marks the rows a dedup pass would drop. Components
+    come from distributed min-label propagation (operators/graph.py) —
+    every round is one |E| shuffle, no quadratic stage, lineage
+    checkpointed per round. The DuckDB oracle computes the same fixpoint
+    via a recursive CTE, so the equivalence check covers the whole
+    pipeline end-to-end."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    comp = connected_components(
+        docs.select("doc_id"),
+        _jaccard_pairs_df(spark, sf_dir),
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") != F.col("id")).alias("is_dup"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
