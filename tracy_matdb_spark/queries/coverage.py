@@ -700,3 +700,98 @@ def param_grid_suffix_func(spark: SparkSession, sf_dir: str) -> DataFrame:
         for suffix, combo in expand_grid(params)
     ]
     return spark.createDataFrame(rows, "suffix string, det_val double").orderBy("suffix")
+
+
+# ---------------------------------------------------------------------------
+# Legacy multi-source glob union with per-source key conforming
+# (LegacyDatabase._create_dbfull, matdb/database/legacy.py:166-240)
+# ---------------------------------------------------------------------------
+
+# Two "foreign" corpora with incompatible column names, as the reference's
+# legacy folders have (energy under `etot` vs `energy_ev`, id under
+# `cfg_id` vs `id`); one source lacks the force-norm column entirely.
+LEGACY_SOURCES: dict[str, tuple[dict[str, str], list[tuple]]] = {
+    "siteA": (
+        {"cfg_id": "pid", "etot": "energy", "fnorm": "force_norm"},
+        [(1, -3.5, 0.25), (2, -4.0, 0.5), (3, -2.25, 0.125)],
+    ),
+    "siteB": (
+        {"id": "pid", "energy_ev": "energy"},
+        [(10, 0.625), (11, -1.5)],
+    ),
+}
+
+
+def _write_legacy_fixture() -> str:
+    import pandas as pd
+
+    root = os.path.join(FIXTURE_ROOT, "legacy")
+    for name, (colmap, rows) in LEGACY_SOURCES.items():
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(rows, columns=list(colmap)).to_parquet(
+            os.path.join(d, "part-0.parquet")
+        )
+    return root
+
+
+@register(
+    "legacy_glob_union",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('siteA', cast(1 as bigint), -3.5, 0.25),
+        ('siteA', cast(2 as bigint), -4.0, 0.5),
+        ('siteA', cast(3 as bigint), -2.25, 0.125),
+        ('siteB', cast(10 as bigint), 0.625, NULL),
+        ('siteB', cast(11 as bigint), -1.5, NULL)
+    ) t(src, pid, energy, force_norm)
+    ORDER BY src, pid
+    """,
+    doc="Legacy multi-folder union: per-source glob read + key-name "
+    "conforming + unionByName with missing columns "
+    "(matdb/database/legacy.py:166-240)",
+)
+def legacy_glob_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each foreign source is glob-read and renamed to the engine schema
+    via its own key map, then combined with
+    unionByName(allowMissingColumns=True) — the Spark form of the
+    reference's conform-then-concat loop. Scans stay partition-parallel
+    per source; the union is a no-shuffle plan node."""
+    root = _write_legacy_fixture()
+    out: DataFrame | None = None
+    for name, (colmap, _) in sorted(LEGACY_SOURCES.items()):
+        df = spark.read.parquet(os.path.join(root, name))
+        for old, new in colmap.items():
+            df = df.withColumnRenamed(old, new)
+        df = df.select(F.lit(name).alias("src"), "*")
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    assert out is not None
+    return out.select(
+        "src",
+        F.col("pid").cast("long").alias("pid"),
+        F.col("energy").cast("double").alias("energy"),
+        F.col("force_norm").cast("double").alias("force_norm"),
+    ).orderBy("src", "pid")
+
+
+@register(
+    "manual_group",
+    # identity transform: one config per builtin seed, config_id=1,
+    # uuid = md5(db|group|seed|cid) — recomputed independently by DuckDB.
+    oracle="""
+    SELECT seed_id, cast(1 as int) AS config_id, n_atoms,
+           md5(concat('main', '|', 'man', '|', seed_id, '|', '1')) AS uuid
+    FROM (VALUES ('fcc', 4), ('bcc', 2), ('sc', 1)) t(seed_id, n_atoms)
+    ORDER BY seed_id
+    """,
+    doc="Manual group: identity transform on seeds with create()-style "
+    "uuid assignment (matdb/database/simple.py:28-187)",
+)
+def manual_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.plans.pipeline import Pipeline, builtin_seeds
+
+    p = Pipeline({"databases": {}}, "/tmp/tracy_matdb_manual")
+    _, out = p._run_step(
+        spark, builtin_seeds(spark), {"type": "manual", "name": "man"}, "", {}, "main"
+    )
+    return out.select("seed_id", "config_id", "n_atoms", "uuid").orderBy("seed_id")
