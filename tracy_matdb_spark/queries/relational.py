@@ -579,3 +579,148 @@ def exists_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_mktsegment
         """
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (testdata lacks commit/receipt dates, so the "
+    "late-ship predicate is shipdate > orderdate + 90d): EXISTS becomes "
+    "a left-semi join on l_orderkey — the fact table is touched once, "
+    "the semi-join output carries no lineitem payload columns",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           cast(year(l.l_shipdate) as int) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume by year. nation (25 rows) "
+    "and supplier are broadcast; the only shuffles are the orders-lineitem "
+    "sort-merge and the final small groupBy. The nation-pair predicate is "
+    "applied after both broadcasts, so Catalyst pushes each n_name filter "
+    "into its own broadcast side",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    pair = ("NATION_1", "NATION_2")
+    n1 = t["nation"].filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c = t["customer"].join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")).select(
+        "c_custkey", "cust_nation"
+    )
+    li = t["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+    )
+    joined = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_custkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned revenue in a "
+    "quarter. The returnflag + date filters are pushed to the scans; "
+    "nation broadcasts; TakeOrderedAndProject bounds the result without "
+    "a global sort",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    n = t["nation"].select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["customer"].select("c_custkey", "c_name", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
