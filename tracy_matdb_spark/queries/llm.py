@@ -762,3 +762,86 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_q") >= NEAR_DUP_MIN_Q)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation (the composite an LLM-data engineer runs)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_prep_parts(dialect: str) -> tuple[str, str]:
+    """Shared inner/outer select lists for the corpus-prep pipeline:
+    stage 1 computes fingerprint + quality metrics + language scores in one
+    map-only pass; stage 2 resolves the lang argmax. Both dialects compile
+    from the same builders so the oracle is the same arithmetic."""
+    quality = _quality_sql(dialect)  # doc_id, n_tokens, n_stop, ratios, quality_ok
+    fp = (
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp"
+        if dialect == "duckdb"
+        else "md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp"
+    )
+    toks = textops.toks_expr(dialect)
+    scores = textops.lang_score_exprs(dialect, toks)
+    langs = sorted(scores)
+    inner = quality + [fp] + [f"{scores[lang]} AS s_{lang}" for lang in langs]
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    cases = " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs)
+    outer = f"(CASE {cases} END) AS lang_pred"
+    return ", ".join(inner), outer
+
+
+def _corpus_prep_sql_duckdb() -> str:
+    inner, outer = _corpus_prep_parts("duckdb")
+    return f"""
+    WITH scored AS (
+        SELECT {inner} FROM documents WHERE n_chars > 0
+    ),
+    pred AS (
+        SELECT doc_id, fp, n_tokens, stop_ratio_q, quality_ok, {outer}
+        FROM scored
+    ),
+    kept AS (
+        SELECT * FROM pred
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT lang_pred,
+           count(*) AS n_docs,
+           cast(sum(n_tokens) as bigint) AS total_tokens,
+           cast(floor(avg(stop_ratio_q)) as bigint) AS mean_stop_ratio_q
+    FROM kept
+    WHERE quality_ok
+    GROUP BY lang_pred
+    ORDER BY lang_pred
+    """
+
+
+@register(
+    "corpus_prep_rollup",
+    oracle=_corpus_prep_sql_duckdb(),
+    doc="End-to-end corpus preparation: quality metrics + language ID in "
+    "one map-only pass, exact dedup (min doc_id per normalized-text "
+    "fingerprint), quality gate, per-language token rollup. Two shuffles "
+    "total at any scale: the fingerprint window and the final small "
+    "groupBy — the composite inherits each stage's linear plan",
+)
+def corpus_prep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    inner, outer = _corpus_prep_parts("spark")
+    scored = docs.filter(F.col("n_chars") > 0).selectExpr(*_split_exprs(inner))
+    pred = scored.selectExpr(
+        "doc_id", "fp", "n_tokens", "stop_ratio_q", "quality_ok", *_split_exprs(outer)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = pred.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.filter(F.col("quality_ok"))
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.floor(F.avg("stop_ratio_q")).alias("mean_stop_ratio_q"),
+        )
+        .orderBy("lang_pred")
+    )
