@@ -724,3 +724,69 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT cast(floor(1000000.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount))) as bigint)
+           AS promo_share_ppm,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share for one month. The date "
+    "filter prunes the lineitem scan; part joins broadcast (small dim); "
+    "the conditional-sum ratio is one partial-aggregated reduction. The "
+    "share is quantized to ppm so the oracle compares integers",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    p = t["part"].select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(F.lit(0.0)))
+    return j.agg(
+        F.floor(F.lit(1000000.0) * promo / F.sum("rev")).alias("promo_share_ppm"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="lag() analytics: days since each customer's previous order. One "
+    "hash shuffle on o_custkey, per-partition sort — the window never "
+    "sees more than one customer's history, so skew is bounded by the "
+    "hottest customer, not the table",
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
+    )
