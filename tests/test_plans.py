@@ -87,3 +87,22 @@ def test_correlated_subqueries_decorrelate(spark):
     assert p17.count("Join") >= 2
     pex = _plan(spark, "exists_customer_segments")
     assert "LeftSemi" in pex and "LeftAnti" in pex
+
+
+def test_distinct_agg_expands_two_phase(spark):
+    """count(DISTINCT user_id) must plan the two-phase rewrite: a partial
+    aggregate keyed on (event_type, user_id) before the per-type count —
+    the skew-free distinct pattern that survives 100 TB."""
+    plan = _plan(spark, "events_distinct_users")
+    assert plan.count("HashAggregate") >= 3  # dedupe partial+final, then count
+    assert "BatchEvalPython" not in plan
+
+
+def test_q4_plans_semi_join(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q7_q10_q14_broadcast_dims(spark):
+    for name in ("q7_nation_volume", "q10_returned_items", "q14_promo_revenue"):
+        assert "BroadcastHashJoin" in _plan(spark, name), name

@@ -240,3 +240,33 @@ def events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     out = run_stateful_to_completion(stateful_user_totals(ev), "stateful_totals_q")
     return out.orderBy("user_id")
+
+
+@register(
+    "events_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exact distinct-count per event type. Catalyst rewrites "
+    "count(DISTINCT) into the two-phase expand plan: partial dedupe on "
+    "(event_type, user_id) — a high-cardinality, skew-free key — then "
+    "count per type. That built-in rewrite IS the salted two-stage "
+    "pattern a 100 TB distinct-count needs; the approximate path at "
+    "scale is approx_count_distinct(user_id, rsd) on the same plan "
+    "shape, traded off per use (exact registered here for the oracle)",
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
