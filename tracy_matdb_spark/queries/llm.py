@@ -845,3 +845,40 @@ def corpus_prep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (whitespace counting lives in text_quality)
+# ---------------------------------------------------------------------------
+
+# One pattern, two literal encodings: DuckDB string literals pass
+# backslashes through verbatim; Spark SQL literals consume one escape level.
+_BPE_RE_DUCK = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+_BPE_RE_SPARK = "[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '{_BPE_RE_DUCK}')) as bigint) AS n_pieces,
+           cast(coalesce(list_sum(list_transform(
+                    regexp_extract_all(text, '{_BPE_RE_DUCK}'),
+                    t -> cast(ceil(length(t) / 4.0) as bigint))), 0) as bigint)
+               AS n_bpe_est
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="BPE-ish token estimate: lex into word/punctuation pieces with one "
+    "regex, charge ceil(len/4) subwords per piece (the ~4-chars-per-token "
+    "rule). Map-only array lambdas, no shuffle, no Python — the budget "
+    "pass a corpus-sizing job runs before training",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    pieces = f"regexp_extract_all(text, '{_BPE_RE_SPARK}', 0)"
+    return docs.selectExpr(
+        "doc_id",
+        f"cast(size({pieces}) as bigint) AS n_pieces",
+        f"aggregate({pieces}, cast(0 as bigint), (a, t) -> a + cast(ceil(length(t) / 4.0) as bigint)) AS n_bpe_est",
+    ).orderBy("doc_id")
