@@ -270,3 +270,41 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_salted_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Salted exact distinct-count (operators/skew.py): shard each "
+    "event_type by hash(user_id) % 16, count distinct users per shard, "
+    "sum the shard counts. Sharding on the distinct column itself means "
+    "no user spans shards, so the shard-count sum is exact — and the "
+    "widest per-task state is 1/16th of the hottest key. Oracle is the "
+    "plain COUNT(DISTINCT): same answer, skew-proof plan",
+)
+def events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.skew import salted_agg
+
+    ev = load_events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        shard_on="user_id",
+        stage1=[
+            F.countDistinct("user_id").alias("u"),
+            F.count(F.lit(1)).alias("c"),
+        ],
+        stage2=lambda _: [
+            F.sum("u").alias("n_users"),
+            F.sum("c").alias("n_events"),
+        ],
+        n_salts=16,
+    )
+    return out.orderBy("event_type")
