@@ -120,3 +120,58 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # [10,20)=1, [40,50)=1, [60,70)=1; the 80min window never finalized.
     assert got == {0: 2, 600: 1, 2400: 1, 3600: 1}, got
     assert out.window_start_s.is_unique  # no double emission
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids arriving within the watermark horizon are
+    suppressed; each unique id is emitted exactly once."""
+    import os
+
+    base_ns = 1_700_000_000 * 10**9
+    minute = 60 * 10**9
+
+    def mk(path, ids, minutes):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": [base_ns + m * minute for m in minutes],
+                "user_id": [1] * len(ids),
+                "event_type": ["t"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(path)
+
+    src = tmp_path / "dup"
+    src.mkdir()
+    # batch 0: ids 0-4; batch 1: ids 0,1 AGAIN (same ts -> inside horizon)
+    # plus fresh id 5
+    mk(src / "b0.parquet", [0, 1, 2, 3, 4], [0, 1, 2, 3, 4])
+    mk(src / "b1.parquet", [0, 1, 5], [0, 1, 6])
+    for i, f in enumerate(sorted(src.iterdir())):
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    q = (
+        S.dedup_stream(ev, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT event_id FROM t_dedup").toPandas()
+    assert sorted(out.event_id.tolist()) == [0, 1, 2, 3, 4, 5]

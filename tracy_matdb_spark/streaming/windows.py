@@ -163,3 +163,19 @@ def run_stateful_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
     finally:
         q.stop()
     return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup (bounded state)
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id. dropDuplicatesWithinWatermark
+    holds each seen key only until the watermark passes its event time, so
+    state is O(arrival rate x watermark horizon), never O(stream length) —
+    the only dedup contract that survives an unbounded 100 TB/day stream.
+    Batch twin: dedup_exact / dropDuplicates (queries/llm.py)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
