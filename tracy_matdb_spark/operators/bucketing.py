@@ -1,0 +1,43 @@
+"""Storage-level bucketing: pre-shuffled tables for exchange-free joins.
+
+The reference correlates records by Python dict key (SURVEY.md §2.5); at
+100 TB the equivalent repeated equi-join (orders x lineitem on orderkey,
+configurations x split_assignments on uuid) pays a full shuffle of both
+sides *per query*. Writing both tables bucketed on the join key pays that
+shuffle once at ingest: every later join reads co-located buckets and
+Catalyst plans a SortMergeJoin with NO Exchange on either side
+(pinned in tests/test_bucketing.py).
+
+Bucket count is a capacity decision: target <= ~128 MB per bucket file at
+the expected table size so a bucket is one task's worth of input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    key: str,
+    n_buckets: int,
+) -> None:
+    """Write `df` as an external parquet table bucketed + sorted on `key`.
+
+    saveAsTable is required (plain .save() drops bucket metadata); the
+    explicit path keeps the data out of the managed warehouse so the
+    table is droppable without deleting the files.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
