@@ -82,15 +82,15 @@ def extract_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                arr = decode_stub(payload, r["kind"])
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                arr = decode_stub(payload, r.kind)
                 hist, _ = np.histogram(arr, bins=8, range=(0, 256))
                 total = max(int(hist.sum()), 1)
                 out.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": r.media_id,
+                        "kind": r.kind,
                         "content_sha": hashlib.sha256(payload).hexdigest(),
                         "n_bytes": len(payload),
                         "feature": [float(h) / total for h in hist],

@@ -195,8 +195,8 @@ def _reader(parse_fn):
     def run(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
             rows = []
-            for _, r in pdf.iterrows():
-                rows.extend(parse_fn(bytes(r["content"]).decode("utf-8"), r["path"]))
+            for content, path in zip(pdf["content"], pdf["path"]):
+                rows.extend(parse_fn(bytes(content).decode("utf-8"), path))
             yield pd.DataFrame(
                 rows,
                 columns=[f.name for f in CONFIG_SCHEMA.fields],
