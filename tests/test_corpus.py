@@ -1,0 +1,64 @@
+"""Corpus-filtering operators: plan pins + invariants.
+
+Value parity vs DuckDB is covered for every registered query by
+tests/test_parity.py; these tests pin the physical properties that keep
+the operators fast at scale.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tracy_matdb_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def _executed(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_blocklist_is_broadcast_anti_join(spark):
+    plan = _executed(spark, "domain_blocklist_rollup")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_range_join_is_equi_on_bucket(spark):
+    # the range predicate must ride an equi hash/sort-merge join on
+    # (user_id, bkt) — never a nested-loop theta join
+    plan = _executed(spark, "events_range_join_10m")
+    assert "bkt" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_map_only_ops_have_no_python_eval(spark):
+    for name in ("repetition_ratio", "pii_detect_redact", "stratified_sample"):
+        plan = _executed(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_repetition_invariants(spark):
+    pdf = REGISTRY["repetition_ratio"].fn(spark, SF_SMOKE).toPandas()
+    assert (pdf.n_distinct <= pdf.n_tokens).all()
+    assert (pdf.top_freq <= pdf.n_tokens).all()
+    assert (pdf.top_freq >= 1).all()
+
+
+def test_stratified_sample_rates(spark):
+    docs = REGISTRY["stratified_sample"].fn(spark, SF_SMOKE).toPandas()
+    head = docs[docs.source.isin(["src0", "src1", "src2", "src3", "src4"])]
+    tail = docs[~docs.source.isin(["src0", "src1", "src2", "src3", "src4"])]
+    # 25 docs/stratum at sf0.001: expect ~12.5/stratum head, ~5/stratum tail;
+    # loose bounds — determinism (not the rate) is the contract
+    assert 0.30 <= len(head) / (25 * 5) <= 0.70
+    assert 0.08 <= len(tail) / (25 * 15) <= 0.35
+
+
+def test_range_join_errors_all_present(spark):
+    # LEFT join semantics: every error event appears, zero-click ones included
+    from tracy_matdb_spark.catalog import load_events
+
+    n_err = load_events(spark, SF_SMOKE).filter("event_type = 'error'").count()
+    out = REGISTRY["events_range_join_10m"].fn(spark, SF_SMOKE).toPandas()
+    assert len(out) == n_err
+    assert (out.n_clicks_10m >= 0).all()

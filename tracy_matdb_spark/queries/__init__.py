@@ -45,6 +45,7 @@ def register(name: str, oracle: str | None, headline: bool = False, doc: str = "
 def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY) and return it."""
     from tracy_matdb_spark.queries import (  # noqa: F401
+        corpus,
         coverage,
         crystalq,
         domain,

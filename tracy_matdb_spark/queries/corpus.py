@@ -1,0 +1,226 @@
+"""Corpus-filtering queries: repetition, domain blocklist, PII, sampling.
+
+Training-data-pipeline operators beyond the reference's surface
+(BASELINE.json north star): Gopher-style repetition screening, C4-style
+domain blocklist filtering with per-domain rollups, PII detection and
+redaction, and deterministic stratified sampling. All JVM-side (array
+lambdas + regexp built-ins, no Python UDFs), all oracle-checked.
+
+The `documents` corpus is synthetic word-salad with no real URLs or PII,
+so `pii_detect_redact` injects a deterministic synthetic email + phone
+derived from `doc_id` before detection — the detection/redaction
+machinery (regexp_extract_all / regexp_replace) is the thing under test,
+and it stays exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.functions import prng
+from tracy_matdb_spark.operators import textops
+from tracy_matdb_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Repetition / token-diversity screening (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+def _rep_sql(dialect: str) -> list[str]:
+    toks = textops.toks_expr(dialect)
+    if dialect == "spark":
+        n_tok = f"cast(size({toks}) as bigint)"
+        n_distinct = f"cast(size(array_distinct({toks})) as bigint)"
+        top_freq = (
+            f"cast(array_max(transform(array_distinct({toks}), "
+            f"t -> size(filter({toks}, x -> x = t)))) as bigint)"
+        )
+    else:
+        n_tok = f"cast(len({toks}) as bigint)"
+        n_distinct = f"cast(len(list_distinct({toks})) as bigint)"
+        top_freq = (
+            f"cast(list_max(list_transform(list_distinct({toks}), "
+            f"t -> len(list_filter({toks}, x -> x = t)))) as bigint)"
+        )
+    distinct_q = textops.quant_ratio_expr(n_distinct, n_tok)
+    top_q = textops.quant_ratio_expr(top_freq, n_tok)
+    return [
+        "doc_id",
+        f"{n_tok} AS n_tokens",
+        f"{n_distinct} AS n_distinct",
+        f"{top_freq} AS top_freq",
+        f"{distinct_q} AS distinct_ratio_q",
+        f"{top_q} AS top_frac_q",
+        f"(CASE WHEN {distinct_q} >= 200000 AND {top_q} <= 300000 "
+        f"THEN true ELSE false END) AS rep_ok",
+    ]
+
+
+@register(
+    "repetition_ratio",
+    oracle=f"""
+    SELECT {', '.join(_rep_sql('duckdb'))}
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-diversity screening (Gopher repetition rules): distinct-token
+    ratio and top-token frequency fraction per document, with a keep/drop
+    flag. Map-only array lambdas — zero shuffles, trivially parallel.
+
+    The top-frequency term is O(distinct x tokens) per row, which is the
+    right trade for bounded-length web documents (no shuffle at all); for
+    book-length documents the explode -> groupBy(doc_id, tok) -> max form
+    is the scale path (one shuffle keyed on doc_id, map-side combine)."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr(*_rep_sql("spark"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filter + per-domain rollup (C4-style source curation)
+# ---------------------------------------------------------------------------
+
+BLOCKED_SOURCES = ("src3", "src7", "src11", "src15", "src19")
+
+
+@register(
+    "domain_blocklist_rollup",
+    oracle=f"""
+    SELECT source,
+           cast(count(*) as bigint)      AS n_docs,
+           cast(sum(n_chars) as bigint)  AS sum_chars,
+           cast(min(doc_id) as bigint)   AS first_doc
+    FROM documents
+    WHERE source NOT IN ({', '.join(repr(s) for s in BLOCKED_SOURCES)})
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filter + per-domain corpus stats. The blocklist is a small
+    curated dimension: broadcast LEFT ANTI join (no shuffle of the corpus
+    side beyond the final rollup), then one hash aggregation keyed on
+    source with map-side partials. At 100 TB the blocklist stays
+    KB-sized — the broadcast is bounded by construction, unlike the
+    per-document tables the plan sweep forbids broadcasting."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    blocklist = spark.createDataFrame(
+        [(s,) for s in BLOCKED_SOURCES], "source string"
+    )
+    return (
+        docs.join(F.broadcast(blocklist), "source", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (regexp built-ins, map-only)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_detect_redact",
+    oracle=f"""
+    SELECT doc_id,
+           cast(len(regexp_extract_all(aug, '{_EMAIL_RE}')) as bigint) AS n_emails,
+           cast(len(regexp_extract_all(aug, '{_PHONE_RE}')) as bigint) AS n_phones,
+           md5(regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS red_md5
+    FROM (SELECT doc_id,
+                 concat(text, ' contact user', cast(doc_id as varchar),
+                        '@example.com +1-555-',
+                        lpad(cast(doc_id % 10000 as varchar), 4, '0')) AS aug
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def pii_detect_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count email/phone matches
+    and emit the md5 of the redacted text. Pure regexp built-ins in one
+    narrow map stage — no shuffle, no Python. The corpus is synthetic, so
+    a deterministic email+phone derived from doc_id is injected first
+    (documented above); on real data the injection step disappears and
+    the detection plan is unchanged."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), F.lit(0)))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), F.lit(0)))
+            .cast("bigint")
+            .alias("n_phones"),
+            F.md5(redacted).alias("red_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (sampleBy, reproducibly)
+# ---------------------------------------------------------------------------
+
+# rate 0.5 for the head strata, 0.2 for the tail, as exact integer
+# thresholds against hash60's [0, 2^60) range — no float on either side.
+_HEAD_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_THRESH_HEAD = 2**59  # 0.5 * 2^60
+_THRESH_TAIL = (2**60) // 5  # 0.2 * 2^60, floored
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(concat_ws('|', 'strat', cast(doc_id as varchar), source)), 1, 15))::bigint
+          < (CASE WHEN source IN ({', '.join(repr(s) for s in _HEAD_SOURCES)})
+                  THEN {_THRESH_HEAD} ELSE {_THRESH_TAIL} END)
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling (`df.sampleBy` semantics) made reproducible:
+    keep a row iff hash60(seed, doc_id, source) clears the stratum's
+    integer threshold. Unlike `sampleBy`'s seeded Bernoulli (partition-
+    order dependent under retries), this is a pure row function — the
+    same rows survive at any parallelism, so resampling a 100 TB corpus
+    is restartable and auditable. Map-only, integer compare, no floats
+    (mirrors the portable PRNG contract in functions/prng.py)."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    thresh = (
+        F.when(F.col("source").isin(*_HEAD_SOURCES), F.lit(_THRESH_HEAD))
+        .otherwise(F.lit(_THRESH_TAIL))
+    )
+    return (
+        docs.filter(prng.hash60("strat", F.col("doc_id"), F.col("source")) < thresh)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -308,3 +308,61 @@ def events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Bounded range join (interval join; SURVEY.md §2.5 gap in native Spark)
+# ---------------------------------------------------------------------------
+
+RANGE_US = 600_000_000  # 10 minutes in microseconds
+
+
+@register(
+    "events_range_join_10m",
+    oracle=f"""
+    SELECT e.event_id,
+           cast(count(c.event_id) as bigint) AS n_clicks_10m
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(e.ts) - {RANGE_US}
+     AND epoch_us(c.ts) <  epoch_us(e.ts)
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    ORDER BY e.event_id
+    """,
+)
+def events_range_join_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: for each error event, count the same user's
+    clicks in the preceding 10 minutes. The naive form is a per-key
+    theta-join (quadratic on hot users — the plan sweep forbids it); the
+    scale form here buckets time into range-width bins and joins on
+    (user_id, bucket) with each probe exploding into its two candidate
+    buckets, so the equi-join carries the range predicate as a residual
+    filter. Fan-out is exactly 2x probes, state per task is one bucket's
+    events — bounded regardless of corpus size (the streaming twin is
+    Spark's stream-stream interval join with watermarks)."""
+    ev = load_events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("t")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.expr("ts_ns div 1000").alias("ct")
+    )
+    b = F.lit(RANGE_US)
+    tb = F.expr(f"t div {RANGE_US}")
+    probes = err.withColumn("bkt", F.explode(F.array(tb - 1, tb))).alias("p")
+    builds = clk.withColumn("bkt", F.expr(f"ct div {RANGE_US}")).alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.bkt") == F.col("c.bkt"))
+        & (F.col("c.ct") >= F.col("p.t") - b)
+        & (F.col("c.ct") < F.col("p.t"))
+    )
+    joined = probes.join(builds, cond, "left")
+    return (
+        joined.groupBy(F.col("p.event_id"))
+        .agg(F.count("click_id").alias("n_clicks_10m"))
+        .orderBy("event_id")
+    )
