@@ -57,3 +57,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop_table(spark, "b_orders")
         drop_table(spark, "b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from tracy_matdb_spark.operators.bucketing import write_partitioned
+
+    docs = load(spark, SF_SMOKE, ("documents",))["documents"]
+    path = str(tmp_path / "p_docs")
+    write_partitioned(docs, path, "source")
+    back = spark.read.parquet(path).filter(F.col("source") == "src1")
+    plan = _formatted_plan(back)
+    # the source filter must be resolved at directory-metadata level —
+    # a partition filter, not a data filter evaluated per row
+    assert "PartitionFilters" in plan and "src1" in plan.split("PartitionFilters")[1].split("]")[0]
+    want = docs.filter(F.col("source") == "src1").count()
+    assert back.count() == want

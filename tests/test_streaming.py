@@ -175,3 +175,17 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     out = spark.sql("SELECT event_id FROM t_dedup").toPandas()
     assert sorted(out.event_id.tolist()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    # stream-stream interval join pairs == batch bucketed range join counts
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    pairs = S.run_append_to_completion(S.interval_join_stream(ev), "t_ivjoin").toPandas()
+    got = pairs.groupby("err_id").size().rename("n").reset_index()
+    want = REGISTRY["events_range_join_10m"].fn(spark, SF_SMOKE).toPandas()
+    want_nonzero = want[want.n_clicks_10m > 0]
+    merged = got.merge(
+        want_nonzero, left_on="err_id", right_on="event_id", how="outer", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()
+    assert (merged.n == merged.n_clicks_10m).all()

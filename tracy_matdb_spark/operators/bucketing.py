@@ -41,3 +41,16 @@ def write_bucketed(
 
 def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+    """Hive-style partitioned parquet layout (one directory per key value).
+
+    The complementary layout decision to bucketing: partition on the
+    LOW-cardinality columns queries filter by (source, date, lang), bucket
+    on the HIGH-cardinality join keys. A filter on a partition column is
+    resolved against directory metadata — the scan never opens non-matching
+    files, so a one-source query over a 100 TB corpus reads only that
+    source's bytes (pinned as `PartitionFilters` in tests/test_bucketing.py).
+    """
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)

@@ -179,3 +179,60 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (streaming twin of events_range_join_10m)
+# ---------------------------------------------------------------------------
+
+
+def interval_join_stream(events: DataFrame, range_secs: int = 600, watermark: str = "20 minutes") -> DataFrame:
+    """Stream-stream interval join: (error, click) pairs where the click is
+    from the same user within the `range_secs` before the error. Both
+    sides carry watermarks and the join condition carries the time bound,
+    so Spark can expire click state once the error-side watermark passes
+    `click_ts + range` — state is O(rate x horizon), never O(stream
+    length). Batch twin: queries/events.py events_range_join_10m (same
+    pairs; its bucketed equi-join is the batch physical strategy, the
+    state-store range join is the streaming one)."""
+    err = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("err_user"),
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    clk = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("clk_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", watermark)
+    )
+    cond = (
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("err_ts") - F.expr(f"INTERVAL {range_secs} SECONDS"))
+        & (F.col("clk_ts") < F.col("err_ts"))
+    )
+    return err.join(clk, cond, "inner").select("err_id", "click_id")
+
+
+def run_append_to_completion(df: DataFrame, query_name: str) -> DataFrame:
+    """Drive an append-mode stream (joins, dedup, row-level transforms)
+    over a finite source to completion; memory sink accumulates all
+    appended rows."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")
