@@ -79,3 +79,30 @@ def test_generators_dedupe_and_determinism(spark):
 
     expected = sum(n * (n - 1) // 2 for _, n in VACANCY_SEEDS)
     assert len(v) == expected and v["vuid"].nunique() == expected
+
+
+def test_salted_join_is_salt_invariant(spark):
+    from tracy_matdb_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1, 201)],
+        "id long, k string, v double",
+    )
+    dim = spark.createDataFrame([("hot", 2.0), ("cold", 5.0)], "k string, w double")
+    plain = fact.join(dim, "k").select("id", "k", "v", "w")
+    for n_salts in (1, 4, 16):
+        salted = salted_join(fact, dim, "k", shard_on="id", n_salts=n_salts)
+        got = sorted(salted.select("id", "k", "v", "w").collect())
+        assert got == sorted(plain.collect()), n_salts
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from tracy_matdb_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zzz")], "id long, k string"
+    )
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, w long")
+    out = salted_join(fact, dim, "k", shard_on="id", n_salts=4, how="left")
+    rows = {r.id: r.w for r in out.collect()}
+    assert rows == {1: 10, 2: 20, 3: None}

@@ -44,3 +44,30 @@ def salted_agg(
         .agg(*stage1)
     )
     return sharded.groupBy(*keys).agg(*stage2(sharded))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    shard_on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: AQE's skew-join splits oversized *partitions*,
+    but a single hot key value still lands in one task's hash bucket. Here
+    each fact row gets a deterministic salt from `shard_on` (a data
+    column — retries reproduce it), the dim side is replicated across all
+    `n_salts` salts, and the join runs on (key, salt): a hot key's rows
+    spread over n_salts tasks at the cost of an n_salts-times dim
+    replication. Use when the dim is too big to broadcast but n_salts
+    copies still fit the shuffle (the classic mid-size-dim skew regime).
+    Result is salt-invariant: identical to the plain join for any n_salts
+    (oracle-checked by events_salted_type_join).
+    """
+    salt = ((F.xxhash64(F.col(shard_on)) % n_salts + n_salts) % n_salts).cast("int")
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return f.join(d, [key, "__salt"], how).drop("__salt")

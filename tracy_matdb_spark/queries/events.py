@@ -366,3 +366,52 @@ def events_range_join_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("click_id").alias("n_clicks_10m"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_salted_type_join",
+    oracle="""
+    SELECT e.event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(round(e.value * cast(100 as double)) as bigint) * w.weight_c)
+                as bigint) AS weighted_c
+    FROM events e
+    JOIN (SELECT 'click' AS event_type, 100 AS weight_c UNION ALL
+          SELECT 'view', 50 UNION ALL
+          SELECT 'purchase', 1000 UNION ALL
+          SELECT 'error', 0 UNION ALL
+          SELECT 'scroll', 25) w
+      ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): event_type has ~5 values over
+    the whole corpus — the definition of hot keys. Each event is salted
+    by hash(event_id) % 16 and the weight dim is replicated per salt, so
+    no join task ever sees more than 1/16th of a type. The oracle is the
+    plain unsalted join: same result by construction (salt-invariance),
+    skew-proof plan (weights held as integer cents so the sum is exact
+    and order-independent). Here the dim is literal-tiny (broadcast would do);
+    the operator targets the mid-size-dim regime where it can't."""
+    from tracy_matdb_spark.operators.skew import salted_join
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(100.0)).cast("bigint").alias("value_c"),
+    )
+    weights = spark.createDataFrame(
+        [("click", 100), ("view", 50), ("purchase", 1000), ("error", 0), ("scroll", 25)],
+        "event_type string, weight_c long",
+    )
+    j = salted_join(ev, weights, "event_type", shard_on="event_id", n_salts=16)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value_c") * F.col("weight_c")).cast("bigint").alias("weighted_c"),
+        )
+        .orderBy("event_type")
+    )

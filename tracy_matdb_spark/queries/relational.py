@@ -790,3 +790,115 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
         .drop("o_orderdate")
     )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT cast(floor(sum(l_extendedprice * l_discount) * cast(100 as double)) as bigint)
+               AS revenue_c,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: forecast-revenue scan-aggregate. Every predicate "
+    "is scan-pushable (date range + two numeric ranges), so the plan is "
+    "scan -> partial agg -> single-row final: zero joins, one exchange of "
+    "one row per task. The canonical min-IO query at 100 TB — only the "
+    "four referenced columns are read",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.floor(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * F.lit(100.0))
+        .cast("bigint")
+        .alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q13_customer_order_counts",
+    oracle="""
+    SELECT n_orders, cast(count(*) as bigint) AS n_customers
+    FROM (SELECT c.c_custkey, cast(count(o.o_orderkey) as bigint) AS n_orders
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    doc="TPC-H Q13 shape: distribution of customers by order count. "
+    "Outer join preserves zero-order customers; two aggregations, the "
+    "second over a tiny domain (distinct order counts), so the heavy "
+    "shuffle is only the first, keyed on custkey with map-side partials",
+)
+def q13_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(
+            t["orders"].select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           cast(floor(o.o_totalprice * cast(100 as double)) as bigint) AS totalprice_c,
+           cast(floor(q.sum_qty * cast(100 as double)) as bigint) AS sum_qty_c
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: large-volume orders. The HAVING filter reduces "
+    "the aggregate to a sliver before the join (aggregate-then-join, not "
+    "join-then-aggregate), and the final top-20 is TakeOrderedAndProject "
+    "— no global sort materializes",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "orders"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.floor(F.col("o_totalprice") * 100)).cast("bigint").alias("totalprice_c"),
+            (F.floor(F.col("sum_qty") * 100)).cast("bigint").alias("sum_qty_c"),
+            "o_totalprice",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .drop("o_totalprice")
+    )
