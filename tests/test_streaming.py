@@ -189,3 +189,42 @@ def test_streaming_interval_join_matches_batch(spark):
     )
     assert (merged["_merge"] == "both").all()
     assert (merged.n == merged.n_clicks_10m).all()
+
+
+def test_incremental_ingest_dedupes_across_batches(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from tracy_matdb_spark.streaming.ingest import incremental_ingest
+
+    schema = T.StructType(
+        [T.StructField("auid", T.StringType()), T.StructField("energy", T.DoubleType())]
+    )
+    drop = tmp_path / "drop"
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+
+    def run():
+        q = incremental_ingest(spark, str(drop), target, schema, key="auid", checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 1.0)], schema
+    ).write.parquet(str(drop / "batch1"))
+    run()
+    got1 = spark.read.parquet(target).toPandas()
+    assert sorted(got1.auid) == ["a", "b"]
+
+    # second drop: one duplicate of history ("b"), one new ("c")
+    spark.createDataFrame([("b", 2.0), ("c", 3.0)], schema).write.parquet(
+        str(drop / "batch2")
+    )
+    run()
+    got2 = spark.read.parquet(target).toPandas().sort_values("auid")
+    assert sorted(got2.auid) == ["a", "b", "c"]
+    # later batch carries a later iteration stamp
+    assert got2[got2.auid == "c"].iteration.iloc[0] > got2[got2.auid == "a"].iteration.iloc[0]
+
+    # re-running with nothing new ingests nothing (checkpoint skips seen files)
+    run()
+    assert len(spark.read.parquet(target).toPandas()) == 3

@@ -224,3 +224,43 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "repetition_ratio_exploded",
+    oracle=f"""
+    SELECT {', '.join(_rep_sql('duckdb'))}
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY doc_id
+    """,
+)
+def repetition_ratio_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of repetition_ratio for long documents: explode tokens,
+    count per (doc_id, token), then roll up per doc — O(tokens) work in
+    two shuffles (both keyed on doc_id so AQE coalesces them; map-side
+    combine shrinks the first to distinct-token cardinality) instead of
+    the map-only O(distinct x tokens) array scan. Same output, same
+    oracle — which one wins is a per-corpus cost decision."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id", F.explode(F.expr(textops.toks_expr("spark"))).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("top_freq"),
+    )
+    distinct_q = textops.quant_ratio_expr("n_distinct", "n_tokens")
+    top_q = textops.quant_ratio_expr("top_freq", "n_tokens")
+    return agg.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_freq",
+        f"{distinct_q} AS distinct_ratio_q",
+        f"{top_q} AS top_frac_q",
+        f"(CASE WHEN {distinct_q} >= 200000 AND {top_q} <= 300000 "
+        f"THEN true ELSE false END) AS rep_ok",
+    ).orderBy("doc_id")
