@@ -264,3 +264,97 @@ def repetition_ratio_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN {distinct_q} >= 200000 AND {top_q} <= 300000 "
         f"THEN true ELSE false END) AS rep_ok",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document chunking + sequence packing (training-sequence preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 32  # window length (tokens)
+CHUNK_S = 24  # stride (tokens; W - S = 8-token overlap)
+PACK_BUDGET = 1024  # tokens per packed training sequence
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents WHERE n_chars > 0)
+    SELECT doc_id,
+           cast((i - 1) // {CHUNK_S} as bigint) AS chunk_id,
+           cast(len(list_slice(toks, i, i + {CHUNK_W - 1})) as bigint) AS n_chunk_toks,
+           md5(array_to_string(list_slice(toks, i, i + {CHUNK_W - 1}), ' ')) AS chunk_md5
+    FROM d CROSS JOIN (SELECT unnest(generate_series(1,
+        (SELECT max(len(toks)) FROM d), {CHUNK_S})) AS i) g
+    WHERE i <= len(toks)
+    ORDER BY doc_id, chunk_id
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-length preparation):
+    each document explodes into stride-{CHUNK_S} windows of {CHUNK_W}
+    tokens (final windows truncated). One narrow explode stage — fan-out
+    is len/stride per document, no shuffle before the output sort. The
+    chunk md5 stands in for the chunk text to keep the verified output
+    compact."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("doc_id", f"{toks} AS toks")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(toks), {CHUNK_S})")).alias("i"),
+            "toks",
+        )
+        .selectExpr(
+            "doc_id",
+            f"cast((i - 1) div {CHUNK_S} as bigint) AS chunk_id",
+            f"cast(size(slice(toks, i, {CHUNK_W})) as bigint) AS n_chunk_toks",
+            f"md5(array_join(slice(toks, i, {CHUNK_W}), ' ')) AS chunk_md5",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      cast(len({textops.toks_expr('duckdb')}) as bigint) AS n_tokens
+               FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_tokens,
+           cast((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {PACK_BUDGET} as bigint) AS bin_id
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget bins ({PACK_BUDGET} tokens) by prefix-sum — a document
+    starts in the bin its cumulative offset falls in. Packing runs per
+    source (window PARTITION BY source), so no global single-partition
+    sort exists and every partition packs independently — the property
+    that lets a 100 TB corpus pack in one pass. Order within a source is
+    doc_id: reproducible, restart-safe, no RNG."""
+    from pyspark.sql import Window
+
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    d = docs.filter(F.col("n_chars") > 0).selectExpr(
+        "doc_id", "source", f"cast(size({toks}) as bigint) AS n_tokens"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn(
+            "bin_id",
+            ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+            .cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )
