@@ -54,6 +54,40 @@ def test_stratified_sample_rates(spark):
     assert 0.08 <= len(tail) / (25 * 15) <= 0.35
 
 
+def test_chunk_windows_invariants(spark):
+    from tracy_matdb_spark.queries.corpus import CHUNK_S, CHUNK_W
+
+    pdf = REGISTRY["doc_chunk_windows"].fn(spark, SF_SMOKE).toPandas()
+    assert (pdf.n_chunk_toks <= CHUNK_W).all()
+    assert (pdf.n_chunk_toks >= 1).all()
+    # chunk ids are dense per document starting at 0
+    g = pdf.groupby("doc_id").chunk_id
+    assert (g.min() == 0).all()
+    assert (g.max() + 1 == g.count()).all()
+    # short windows (overlap tail) form a contiguous suffix per document —
+    # with W > S the last ceil((W-S)/S)+1 windows may all be truncated
+    short = pdf[pdf.n_chunk_toks < CHUNK_W].groupby("doc_id").chunk_id
+    last = pdf.groupby("doc_id").chunk_id.max()
+    for doc, n_short in short.count().items():
+        assert short.min()[doc] == last[doc] - n_short + 1, doc
+    # chunking must be a narrow explode — no Python eval, no join
+    plan = _executed(spark, "doc_chunk_windows")
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+
+
+def test_pack_sequences_bins_monotone(spark):
+    from tracy_matdb_spark.queries.corpus import PACK_BUDGET
+
+    pdf = REGISTRY["pack_sequences"].fn(spark, SF_SMOKE).toPandas()
+    for _, grp in pdf.sort_values("doc_id").groupby("source"):
+        # bin ids are the floor of the running prefix-sum: non-decreasing,
+        # starting at bin 0, and consistent with the token totals
+        assert grp.bin_id.iloc[0] == 0
+        assert (grp.bin_id.diff().dropna() >= 0).all()
+        prefix = grp.n_tokens.cumsum() - grp.n_tokens
+        assert (grp.bin_id == prefix // PACK_BUDGET).all()
+
+
 def test_range_join_errors_all_present(spark):
     # LEFT join semantics: every error event appears, zero-click ones included
     from tracy_matdb_spark.catalog import load_events
