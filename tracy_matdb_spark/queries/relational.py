@@ -902,3 +902,132 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("o_totalprice")
     )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           cast(count(*) as bigint) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape (adapted to the test schema's part columns): "
+    "discounted revenue under an OR-of-ANDs predicate. Catalyst extracts "
+    "the common p_partkey equi-key so the plan is a broadcast hash join "
+    "with the disjunction as a post-join filter, and pushes the derived "
+    "p_brand IN (...) / quantity-range bounds down to both parquet scans "
+    "— the classic disjunctive-pushdown test.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    pt = t["part"].select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm("Brand#11", 15, 1, 20) | arm("Brand#12", 25, 10, 30) | arm("Brand#13", 35, 20, 40))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q21_sole_returning_supplier",
+    oracle="""
+    SELECT s.s_name, cast(count(*) as bigint) AS numwait
+    FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (l_returnflag = 'R' standing in for the missing "
+    "receipt/commit dates): suppliers who were the ONLY supplier with a "
+    "returned item in a multi-supplier order. The correlated EXISTS / "
+    "NOT EXISTS pair decorrelates to a left-semi plus left-anti join, "
+    "both equi on l_orderkey (the non-equi suppkey inequality rides as a "
+    "join residual, never a nested loop), then a broadcast join attaches "
+    "the supplier name after the count shrinks the set.",
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "supplier"))
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    waiting = (
+        l1.join(l2, (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")), "left_semi")
+        .join(l3, (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")), "left_anti")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("numwait").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           cast(count(*) as bigint) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (c_mktsegment standing in for the phone-country "
+    "prefix): above-average-balance customers with no RECENT orders, "
+    "rolled up per segment. The scalar global average is a one-row "
+    "broadcast (a bounded BroadcastNestedLoopJoin, allowlisted like the "
+    "kNN query-row broadcast), the no-recent-orders predicate is a "
+    "left-anti join on o_custkey whose date filter is pushed to the "
+    "orders scan, and both aggregates plan map-side partials.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"].select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    o = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
