@@ -358,3 +358,168 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination, TF-IDF, domain-mixture weights
+# ---------------------------------------------------------------------------
+
+DECON_N = 4  # n-gram length for train/eval overlap detection
+EVAL_SOURCE = "src0"  # the synthetic 'benchmark' slice of the corpus
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {{toks}} AS toks
+               FROM documents WHERE n_chars > 0),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  md5(array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')) AS ng
+           FROM d CROSS JOIN (SELECT unnest(generate_series(1,
+               (SELECT max(len(toks)) FROM d))) AS i) g
+           WHERE i + {DECON_N - 1} <= len(toks))
+    SELECT c.doc_id,
+           cast(count(DISTINCT c.ng) as bigint) AS n_ngrams_hit,
+           cast(count(DISTINCT e.doc_id) as bigint) AS n_eval_docs
+    FROM sh c JOIN sh e ON c.ng = e.ng
+    WHERE e.source = '{EVAL_SOURCE}' AND c.source <> '{EVAL_SOURCE}'
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing any
+    word-{DECON_N}-gram with the held-out benchmark slice (source =
+    {EVAL_SOURCE}), the standard n-gram-collision contamination check
+    run before training. Both sides dedupe (doc, n-gram) BEFORE the
+    join, so the equi join is keyed on an md5'd fixed-width n-gram hash
+    whose per-key fan-out is bounded by doc count, never raw token
+    positions — no cartesian anywhere. At 100 TB the eval side is tiny
+    (benchmarks are ~1e5 rows) and broadcastable; here it rides the
+    same hash shuffle."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    sh = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("doc_id", "source", f"{toks} AS toks")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(f"sequence(1, size(toks) - {DECON_N - 1})")).alias("i"),
+            "toks",
+        )
+        .selectExpr("doc_id", "source", f"md5(array_join(slice(toks, i, {DECON_N}), ' ')) AS ng")
+        .distinct()
+    )
+    ev = sh.filter(F.col("source") == EVAL_SOURCE).select(
+        F.col("ng"), F.col("doc_id").alias("eval_doc")
+    )
+    return (
+        sh.filter(F.col("source") != EVAL_SOURCE)
+        .join(ev, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_ngrams_hit"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents WHERE n_chars > 0),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    scored AS (SELECT tf.doc_id, tf.term,
+                      round(tf.tf * ln(cast(n.n_docs as double) / df.df), 6) AS tfidf,
+                      row_number() OVER (PARTITION BY tf.doc_id
+                          ORDER BY tf.tf * ln(cast(n.n_docs as double) / df.df) DESC,
+                                   tf.term) AS rnk
+               FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, cast(rnk as int) AS rnk, term, tfidf
+    FROM scored WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. Two aggregations (term frequency
+    per doc, document frequency per term) meet in an equi join on term,
+    then a per-doc window rank — every shuffle is keyed on a
+    high-cardinality column (doc_id or term), partial aggregation
+    applies to both, and the window partitions by doc_id so no global
+    sort exists. The corpus size N is a single count() scalar folded
+    into the idf literal (one job, not a row-wise broadcast)."""
+    toks = textops.toks_expr("spark")
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, ("documents",))["documents"].filter(F.col("n_chars") > 0)
+    n_docs = docs.count()
+    terms = docs.selectExpr("doc_id", f"explode({toks}) AS term")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "term",
+            F.round("score", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "mixture_weights",
+    oracle=f"""
+    WITH s AS (SELECT source,
+                      cast(count(*) as bigint) AS n_docs,
+                      cast(sum(len({{toks}})) as bigint) AS n_tokens
+               FROM documents WHERE n_chars > 0 GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           round((cast(sum(n_tokens) OVER () as double) / count(*) OVER ())
+                 / n_tokens, 6) AS weight
+    FROM s
+    ORDER BY source
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling weights that
+    equalize the token share of every source (weight = uniform-target
+    tokens / actual tokens), the arithmetic behind training-mixture
+    rebalancing. The corpus-wide totals come from an unpartitioned
+    window over the ALREADY-AGGREGATED per-source table — 20 rows, so
+    the single-partition window is on the rollup, never the corpus."""
+    from pyspark.sql import Window
+
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    s = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("source", f"cast(size({toks}) as bigint) AS n_toks")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            (F.sum("n_tokens").over(w).cast("double") / F.count(F.lit(1)).over(w))
+            / F.col("n_tokens"),
+            6,
+        ).alias("weight"),
+    ).orderBy("source")

@@ -415,3 +415,39 @@ def events_salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_distinct_users_approx",
+    # An HLL++ sketch is engine-specific, so value parity with DuckDB is
+    # impossible by design (same stance as price_percentiles_approx);
+    # the checkable contract is the error guarantee vs the exact count,
+    # which the Spark side verifies itself and the oracle asserts.
+    oracle="""
+    SELECT event_type, true AS approx_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="approx_count_distinct (HLL++, rsd=0.01) per event type — the "
+    "100 TB path for distinct-user counts: a fixed-size mergeable "
+    "sketch per partition, one map-side partial per type, no expand "
+    "step and no (type, user) dedupe shuffle like the exact plan. The "
+    "query self-checks the sketch against the exact count and returns "
+    "the guarantee verdict (|approx - exact| <= 5% of exact), which is "
+    "deterministic for a fixed dataset.",
+)
+def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .select(
+            "event_type",
+            (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
