@@ -88,6 +88,33 @@ def test_pack_sequences_bins_monotone(spark):
         assert (grp.bin_id == prefix // PACK_BUDGET).all()
 
 
+def test_decontam_join_is_hash_equi_on_ngram(spark):
+    plan = _executed(spark, "decontam_ngram_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # dedupe must happen below the join (HashAggregate on (doc, ng) feeds it)
+    assert "BatchEvalPython" not in plan
+
+
+def test_mixture_weights_sum_to_source_count(spark):
+    pdf = REGISTRY["mixture_weights"].fn(spark, SF_SMOKE).toPandas()
+    # equalizing weights: sum(weight * n_tokens) == total tokens, i.e.
+    # mean-normalized — each source's weighted mass equals the uniform share
+    total = pdf.n_tokens.sum()
+    assert abs((pdf.weight * pdf.n_tokens).sum() - total) / total < 1e-4
+    assert (pdf.weight > 0).all()
+
+
+def test_tfidf_rank_dense_and_bounded(spark):
+    pdf = REGISTRY["tfidf_top_terms"].fn(spark, SF_SMOKE).toPandas()
+    assert set(pdf.rnk.unique()) <= {1, 2, 3}
+    g = pdf.groupby("doc_id").rnk
+    assert (g.min() == 1).all()
+    # tfidf non-increasing within a doc
+    for _, grp in pdf.groupby("doc_id"):
+        s = grp.sort_values("rnk").tfidf.values
+        assert all(s[i] >= s[i + 1] - 1e-9 for i in range(len(s) - 1))
+
+
 def test_range_join_errors_all_present(spark):
     # LEFT join semantics: every error event appears, zero-click ones included
     from tracy_matdb_spark.catalog import load_events

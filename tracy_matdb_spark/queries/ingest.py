@@ -359,3 +359,45 @@ def run_state_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     states = derive_run_state(expected, extracted)
     return run_state_rollup(states)
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus ingest round-trip (the dominant LLM-corpus interchange format)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT source, cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS sum_chars,
+           cast(sum(length(text)) as bigint) AS sum_text_len
+    FROM documents WHERE doc_id < 100
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="documents slice -> df.write.json (one JSON object per line, the "
+    "LLM-corpus interchange format) -> spark.read.json with an explicit "
+    "schema -> per-source rollup. The oracle aggregates the ORIGINAL "
+    "parquet directly, so any lossiness in the JSON writer, the reader, "
+    "or string escaping breaks parity. The explicit read schema skips "
+    "the inference pass (one scan, not two) — the 100 TB ingest path.",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.catalog import load
+
+    out = os.path.join(FIXTURE_ROOT, "jsonl_docs")
+    docs = load(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") < 100)
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .orderBy("source")
+    )
