@@ -451,3 +451,84 @@ def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT cast(count(*) as bigint) AS n_users,
+           cast(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_signup,
+           cast(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    THEN 1 ELSE 0 END) as bigint) AS n_view_after,
+           cast(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                         AND t_click > t_view THEN 1 ELSE 0 END) as bigint) AS n_click_after,
+           cast(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                         AND t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) as bigint) AS n_purchase_after
+    FROM u
+    """,
+    doc="Ordered funnel (signup -> view -> click -> purchase by FIRST "
+    "occurrence): one shuffle on user_id computes all four stage "
+    "timestamps as conditional min aggregates (map-side partials), then "
+    "a single-row rollup counts each ordered prefix. No self-joins — "
+    "the k-stage funnel that is usually written as k-1 joins collapses "
+    "into one pivoted aggregation, the shape that survives 100 TB.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    stage = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias("t_" + s)
+    u = ev.groupBy("user_id").agg(
+        stage("signup"), stage("view"), stage("click"), stage("purchase")
+    )
+    sgn = F.col("t_signup").isNotNull()
+    vw = sgn & (F.col("t_view") > F.col("t_signup"))
+    ck = vw & (F.col("t_click") > F.col("t_view"))
+    pr = ck & (F.col("t_purchase") > F.col("t_click"))
+    cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(n)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(sgn, "n_signup"),
+        cnt(vw, "n_view_after"),
+        cnt(ck, "n_click_after"),
+        cnt(pr, "n_purchase_after"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
+           cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS max_k,
+           cast(count(*) as bigint) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured JSON property extraction (the props column is a "
+    "JSON string, the shape of real event payloads): get_json_object "
+    "runs JVM-side inside the scan stage, so extraction is map-only and "
+    "the only shuffle is the 5-group rollup. At 100 TB the same query "
+    "reads a parsed struct column instead — from_json with an explicit "
+    "schema at ingest, extraction for free at query time.",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -1031,3 +1031,39 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "orders_rolling_7d_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+           AS rev_7d
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Time-RANGE window frame (not ROWS): per-customer trailing-7-day "
+    "revenue. The frame is defined on the timestamp axis, so ties and "
+    "gaps are handled by value, the semantics ROWS frames get wrong. "
+    "Partitioned by o_custkey — high cardinality, no global sort; the "
+    "Spark side orders on the epoch day number (unix_date — timezone-"
+    "free, exact for the midnight-aligned o_orderdate) with a -7..0 day "
+    "range frame, value-equivalent to the oracle's INTERVAL frame.",
+)
+def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-7, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+        )
+        .orderBy("o_orderkey")
+    )
