@@ -112,3 +112,17 @@ def test_q4_plans_semi_join(spark):
 def test_q7_q10_q14_broadcast_dims(spark):
     for name in ("q7_nation_volume", "q10_returned_items", "q14_promo_revenue"):
         assert "BroadcastHashJoin" in _plan(spark, name), name
+
+
+def test_funnel_is_join_free_single_user_shuffle(spark):
+    # the k-stage funnel must be one conditional-agg pass, not k-1 self-joins
+    plan = _plan(spark, "funnel_conversion")
+    assert "Join" not in plan
+    # formatted mode lists each node twice (tree + detail); count tree nodes
+    assert plan.count("Exchange (") <= 2  # user_id shuffle + single-row rollup
+
+
+def test_json_props_extraction_stays_jvm_side(spark):
+    plan = _plan(spark, "events_json_props")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
