@@ -523,3 +523,43 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     ).orderBy("source")
+
+
+VOCAB_K = 20  # corpus-wide top-k vocabulary entries
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT unnest({{toks}}) AS term FROM documents WHERE n_chars > 0),
+    tot AS (SELECT count(*) AS n FROM t)
+    SELECT term, cast(count(*) as bigint) AS n_occ,
+           round(count(*) / (SELECT cast(n as double) FROM tot), 6) AS share
+    FROM t
+    GROUP BY term
+    ORDER BY n_occ DESC, term
+    LIMIT {VOCAB_K}
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{VOCAB_K} vocabulary with occurrence share — the
+    frequency table a tokenizer build starts from. One explode + one
+    term-keyed aggregation (map-side partials absorb the Zipf head
+    before the shuffle, so hot terms cost one partial row per task, not
+    one shuffle row per occurrence), then TakeOrdered for the top-k —
+    no global sort. The total token count folds in as a scalar from the
+    same aggregate pass."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    terms = docs.filter(F.col("n_chars") > 0).selectExpr(f"explode({toks}) AS term")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    total = counts.agg(F.sum("n_occ")).first()[0]
+    return (
+        counts.select(
+            "term",
+            "n_occ",
+            F.round(F.col("n_occ") / F.lit(float(total)), 6).alias("share"),
+        )
+        .orderBy(F.col("n_occ").desc(), "term")
+        .limit(VOCAB_K)
+    )

@@ -1067,3 +1067,67 @@ def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "dq_constraint_audit",
+    oracle="""
+    SELECT 'lineitem_null_keys' AS check_name,
+           cast((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IS NULL OR l_partkey IS NULL) as bigint) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           cast((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) as bigint)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           cast((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) as bigint)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           cast((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) as bigint)
+    ORDER BY check_name
+    """,
+    doc="Data-quality constraint audit (expectations-style pipeline "
+    "gate): NOT NULL, value-range, and two referential-integrity checks "
+    "in one pass each. The null/range checks are map-only conditional "
+    "sums folded into a single scan; each FK check is a left-anti join "
+    "on the key (customer broadcastable at dimension scale, "
+    "orders-lineitem sort-merge under AQE). The output is a tiny "
+    "check->violation-count table, the thing a pipeline asserts on "
+    "before promoting a snapshot.",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "orders", "customer"))
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    one_row = lambda name, cnt: cnt.select(
+        F.lit(name).alias("check_name"), F.col("n").cast("bigint").alias("n_violations")
+    )
+    null_keys = li.agg(
+        F.sum(
+            F.when(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull(), 1).otherwise(0)
+        ).alias("n")
+    )
+    disc_range = li.agg(
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)).alias("n")
+    )
+    orphan_li = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_o = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        one_row("lineitem_null_keys", null_keys)
+        .unionByName(one_row("lineitem_discount_range", disc_range))
+        .unionByName(one_row("lineitem_orphan_orderkey", orphan_li))
+        .unionByName(one_row("orders_orphan_custkey", orphan_o))
+        .orderBy("check_name")
+    )
