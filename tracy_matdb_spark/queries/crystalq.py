@@ -376,3 +376,80 @@ def kpoint_path_fcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tracy_matdb_spark.operators.kpoints import kpath_points
 
     return kpath_points(spark).orderBy("segment", "step")
+
+
+# ---------------------------------------------------------------------------
+# Cell geometry characterization over generated configurations
+# (reference reads these off ase.Atoms; here closed-form on the cell matrix)
+# ---------------------------------------------------------------------------
+
+
+def _geometry_exprs() -> list[str]:
+    """Dialect-shared SQL snippets over cell columns c00..c22.
+
+    Only +,*,/ and sqrt (IEEE correctly-rounded in both engines), so
+    every output is bit-identical in Spark and DuckDB; angles are
+    reported as cosines to avoid acos (not correctly-rounded)."""
+    rows = {name: [f"c{i}0", f"c{i}1", f"c{i}2"] for name, i in (("a", 0), ("b", 1), ("c", 2))}
+    sq = lambda v: " + ".join(f"{x}*{x}" for x in v)
+    dot = lambda u, v: " + ".join(f"{x}*{y}" for x, y in zip(u, v))
+    det = (
+        "c00*(c11*c22 - c12*c21) - c01*(c10*c22 - c12*c20) + c02*(c10*c21 - c11*c20)"
+    )
+    # min-image nearest neighbor: min |i*a + j*b + k*c| over 13 non-antipodal
+    # nonzero integer offsets (the other 13 are mirror images)
+    offs = [
+        (i, j, k)
+        for i in (-1, 0, 1)
+        for j in (-1, 0, 1)
+        for k in (-1, 0, 1)
+        if (i, j, k) > (0, 0, 0)
+    ]
+    terms = []
+    for i, j, k in offs:
+        comp = [
+            f"({i}*c0{d} + {j}*c1{d} + {k}*c2{d})" for d in range(3)
+        ]
+        terms.append("(" + sq(comp) + ")")
+    rmin2 = "least(" + ", ".join(terms) + ")"
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    return [
+        f"round(sqrt({sq(a)}), 6) AS len_a",
+        f"round(sqrt({sq(b)}), 6) AS len_b",
+        f"round(sqrt({sq(c)}), 6) AS len_c",
+        f"round(({dot(b, c)}) / (sqrt({sq(b)}) * sqrt({sq(c)})), 6) AS cos_alpha",
+        f"round(({dot(a, c)}) / (sqrt({sq(a)}) * sqrt({sq(c)})), 6) AS cos_beta",
+        f"round(({dot(a, b)}) / (sqrt({sq(a)}) * sqrt({sq(b)})), 6) AS cos_gamma",
+        f"round(abs({det}), 6) AS volume",
+        f"round(sqrt({rmin2}), 6) AS rmin",
+    ]
+
+
+def _cell_geometry_oracle() -> str:
+    from tracy_matdb_spark.operators.generators import distortion_oracle_sql
+
+    return (
+        f"SELECT seed_id, config_id, {', '.join(_geometry_exprs())} "
+        f"FROM ({distortion_oracle_sql()}) d ORDER BY seed_id, config_id"
+    )
+
+
+@register(
+    "cell_geometry",
+    oracle=_cell_geometry_oracle(),
+    doc="Lattice geometry characterization of every generated config: "
+    "edge lengths, inter-axis cosines, cell volume, and the minimum-"
+    "image nearest-neighbor distance rmin (the quantity the reference's "
+    "optimal-supercell search maximizes, matdb/database/transforms.py:"
+    "54-99, here closed-form over 13 non-antipodal integer offsets). "
+    "Map-only codegen'd arithmetic appended to the distortion generator "
+    "— zero additional shuffles; the oracle re-derives everything from "
+    "the shared PRNG pipeline in DuckDB.",
+)
+def cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.generators import distortion_generate
+
+    d = distortion_generate(spark)
+    return d.selectExpr("seed_id", "config_id", *_geometry_exprs()).orderBy(
+        "seed_id", "config_id"
+    )
