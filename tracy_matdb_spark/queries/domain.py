@@ -550,3 +550,68 @@ def mllib_fit_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coef_x1 double, coef_x2 double, intercept double, holdout_rms double, "
         "n_train bigint, n_holdout bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: which groups changed between two catalog versions
+# (incremental form of the reference's verify, database/__init__.py:1965-1976)
+# ---------------------------------------------------------------------------
+
+_SNAP_HASH_DUCK = (
+    "bit_xor(('0x' || substr(md5(concat_ws('|', cast(42 as varchar), "
+    "cast(l_orderkey as varchar), cast(l_linenumber as varchar))), 1, 15))::bigint)"
+)
+
+
+@register(
+    "snapshot_diff_groups",
+    oracle=f"""
+    WITH snap_a AS (
+        SELECT l_returnflag AS grp, {_SNAP_HASH_DUCK} AS h, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    snap_b AS (
+        SELECT l_returnflag AS grp, {_SNAP_HASH_DUCK} AS h, count(*) AS n
+        FROM lineitem WHERE l_orderkey % 97 <> 0 GROUP BY l_returnflag
+    )
+    SELECT coalesce(a.grp, b.grp) AS grp,
+           cast(coalesce(a.n, 0) as bigint) AS n_rows_a,
+           cast(coalesce(b.n, 0) as bigint) AS n_rows_b,
+           (a.h IS DISTINCT FROM b.h) AS changed
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.grp = b.grp
+    ORDER BY grp
+    """,
+    doc="Incremental catalog verify: per-group order-independent content "
+    "hashes of two snapshots (snapshot B simulates a partial re-extract "
+    "— rows with l_orderkey % 97 == 0 missing), full-outer-joined on "
+    "group to flag exactly the groups needing re-sync. Each snapshot is "
+    "one map-side-partial XOR rollup; the join is a tiny group-keyed "
+    "hash join — the pattern that verifies a 100 TB catalog without "
+    "re-reading unchanged groups' data twice (hashes can be persisted "
+    "per manifest version and compared across runs).",
+)
+def snapshot_diff_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        h = hash60(F.lit(42), F.col("l_orderkey"), F.col("l_linenumber"))
+        return (
+            df.select(F.col("l_returnflag").alias("grp"), h.alias("h"))
+            .groupBy("grp")
+            .agg(F.expr("bit_xor(h)").alias("h"), F.count(F.lit(1)).alias("n"))
+        )
+
+    a = rollup(li).select(F.col("grp"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
+    b = rollup(li.filter(F.col("l_orderkey") % 97 != 0)).select(
+        F.col("grp"), F.col("h").alias("h_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "grp", "full_outer")
+        .select(
+            "grp",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_rows_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_rows_b"),
+            (~F.col("h_a").eqNullSafe(F.col("h_b"))).alias("changed"),
+        )
+        .orderBy("grp")
+    )
