@@ -54,3 +54,27 @@ def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
     source's bytes (pinned as `PartitionFilters` in tests/test_bucketing.py).
     """
     df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
+def zorder_expr(dialect: str, x: str, y: str, bits: int = 8) -> str:
+    """Dialect-shared Morton (Z-order) interleave of two non-negative
+    integer expressions (low `bits` of each -> a 2*bits-bit key).
+
+    Clustering a table's sort/range-partition key on z(x, y) keeps rows
+    close in BOTH dimensions within the same parquet row groups, so
+    min/max pruning cuts scans for predicates on either column — the
+    layout trick behind Delta/Iceberg Z-ordering, here as a plain
+    expression usable with repartitionByRange + sortWithinPartitions.
+    Pure bit arithmetic: identical in Spark SQL and DuckDB.
+    """
+    if dialect == "spark":
+        shr = lambda e, i: f"shiftright({e}, {i})" if i else e
+        shl = lambda e, i: f"shiftleft({e}, {i})" if i else e
+    else:
+        shr = lambda e, i: f"(({e}) >> {i})" if i else f"({e})"
+        shl = lambda e, i: f"(({e}) << {i})" if i else f"({e})"
+    terms = []
+    for i in range(bits):
+        terms.append(shl(f"({shr(x, i)} & 1)", 2 * i))
+        terms.append(shl(f"({shr(y, i)} & 1)", 2 * i + 1))
+    return "(" + " + ".join(terms) + ")"

@@ -532,3 +532,50 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "zorder_layout_buckets",
+    oracle="""
+    WITH z AS (
+        SELECT ((((ux) & 1)) + ((((dy) & 1)) << 1) + (((((ux) >> 1) & 1)) << 2) + (((((dy) >> 1) & 1)) << 3) + (((((ux) >> 2) & 1)) << 4) + (((((dy) >> 2) & 1)) << 5) + (((((ux) >> 3) & 1)) << 6) + (((((dy) >> 3) & 1)) << 7) + (((((ux) >> 4) & 1)) << 8) + (((((dy) >> 4) & 1)) << 9) + (((((ux) >> 5) & 1)) << 10) + (((((dy) >> 5) & 1)) << 11) + (((((ux) >> 6) & 1)) << 12) + (((((dy) >> 6) & 1)) << 13) + (((((ux) >> 7) & 1)) << 14) + (((((dy) >> 7) & 1)) << 15)) AS zkey, value
+        FROM (SELECT (user_id % 256) AS ux,
+                     (cast(epoch(ts) as bigint) // 86400) % 256 AS dy,
+                     value
+              FROM events)
+    )
+    SELECT cast(zkey // 256 as bigint) AS zbucket,
+           cast(count(*) as bigint) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM z
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """,
+    doc="Z-order (Morton) layout audit: interleave (user_id, epoch-day) "
+    "into a space-filling key and roll up per 256-key bucket — the "
+    "write-side clustering that makes BOTH user- and time-range scans "
+    "prune at 100 TB (repartitionByRange(zkey) + sortWithinPartitions "
+    "at ingest; min/max row-group stats then cut either predicate). "
+    "The interleave is pure codegen'd bit arithmetic (operators/"
+    "bucketing.py zorder_expr), bit-identical in both engines.",
+)
+def zorder_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.bucketing import zorder_expr
+
+    ev = load_events(spark, sf_dir)
+    z = zorder_expr("spark", "ux", "dy")
+    return (
+        ev.selectExpr(
+            "(user_id % 256) AS ux",
+            "(cast(unix_timestamp(ts) as bigint) div 86400) % 256 AS dy",
+            "value",
+        )
+        .selectExpr(f"{z} AS zkey", "value")
+        .selectExpr("cast(zkey div 256 as bigint) AS zbucket", "value")
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("zbucket")
+    )
