@@ -563,3 +563,61 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "term")
         .limit(VOCAB_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source relative quality gate (keep the top half within each domain)
+# ---------------------------------------------------------------------------
+
+
+def _qscore(dialect: str) -> str:
+    toks = textops.toks_expr(dialect)
+    n_tok = f"cast({'size' if dialect == 'spark' else 'len'}({toks}) as bigint)"
+    n_stop = f"cast({textops.count_in_expr(dialect, toks, textops.STOPWORDS)} as bigint)"
+    return textops.quant_ratio_expr(n_stop, n_tok)
+
+
+@register(
+    "quality_percentile_gate",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_qscore('duckdb')} AS score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {_qscore('duckdb')} DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_src
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, score,
+           (rn * 2 <= n_src) AS kept
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: within each source, keep the top half of
+    documents by stopword-density score — the per-domain percentile
+    filtering used when absolute thresholds would empty some domains
+    and pass everything in others. One window partitioned by source
+    (high-cardinality at corpus scale, so no global sort); score is the
+    integer-quantized ratio (exact in both engines), ties broken by
+    doc_id so the gate is fully reproducible."""
+    from pyspark.sql import Window
+
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    scored = docs.filter(F.col("n_chars") > 0).selectExpr(
+        "doc_id", "source", f"{_qscore('spark')} AS score"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    wc = Window.partitionBy("source")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(wc))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            (F.col("rn") * 2 <= F.col("n_src")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
