@@ -882,3 +882,70 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(size({pieces}) as bigint) AS n_pieces",
         f"aggregate({pieces}, cast(0 as bigint), (a, t) -> a + cast(ceil(length(t) / 4.0) as bigint)) AS n_bpe_est",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: new batch vs already-ingested corpus
+# ---------------------------------------------------------------------------
+
+BATCH_START = 400  # doc_id >= BATCH_START plays the "newly arrived" batch
+
+
+@register(
+    "incremental_dedup_ingest",
+    oracle=f"""
+    WITH {_jaccard_ctes_duckdb()},
+    batch AS (SELECT doc_id FROM documents WHERE doc_id >= {BATCH_START}),
+    vs_existing AS (
+        SELECT DISTINCT doc_b AS doc_id FROM jpairs
+        WHERE doc_a < {BATCH_START} AND doc_b >= {BATCH_START}
+    ),
+    vs_batch AS (
+        SELECT DISTINCT doc_b AS doc_id FROM jpairs
+        WHERE doc_a >= {BATCH_START}
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN i.doc_id IS NOT NULL THEN 'intra_batch_dup'
+                ELSE 'new' END AS verdict
+    FROM batch b
+    LEFT JOIN vs_existing e ON e.doc_id = b.doc_id
+    LEFT JOIN vs_batch i ON i.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the nightly-batch shape of a 100 TB
+    pipeline: newly arrived documents (doc_id >= {BATCH_START}) are
+    checked against the already-ingested corpus via MinHash-LSH
+    candidates verified by exact 3-gram Jaccard, and against EACH OTHER
+    (keep-lowest-id within the batch), then labeled near_dup /
+    intra_batch_dup / new. Reuses the bucketed LSH+verify pipeline —
+    candidate generation never compares all pairs — and resolves
+    verdicts with two left joins on doc_id. The reference's analog is
+    add_configs' uid anti-join dedupe (matdb/database/active.py:181-198)."""
+    pairs = _jaccard_pairs_df(spark, sf_dir)
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    batch = docs.filter(F.col("doc_id") >= BATCH_START).select("doc_id")
+    vs_existing = (
+        pairs.filter((F.col("doc_a") < BATCH_START) & (F.col("doc_b") >= BATCH_START))
+        .select(F.col("doc_b").alias("e_id"))
+        .distinct()
+    )
+    vs_batch = (
+        pairs.filter(F.col("doc_a") >= BATCH_START)
+        .select(F.col("doc_b").alias("i_id"))
+        .distinct()
+    )
+    return (
+        batch.join(vs_existing, F.col("e_id") == F.col("doc_id"), "left")
+        .join(vs_batch, F.col("i_id") == F.col("doc_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_id").isNotNull(), "near_dup")
+            .when(F.col("i_id").isNotNull(), "intra_batch_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
