@@ -1,0 +1,54 @@
+"""Property-based tests (hypothesis) for pure dialect-shared helpers.
+
+These run the SQL expression builders through DuckDB (no Spark session
+needed — fast), checking algebraic properties that fixture-based parity
+can't sweep exhaustively.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tracy_matdb_spark.operators.bucketing import zorder_expr
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255))
+def test_zorder_is_bijective_on_byte_pairs(x, y):
+    z = duckdb.sql(
+        f"SELECT {zorder_expr('duckdb', str(x), str(y))} AS z"
+    ).fetchone()[0]
+    # de-interleave and recover both inputs exactly
+    xs = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    ys = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (xs, ys) == (x, y)
+    assert 0 <= z < 1 << 16
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+def test_zorder_preserves_locality_prefix(x, y, x2, y2):
+    # same high nibbles => same top byte of the z-key (the pruning property)
+    if x >> 4 == x2 >> 4 and y >> 4 == y2 >> 4:
+        q = lambda a, b: duckdb.sql(
+            f"SELECT {zorder_expr('duckdb', str(a), str(b))}"
+        ).fetchone()[0]
+        assert q(x, y) >> 8 == q(x2, y2) >> 8
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 200))
+def test_chunk_windows_cover_every_token_exactly(n_toks):
+    from tracy_matdb_spark.queries.corpus import CHUNK_S, CHUNK_W
+
+    # stride-S windows of width W: every position in 1..n is inside at
+    # least one window, and positions overlap in at most ceil(W/S) windows
+    starts = list(range(1, n_toks + 1, CHUNK_S))
+    covered = sorted({p for s in starts for p in range(s, min(s + CHUNK_W, n_toks + 1))})
+    assert covered == list(range(1, n_toks + 1))
+    max_overlap = max(
+        sum(1 for s in starts if s <= p < s + CHUNK_W) for p in range(1, n_toks + 1)
+    )
+    assert max_overlap <= -(-CHUNK_W // CHUNK_S)
