@@ -1131,3 +1131,49 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one_row("orders_orphan_custkey", orphan_o))
         .orderBy("check_name")
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: supplier(s) with maximum quarterly revenue. The "
+    "scalar max over the aggregated revenue table decorrelates to a "
+    "rank-1 window over the ALREADY-AGGREGATED per-supplier rollup "
+    "(supplier-count rows, not lineitem rows), so no row-level data "
+    "crosses a single partition; the name lookup broadcasts supplier.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "supplier"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = (
+        rev.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    s = t["supplier"].select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
