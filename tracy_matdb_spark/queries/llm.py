@@ -924,26 +924,27 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation never compares all pairs — and resolves
     verdicts with two left joins on doc_id. The reference's analog is
     add_configs' uid anti-join dedupe (matdb/database/active.py:181-198)."""
+    # one pass over the verified pairs: both verdict sources fold into a
+    # single per-doc min-priority aggregate, so the (expensive) LSH+verify
+    # subtree is scanned once, not once per join branch
     pairs = _jaccard_pairs_df(spark, sf_dir)
     docs = load(spark, sf_dir, ("documents",))["documents"]
     batch = docs.filter(F.col("doc_id") >= BATCH_START).select("doc_id")
-    vs_existing = (
-        pairs.filter((F.col("doc_a") < BATCH_START) & (F.col("doc_b") >= BATCH_START))
-        .select(F.col("doc_b").alias("e_id"))
-        .distinct()
-    )
-    vs_batch = (
-        pairs.filter(F.col("doc_a") >= BATCH_START)
-        .select(F.col("doc_b").alias("i_id"))
-        .distinct()
+    flags = (
+        pairs.filter(F.col("doc_b") >= BATCH_START)
+        .select(
+            F.col("doc_b").alias("f_id"),
+            F.when(F.col("doc_a") < BATCH_START, 1).otherwise(2).alias("pri"),
+        )
+        .groupBy("f_id")
+        .agg(F.min("pri").alias("pri"))
     )
     return (
-        batch.join(vs_existing, F.col("e_id") == F.col("doc_id"), "left")
-        .join(vs_batch, F.col("i_id") == F.col("doc_id"), "left")
+        batch.join(flags, F.col("f_id") == F.col("doc_id"), "left")
         .select(
             "doc_id",
-            F.when(F.col("e_id").isNotNull(), "near_dup")
-            .when(F.col("i_id").isNotNull(), "intra_batch_dup")
+            F.when(F.col("pri") == 1, "near_dup")
+            .when(F.col("pri") == 2, "intra_batch_dup")
             .otherwise("new")
             .alias("verdict"),
         )
