@@ -950,3 +950,100 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized batch inference over embeddings (mapInPandas)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+# deterministic dyadic-free weights, exact float64 literals shared with the
+# oracle (Knuth multiplicative-hash counter, centered)
+SCORE_W = [((i * 2654435761) % 2**31) / 2**31 - 0.5 for i in range(EMB_DIM)]
+
+
+@register(
+    "embedding_score_batch",
+    oracle=f"""
+    SELECT vec_id, label,
+           cast(floor(list_reduce(list_transform(
+                    list_zip(embedding, {[repr(w) for w in SCORE_W]}::DOUBLE[]),
+                    x -> cast(x[1] as double) * cast(x[2] as double)),
+                (p, q) -> p + q) * cast(1000000 as double)) as bigint) AS score_q,
+           (list_reduce(list_transform(
+                    list_zip(embedding, {[repr(w) for w in SCORE_W]}::DOUBLE[]),
+                    x -> cast(x[1] as double) * cast(x[2] as double)),
+                (p, q) -> p + q) > 0) AS pred
+    FROM embeddings
+    ORDER BY vec_id
+    """.replace("'", ""),
+)
+def embedding_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over an embedding column — the Spark shape
+    of classifier scoring / reranking a 100 TB corpus: mapInPandas with
+    an Arrow-batched linear scorer (stand-in for any model whose
+    weights broadcast with the task closure). The kernel is one
+    vectorized matrix product per batch; the final fold uses
+    np.cumsum's sequential accumulation so each score is bit-identical
+    to the oracle's left-to-right list_reduce — vectorized AND exactly
+    checkable. Map-only: no shuffle at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    w = np.array(SCORE_W, dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            prods = E * w  # exact per-element float64 products
+            s = np.cumsum(prods, axis=1)[:, -1]  # sequential fold == list_reduce
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "score_q": np.floor(s * 1e6).astype("int64"),
+                    "pred": s > 0,
+                }
+            )
+
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .mapInPandas(score, "vec_id bigint, label int, score_q bigint, pred boolean")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "classifier_eval_metrics",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label,
+               (list_reduce(list_transform(
+                        list_zip(embedding, {[repr(w) for w in SCORE_W]}::DOUBLE[]),
+                        x -> cast(x[1] as double) * cast(x[2] as double)),
+                    (p, q) -> p + q) > 0) AS pred
+        FROM embeddings
+    )
+    SELECT cast(sum(CASE WHEN pred AND label = 1 THEN 1 ELSE 0 END) as bigint) AS tp,
+           cast(sum(CASE WHEN pred AND label = 0 THEN 1 ELSE 0 END) as bigint) AS fp,
+           cast(sum(CASE WHEN NOT pred AND label = 1 THEN 1 ELSE 0 END) as bigint) AS fn,
+           cast(sum(CASE WHEN NOT pred AND label = 0 THEN 1 ELSE 0 END) as bigint) AS tn
+    FROM scored
+    """.replace("'", ""),
+    doc="Confusion-matrix rollup of the batch scorer against the labeled "
+    "column — distributed model validation (the reference's analog is "
+    "the fit-vs-holdout RMS, matdb/fitting/basic.py:450-488). One "
+    "conditional-sum aggregate over the map-only scoring stage; "
+    "precision/recall derive driver-side from four scalars.",
+)
+def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = embedding_score_batch(spark, sf_dir)
+    flag = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(n)
+    p, l = F.col("pred"), F.col("label")
+    return scored.agg(
+        flag(p & (l == 1), "tp"),
+        flag(p & (l == 0), "fp"),
+        flag(~p & (l == 1), "fn"),
+        flag(~p & (l == 0), "tn"),
+    )
