@@ -621,3 +621,87 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: length histogram + unigram entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT cast(length(bin(n_chars)) as int) AS bucket_pow2,
+           cast(count(*) as bigint) AS n_docs,
+           cast(min(n_chars) as bigint) AS min_chars,
+           cast(max(n_chars) as bigint) AS max_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY bucket_pow2
+    ORDER BY bucket_pow2
+    """,
+    doc="Power-of-two document-length histogram (bucket = bit length of "
+    "n_chars, i.e. floor(log2)+1, computed with integer bit arithmetic "
+    "— no float log, so bucketing is exact in both engines). Map-only "
+    "+ a tiny rollup; the distribution dashboard every corpus build "
+    "starts with.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("cast(length(bin(n_chars)) as int) AS bucket_pow2", "n_chars")
+        .groupBy("bucket_pow2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket_pow2")
+    )
+
+
+@register(
+    "token_entropy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({{toks}}) AS term FROM documents WHERE n_chars > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+    n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           round(-sum((c / cast(n.n as double)) * ln(c / cast(n.n as double))), 6)
+               AS entropy,
+           cast(count(*) as bigint) AS n_distinct
+    FROM tf JOIN n ON tf.doc_id = n.doc_id
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy — the information-density quality
+    signal that separates word-salad from templated/repetitive text
+    (low entropy = repetition, complements repetition_ratio's top-token
+    rule). Explode -> (doc, term) count -> per-doc normalize: two
+    aggregations keyed on high-cardinality columns, map-side partials
+    on both, no window and no join with anything unbounded."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    tf = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("doc_id", f"explode({toks}) AS term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    n = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(n)
+    return (
+        tf.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
