@@ -16,7 +16,7 @@ session-timezone surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tracy_matdb_spark.catalog import load_events
@@ -578,4 +578,78 @@ def zorder_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("zbucket")
+    )
+
+
+@register(
+    "user_state_intervals",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error')
+    ORDER BY user_id, valid_from, event_id
+    """,
+    doc="SCD2-style validity intervals: each state-changing event opens "
+    "an interval closed by the user's next event (lead over user_id, "
+    "deterministic ts+event_id ordering; NULL = current state). The "
+    "window partitions on user_id, so interval construction is "
+    "embarrassingly parallel — the dimension-history build that turns "
+    "an event log into point-in-time joinable state at any scale.",
+)
+def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+@register(
+    "cdc_latest_compaction",
+    oracle="""
+    SELECT user_id, event_type, ts AS latest_ts,
+           round(value, 2) AS latest_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    doc="CDC compaction: latest record per (user, event_type) — the "
+    "upsert-log -> current-snapshot collapse every incremental table "
+    "maintenance runs. One window keyed on the compaction key (high "
+    "cardinality, map-side no; but AQE balances the single shuffle); "
+    "ties broken by event_id so compaction is deterministic under "
+    "replay, the exactly-once property checkpointed sinks rely on.",
+)
+def cdc_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.round("value", 2).alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
     )
