@@ -1177,3 +1177,59 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "orders_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT o.o_custkey, f.cohort_month,
+               cast(datediff('month', f.cohort_month,
+                             date_trunc('month', o.o_orderdate)) as int) AS months_out
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort_month, months_out,
+           cast(count(*) as bigint) AS n_active
+    FROM activity
+    WHERE months_out <= 6
+    GROUP BY cohort_month, months_out
+    ORDER BY cohort_month, months_out
+    """,
+    doc="Cohort retention matrix: customers grouped by first-order month, "
+    "counted in each subsequent month they ordered (capped at 6 months "
+    "out). The first-order month is a window-free groupBy min; the "
+    "cohort attach is an equi join on o_custkey (co-partitioned with "
+    "the month dedupe that follows, so AQE coalesces the shuffles); "
+    "month arithmetic is calendar-exact (months_between on truncated "
+    "months — no epoch division), identical in both engines.",
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, ("orders",))["orders"].select("o_custkey", "o_orderdate")
+    firsts = (
+        orders.groupBy("o_custkey")
+        .agg(F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month"))
+    )
+    activity = (
+        orders.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort_month")
+            )
+            .cast("int")
+            .alias("months_out"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("months_out") <= 6)
+        .groupBy("cohort_month", "months_out")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_month", "months_out")
+    )
