@@ -653,3 +653,50 @@ def cdc_latest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "events_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               cast(count(*) as bigint) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    stats AS (
+        SELECT *, avg(n) OVER (PARTITION BY event_type) AS mu,
+                  stddev_samp(n) OVER (PARTITION BY event_type) AS sigma
+        FROM daily
+    )
+    SELECT event_type, day, n,
+           round((n - mu) / sigma, 4) AS zscore,
+           (abs((n - mu) / sigma) > 2.5) AS is_anomaly
+    FROM stats
+    ORDER BY event_type, day
+    """,
+    doc="Daily volume anomaly detection: per-type day counts z-scored "
+    "against that type's distribution. The expensive pass is the "
+    "(type, day) rollup — map-side partials over the raw events; the "
+    "mean/stddev window then runs over the tiny aggregated table "
+    "(types x days rows), so the single-partition-per-type window "
+    "touches rollup rows only, never raw events. The monitoring query "
+    "every ingest pipeline runs after each batch.",
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 2.5).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1233,3 +1233,44 @@ def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_month", "months_out")
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           cast(count(*) as bigint) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 3
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+    doc="Market-basket co-occurrence: part pairs appearing together in "
+    ">= 3 orders. The self-join is equi on l_orderkey, so fan-out per "
+    "order is C(items,2) with items bounded by order size (~7) — a "
+    "constant per-key cost, not a quadratic blow-up; the pair dedupe "
+    "happens BEFORE the join (distinct (order, part)), and the "
+    "HAVING-filtered count shrinks to the co-occurrence sliver before "
+    "the top-50. The association-mining primitive at any scale.",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (F.col("l_orderkey") == F.col("ok_b")) & (F.col("l_partkey") < F.col("part_b")))
+        .select(F.col("l_partkey").alias("part_a"), "part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
