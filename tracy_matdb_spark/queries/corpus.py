@@ -705,3 +705,65 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap (domain-mixing diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH tv AS (
+        SELECT DISTINCT source, unnest({{toks}}) AS term
+        FROM documents WHERE n_chars > 0
+    ),
+    sizes AS (SELECT source, count(*) AS nv FROM tv GROUP BY source),
+    common AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM tv a JOIN tv b ON a.term = b.term AND a.source < b.source
+        GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b, cast(n_common as bigint) AS n_common,
+           {textops.quant_ratio_expr('n_common', '(sa.nv + sb.nv - n_common)')} AS jaccard_q
+    FROM common
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the domain-overlap
+    matrix behind mixing decisions (near-identical domains waste
+    mixture weight; disjoint ones justify it). The per-source vocab
+    dedupe happens BEFORE the term self-join, so per-term fan-out is
+    bounded by the number of sources (a constant), never document
+    counts; the quantized ratio keeps parity integer-exact."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    tv = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("source", f"explode({toks}) AS term")
+        .distinct()
+    )
+    sizes = tv.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    b = tv.select(F.col("source").alias("src_b"), F.col("term").alias("term_b"))
+    common = (
+        tv.join(b, (F.col("term") == F.col("term_b")) & (F.col("source") < F.col("src_b")))
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "cast(n_common as bigint) AS n_common",
+            f"{textops.quant_ratio_expr('n_common', '(nv_a + nv_b - n_common)')} AS jaccard_q",
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1274,3 +1274,42 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "orders_price_deciles",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice,
+               ntile(10) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT o_orderstatus AS status, decile,
+           cast(count(*) as bigint) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM ranked
+    GROUP BY status, decile
+    ORDER BY status, decile
+    """,
+    doc="Equi-depth decile boundaries per order status (ntile windows, "
+    "deterministic o_orderkey tie-break) — the bucket boundaries an "
+    "equi-depth histogram or a range-partitioner needs. Partitioned by "
+    "status so each window sorts its own slice; for an unpartitioned "
+    "100 TB variant the same boundaries come from approx_percentile "
+    "(see price_percentiles_approx) without the global sort.",
+)
+def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy(F.col("o_orderstatus").alias("status"), "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("status", "decile")
+    )
