@@ -767,3 +767,49 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (term -> posting list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tv AS (
+        SELECT DISTINCT unnest({{toks}}) AS term, doc_id
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT term,
+           cast(count(*) as bigint) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM tv
+    GROUP BY term
+    HAVING count(*) >= 300
+    ORDER BY term
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> sorted posting list (emitted as a
+    comma string for exact cross-engine comparison) for high-df terms.
+    One (term, doc) dedupe then a term-keyed aggregation — map-side
+    partials absorb the Zipf head; at 100 TB the posting lists write
+    out partitioned by term hash (bounded per-term memory via the df
+    cutoff shown, or positional chunking for the true long tail)."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    tv = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr(f"explode({toks}) AS term", "doc_id")
+        .distinct()
+    )
+    return (
+        tv.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
+        )
+        .filter(F.col("df") >= 300)
+        .orderBy("term")
+    )

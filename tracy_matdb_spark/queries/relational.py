@@ -1313,3 +1313,64 @@ def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "decile")
     )
+
+
+@register(
+    "revenue_gini_by_status",
+    oracle="""
+    WITH per_order AS (
+        SELECT o_orderstatus AS status, o_orderkey,
+               cast(floor(o_totalprice * cast(100 as double)) as bigint) AS cents
+        FROM orders
+    ),
+    ranked AS (
+        SELECT status, cents,
+               row_number() OVER (PARTITION BY status ORDER BY cents, o_orderkey) AS i,
+               count(*) OVER (PARTITION BY status) AS n,
+               sum(cents) OVER (PARTITION BY status) AS total
+        FROM per_order
+    )
+    SELECT status,
+           cast(max(n) as bigint) AS n_orders,
+           round(sum((2.0 * i - n - 1) * cents) / (max(n) * cast(max(total) as double)), 6)
+               AS gini
+    FROM ranked
+    GROUP BY status
+    ORDER BY status
+    """,
+    doc="Revenue concentration (Gini coefficient) per order status via "
+    "the sorted-rank identity G = sum((2i-n-1)x_i)/(n*sum x) — one "
+    "window rank per status partition over integer cents (exact "
+    "ordering, deterministic o_orderkey tie-break), then a plain "
+    "aggregate; no quadratic |x_i - x_j| double sum. The inequality "
+    "dashboard for skew planning: a high-Gini key column is the one "
+    "that needs salting.",
+)
+def revenue_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, ("orders",))["orders"]
+    per = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wr = Window.partitionBy("status").orderBy("cents", "o_orderkey")
+    wp = Window.partitionBy("status")
+    ranked = per.select(
+        "status",
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("total"),
+    )
+    return (
+        ranked.groupBy("status")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+                / (F.max("n") * F.max("total").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("status")
+    )
