@@ -7,6 +7,7 @@ keep the same code fast at 1000x the data.
 from __future__ import annotations
 
 from tests.conftest import SF_SMOKE
+from tracy_matdb_spark.plans.window_audit import window_findings
 from tracy_matdb_spark.queries import load_all
 
 REGISTRY = load_all()
@@ -74,6 +75,55 @@ def test_no_quadratic_joins_in_registered_queries(spark):
         assert "CartesianProduct" not in plan, name
         if name not in NLJ_ALLOWED:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# Windows whose input is a bounded AGGREGATE (not row-level data), so the
+# single-task sort is O(groups) — documented here because the static audit
+# cannot see cardinality through an aggregate:
+#   mixture_weights      — unpartitioned window over the per-source rollup
+#                          (O(sources) ~ 20 rows)
+#   events_daily_anomaly — per-type window over the per-(type, day) rollup
+#                          (O(types x days) rows)
+WINDOW_ALLOWED = {"mixture_weights", "events_daily_anomaly"}
+
+
+def test_no_single_task_windows_in_registered_queries(spark):
+    """No registered query may plan a WindowExec with an empty partition
+    spec or a partition spec made solely of known tiny-cardinality
+    columns (status/source/event_type...): either shape funnels ~N/groups
+    rows into one task at 100 TB. The two-phase range-sliced primitives
+    in operators/rank.py are the sanctioned alternative (their internal
+    windows are slice-partitioned or O(slices), and exempt)."""
+    for name in REGISTRY:
+        if name in WINDOW_ALLOWED:
+            continue
+        findings = window_findings(_plan(spark, name))
+        assert not findings, f"{name}: {findings}"
+
+
+def test_window_audit_flags_naive_low_card_window(spark):
+    """The auditor itself must stay sharp: the round-2 gini/deciles shape
+    (row-level window partitioned only by a 3-value status column) and a
+    fully unpartitioned rank must both be flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("status"), F.col("id").alias("v")
+    )
+    naive = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("status").orderBy("v"))
+    )
+    plan = naive._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert any("low-cardinality" in f for f in window_findings(plan))
+
+    unpart = df.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    plan2 = unpart._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert any("unpartitioned" in f for f in window_findings(plan2))
 
 
 def test_whole_stage_codegen_active(spark):

@@ -107,3 +107,109 @@ def global_rank_lazy(
         out = out.withColumnRenamed("__total", total_col)
         return out.drop("__h", "__b", "__offset")
     return out.drop("__h", "__b", "__offset", "__total")
+
+
+def _sliced_offsets(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    measure: Column,
+    n_parts: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared phase 1+2 of the grouped two-phase window primitives:
+    range-repartition df on (group, *order) into contiguous slices,
+    then compute per-(group, slice) exclusive running totals of
+    ``measure`` (count -> rank offsets; sum(x) -> prefix-sum offsets).
+    Returns (sliced rows carrying __pid, broadcastable offsets).
+
+    The offsets aggregate is O(n_parts) rows, so its per-group window
+    is O(slices), not O(rows). n_parts is resolved explicitly so AQE
+    never re-coalesces the two references to the exchange differently;
+    slice ids (spark_partition_id) are deterministic because range
+    bounds are sampled with partition-seeded RNG from a deterministic
+    scan.
+    """
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sort_cols = [F.col(c) for c in (*group_cols, *order_cols)]
+    parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    slice_tot = parts.groupBy(*group_cols, "__pid").agg(measure.alias("__m"))
+    w_off = Window.partitionBy(*group_cols).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = slice_tot.select(
+        *group_cols, "__pid", (F.sum("__m").over(w_off) - F.col("__m")).alias("__offset")
+    )
+    return parts, offsets
+
+
+def grouped_value_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact 1-based rank within each group ordered by ``order_cols`` —
+    the scale-safe replacement for ``row_number() OVER (PARTITION BY
+    group ORDER BY value)`` when the group column has LOW cardinality
+    (e.g. 3 order statuses): the naive window sorts each whole group in
+    a single task, so at 100 TB every ~N/3-row group lands on one
+    executor.
+
+    Two-phase, all codegen'd built-ins:
+
+      1. ``repartitionByRange`` on (group, *order) — Spark's sampled
+         range partitioner gives each task a contiguous, balanced slice
+         of the composite sort order, so one group spans many tasks;
+      2. per-(group, slice) counts (O(n_parts) rows) -> per-group
+         running-sum offsets, broadcast back;
+      3. ``row_number()`` partitioned by (group, slice) — parallel
+         windows — plus the slice offset = exact in-group rank.
+
+    ``order_cols`` must make (group, *order) unique (include a tiebreak
+    key): ranks are then deterministic and no tie can straddle a range
+    boundary.
+    """
+    parts, offsets = _sliced_offsets(df, group_cols, order_cols, F.count(F.lit(1)), n_parts)
+    w = Window.partitionBy(*group_cols, "__pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        parts.join(F.broadcast(offsets), [*group_cols, "__pid"])
+        .withColumn(out_col, F.row_number().over(w) + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "prefix_sum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``val_col`` within each group in
+    ``order_cols`` order — the scale-safe replacement for ``sum(x) OVER
+    (PARTITION BY group ORDER BY ... ROWS UNBOUNDED PRECEDING)`` when
+    the group has low cardinality (e.g. ~20 corpus sources): the naive
+    window scans each whole group in one task.
+
+    Same two-phase shape as grouped_value_rank, with per-slice SUMS as
+    the offset measure: range-slice on (group, *order), broadcast the
+    per-(group, slice) exclusive running totals back, add the in-slice
+    running sum. ``order_cols`` must make (group, *order) unique so the
+    prefix order is deterministic and ties never straddle slices.
+    """
+    parts, offsets = _sliced_offsets(df, group_cols, order_cols, F.sum(val_col), n_parts)
+    w = (
+        Window.partitionBy(*group_cols, "__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(offsets), [*group_cols, "__pid"])
+        .withColumn(out_col, F.sum(val_col).over(w) + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )

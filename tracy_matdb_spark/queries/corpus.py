@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from tracy_matdb_spark.catalog import load
 from tracy_matdb_spark.functions import prng
 from tracy_matdb_spark.operators import textops
+from tracy_matdb_spark.operators.rank import grouped_prefix_sum, grouped_value_rank
 from tracy_matdb_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -333,29 +334,26 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: assign documents to fixed
     token-budget bins ({PACK_BUDGET} tokens) by prefix-sum — a document
-    starts in the bin its cumulative offset falls in. Packing runs per
-    source (window PARTITION BY source), so no global single-partition
-    sort exists and every partition packs independently — the property
-    that lets a 100 TB corpus pack in one pass. Order within a source is
-    doc_id: reproducible, restart-safe, no RNG."""
-    from pyspark.sql import Window
-
+    starts in the bin its cumulative offset falls in. With only ~20
+    sources a per-source running-sum window would scan each whole
+    source in ONE task, so the cumulative offset comes from the
+    two-phase range-sliced prefix sum (operators/rank.py
+    grouped_prefix_sum: parallel per-slice running sums + O(slices)
+    broadcast offsets) — the property that lets a 100 TB corpus pack
+    in one pass. Order within a source is doc_id: reproducible,
+    restart-safe, no RNG."""
     toks = textops.toks_expr("spark")
     docs = load(spark, sf_dir, ("documents",))["documents"]
     d = docs.filter(F.col("n_chars") > 0).selectExpr(
         "doc_id", "source", f"cast(size({toks}) as bigint) AS n_tokens"
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    summed = grouped_prefix_sum(d, ["source"], ["doc_id"], "n_tokens", out_col="__csum")
     return (
-        d.withColumn(
+        summed.withColumn(
             "bin_id",
-            ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
-            .cast("bigint"),
+            ((F.col("__csum") - F.col("n_tokens")) / PACK_BUDGET).cast("bigint"),
         )
+        .select("doc_id", "source", "n_tokens", "bin_id")
         .orderBy("doc_id")
     )
 
@@ -597,22 +595,22 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative quality gate: within each source, keep the top half of
     documents by stopword-density score — the per-domain percentile
     filtering used when absolute thresholds would empty some domains
-    and pass everything in others. One window partitioned by source
-    (high-cardinality at corpus scale, so no global sort); score is the
-    integer-quantized ratio (exact in both engines), ties broken by
-    doc_id so the gate is fully reproducible."""
-    from pyspark.sql import Window
-
-    toks = textops.toks_expr("spark")
+    and pass everything in others. With ~20 sources a per-source
+    window would sort each whole source in ONE task, so the in-source
+    rank comes from the two-phase range-sliced rank (operators/rank.py
+    grouped_value_rank; score negated for descending order, doc_id
+    tie-break) and per-source sizes are a tiny broadcast aggregate.
+    Score is the integer-quantized ratio (exact in both engines), so
+    the gate is fully reproducible."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
     scored = docs.filter(F.col("n_chars") > 0).selectExpr(
         "doc_id", "source", f"{_qscore('spark')} AS score"
     )
-    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
-    wc = Window.partitionBy("source")
+    neg = scored.withColumn("__negscore", -F.col("score"))
+    ranked = grouped_value_rank(neg, ["source"], ["__negscore", "doc_id"], out_col="rn")
+    sizes = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_src", F.count(F.lit(1)).over(wc))
+        ranked.join(F.broadcast(sizes), "source")
         .select(
             "doc_id",
             "source",

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.operators.rank import grouped_value_rank
 from tracy_matdb_spark.queries import register
 
 
@@ -1149,11 +1150,14 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s_suppkey
     """,
-    doc="TPC-H Q15: supplier(s) with maximum quarterly revenue. The "
-    "scalar max over the aggregated revenue table decorrelates to a "
-    "rank-1 window over the ALREADY-AGGREGATED per-supplier rollup "
-    "(supplier-count rows, not lineitem rows), so no row-level data "
-    "crosses a single partition; the name lookup broadcasts supplier.",
+    doc="TPC-H Q15: supplier(s) with maximum quarterly revenue, matching "
+    "the reference's view semantics (scalar max, ties kept). The max "
+    "over the per-supplier rollup is a plain scalar aggregate whose "
+    "one-row result broadcast-equi-joins back onto the rollup — no "
+    "global-sort window, so at 100 TB the millions of per-supplier "
+    "aggregate rows never funnel into one task (they would under "
+    "rank() OVER (ORDER BY revenue)); the name lookup broadcasts "
+    "supplier.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, ("lineitem", "supplier"))
@@ -1165,11 +1169,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
+    mx = rev.agg(F.max("total_revenue").alias("__max_revenue"))
     top = (
-        rev.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__max_revenue"))
+        .drop("__max_revenue")
     )
     s = t["supplier"].select("s_suppkey", "s_name")
     return (
@@ -1293,19 +1296,38 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY status, decile
     ORDER BY status, decile
     """,
-    doc="Equi-depth decile boundaries per order status (ntile windows, "
+    doc="Equi-depth decile boundaries per order status (ntile semantics, "
     "deterministic o_orderkey tie-break) — the bucket boundaries an "
-    "equi-depth histogram or a range-partitioner needs. Partitioned by "
-    "status so each window sorts its own slice; for an unpartitioned "
-    "100 TB variant the same boundaries come from approx_percentile "
-    "(see price_percentiles_approx) without the global sort.",
+    "equi-depth histogram or a range-partitioner needs. With only 3 "
+    "statuses a ntile() window would sort each ~N/3-row status in a "
+    "single task, so the decile comes instead from the two-phase "
+    "range-bucketed exact rank (operators/rank.py grouped_value_rank: "
+    "parallel per-slice windows + O(slices) offsets) and ntile's exact "
+    "bucket-assignment formula — first n%10 buckets get one extra row "
+    "— in pure integer arithmetic; per-status sizes are a 3-row "
+    "broadcast. Exact equi-depth at any scale; approx_percentile "
+    "(price_percentiles_approx) is the sketch-based alternative.",
 )
 def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, ("orders",))["orders"]
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    per = orders.select(
+        F.col("o_orderstatus").alias("status"), "o_totalprice", "o_orderkey"
+    )
+    ranked = grouped_value_rank(per, ["status"], ["o_totalprice", "o_orderkey"], out_col="rk")
+    sizes = per.groupBy("status").agg(F.count(F.lit(1)).alias("__n"))
+    # ntile(10): with q = n div 10, r = n % 10, the first r buckets hold
+    # q+1 rows; integer ceil-div keeps the mapping exact at any n (the
+    # q=0 branch never divides: rk <= r*(q+1) = n is then always true).
+    decile = F.expr(
+        "cast(case when rk <= (__n % 10) * (__n div 10 + 1) "
+        "then (rk + (__n div 10)) div (__n div 10 + 1) "
+        "else (__n % 10) + ((rk - (__n % 10) * (__n div 10 + 1)) + (__n div 10) - 1) div (__n div 10) "
+        "end as int)"
+    )
     return (
-        orders.withColumn("decile", F.ntile(10).over(w))
-        .groupBy(F.col("o_orderstatus").alias("status"), "decile")
+        ranked.join(F.broadcast(sizes), "status")
+        .withColumn("decile", decile)
+        .groupBy("status", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
@@ -1339,12 +1361,15 @@ def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY status
     """,
     doc="Revenue concentration (Gini coefficient) per order status via "
-    "the sorted-rank identity G = sum((2i-n-1)x_i)/(n*sum x) — one "
-    "window rank per status partition over integer cents (exact "
-    "ordering, deterministic o_orderkey tie-break), then a plain "
-    "aggregate; no quadratic |x_i - x_j| double sum. The inequality "
-    "dashboard for skew planning: a high-Gini key column is the one "
-    "that needs salting.",
+    "the sorted-rank identity G = sum((2i-n-1)x_i)/(n*sum x) — the "
+    "in-status rank i over integer cents (exact ordering, deterministic "
+    "o_orderkey tie-break) comes from the two-phase range-bucketed rank "
+    "(operators/rank.py grouped_value_rank), NOT a per-status window: "
+    "with 3 statuses a window would sort ~N/3 rows in one task. The "
+    "identity factors as 2*sum(i*x) - (n+1)*sum(x), so n and sum(x) "
+    "fall out of the same final per-status aggregate — no per-row "
+    "window counts at all. The inequality dashboard for skew planning: "
+    "a high-Gini key column is the one that needs salting.",
 )
 def revenue_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, ("orders",))["orders"]
@@ -1353,22 +1378,15 @@ def revenue_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    wr = Window.partitionBy("status").orderBy("cents", "o_orderkey")
-    wp = Window.partitionBy("status")
-    ranked = per.select(
-        "status",
-        "cents",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(wp).alias("n"),
-        F.sum("cents").over(wp).alias("total"),
-    )
+    ranked = grouped_value_rank(per, ["status"], ["cents", "o_orderkey"], out_col="i")
+    n = F.count(F.lit(1))
     return (
         ranked.groupBy("status")
         .agg(
-            F.max("n").cast("bigint").alias("n_orders"),
+            n.cast("bigint").alias("n_orders"),
             F.round(
-                F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("cents"))
-                / (F.max("n") * F.max("total").cast("double")),
+                (F.sum(2.0 * F.col("i") * F.col("cents")) - (n + 1) * F.sum("cents"))
+                / (n * F.sum("cents").cast("double")),
                 6,
             ).alias("gini"),
         )
