@@ -41,18 +41,29 @@ def load(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> d
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, whose `ts` is parquet TIMESTAMP(NANOS) — a type
-    Spark's vectorized reader rejects by default. We read it as raw BIGINT
-    nanos (`nanosAsLong`) and expose both `ts_ns` (exact) and `ts` (micros
-    TimestampType, for window()/session_window()). DuckDB oracles use
-    epoch_ns(ts) so both engines agree bit-for-bit on the nanos."""
+    """Load the events table normalized to two time columns: `ts_ns`
+    (BIGINT epoch nanos, exact arithmetic / oracle parity via
+    epoch_us(ts) == ts_ns div 1000) and `ts` (micros TimestampType, for
+    window()/session_window()).
+
+    Handles both generations of the driver's testdata: parquet
+    TIMESTAMP(NANOS) — which Spark's vectorized reader only accepts as
+    raw BIGINT via `nanosAsLong` — and plain TIMESTAMP(MICROS)/NTZ.
+    Session timezone is UTC (session.py) so NTZ -> epoch conversion
+    matches DuckDB's naive-UTC epoch_us()."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
     return (
-        df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
     )
 
 

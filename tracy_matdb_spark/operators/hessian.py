@@ -66,9 +66,9 @@ def eigen_explode(seeds: DataFrame, n_atoms_col: str = "n_atoms") -> DataFrame:
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in pdf.iterrows():
-            n = int(r[n_atoms_col])
-            h = synth_hessian(str(r["seed_id"]), n)
+        for seed_id, n in zip(pdf["seed_id"], pdf[n_atoms_col]):
+            n = int(n)
+            h = synth_hessian(str(seed_id), n)
             vals, vecs = np.linalg.eigh(h)
             k = 0
             for idx in range(3 * n):
@@ -78,7 +78,7 @@ def eigen_explode(seeds: DataFrame, n_atoms_col: str = "n_atoms") -> DataFrame:
                 vec = vecs[:, idx].reshape(n, 3)
                 rows.append(
                     {
-                        "seed_id": r["seed_id"],
+                        "seed_id": seed_id,
                         "n": n,
                         "eig_index": k,
                         "eigenvalue": lam,
@@ -125,15 +125,15 @@ def eigen_exact_explode(seeds: DataFrame, n_atoms_col: str = "n_atoms") -> DataF
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in pdf.iterrows():
-            n = int(r[n_atoms_col])
+        for seed_id, n in zip(pdf["seed_id"], pdf[n_atoms_col]):
+            n = int(n)
             h, _ = householder_hessian(n)
             vals, vecs = np.linalg.eigh(h)
             for idx in range(3 * n):
                 lam, v = float(vals[idx]), vecs[:, idx]
                 rows.append(
                     {
-                        "seed_id": r["seed_id"],
+                        "seed_id": seed_id,
                         "n": n,
                         "eig_index": idx,
                         "eigenvalue_r": round(lam, 6),

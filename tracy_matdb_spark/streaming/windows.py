@@ -30,16 +30,30 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table, normalized to
+    (ts_ns BIGINT nanos, ts TimestampType micros) like catalog.load_events.
+    The stream source needs an explicit schema, so peek at the parquet
+    footer with a batch read to detect which testdata generation this is
+    (TIMESTAMP(NANOS)-as-long vs plain TIMESTAMP(MICROS)/NTZ)."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    nanos = isinstance(static.schema["ts"].dataType, T.LongType)
+    schema = EVENTS_SCHEMA if nanos else static.schema
     # the file source wants a directory; glob-filter down to the events table
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    if nanos:
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * 1000
     )
 
 
