@@ -55,3 +55,56 @@ def test_until_nconfigs_exact_and_deterministic(spark):
     # sizes 1-2 (23 structures) fully kept, remainder from size 3
     assert (a["size"] <= 3).all()
     assert (a["size"] <= 2).sum() == 23
+
+
+def test_point_group_integer_unimodular():
+    from tracy_matdb_spark.operators.enumerated import point_group
+
+    for lattice in ("sc", "fcc", "bcc"):
+        ops = point_group(lattice)
+        assert len(ops) == 48
+        assert len({tuple(v for row in A for v in row) for A in ops}) == 48
+        for A in ops:
+            det = (
+                A[0][0] * (A[1][1] * A[2][2] - A[1][2] * A[2][1])
+                - A[0][1] * (A[1][0] * A[2][2] - A[1][2] * A[2][0])
+                + A[0][2] * (A[1][0] * A[2][1] - A[1][1] * A[2][0])
+            )
+            assert det in (1, -1)
+
+
+def test_column_hnf_idempotent_and_unimodular_invariant():
+    from tracy_matdb_spark.operators.enumerated import column_hnf, hnf_tuples
+
+    for h in hnf_tuples(4):
+        a, b, c, d, e, f = h
+        M = [[a, 0, 0], [b, c, 0], [d, e, f]]
+        assert column_hnf(M) == h  # already normalized -> fixed point
+        # right-multiplying by a unimodular matrix (column ops) keeps the
+        # lattice, so the HNF must not change: M @ U with U = [[1,1,0],[0,1,0],[0,1,1]]
+        U = [[1, 1, 0], [0, 1, 0], [0, 1, 1]]
+        MU = [[sum(M[i][t] * U[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+        assert column_hnf(MU) == h
+
+
+def test_reduced_counts_match_brute_force_orbits(spark):
+    """The Spark canonical-min path and the exhaustive disjoint-set orbit
+    union (tools/derive_enum_oracle.py) are independent computations of
+    the same Hart-Forcade reduction; they must agree exactly."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.derive_enum_oracle import brute_counts
+    from tracy_matdb_spark.operators.enumerated import enumerated_reduced_counts
+
+    pdf = enumerated_reduced_counts(spark, max_size=4).toPandas()
+    got = {
+        (r.lattice, int(r.size)): (int(r.n_hnfs), int(r.n_unique))
+        for r in pdf.itertuples(index=False)
+    }
+    for lattice in ("sc", "fcc", "bcc"):
+        for n in range(1, 5):
+            assert got[(lattice, n)] == brute_counts(lattice, n), (lattice, n)
+    # physics anchors: fcc n=2 is exactly {L1_0, L1_1}; bcc n=2 {B2, B32}
+    assert got[("fcc", 2)] == (2, 2)
+    assert got[("bcc", 2)] == (2, 2)

@@ -50,21 +50,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) — which Spark's vectorized reader only accepts as
     raw BIGINT via `nanosAsLong` — and plain TIMESTAMP(MICROS)/NTZ.
     Session timezone is UTC (session.py) so NTZ -> epoch conversion
-    matches DuckDB's naive-UTC epoch_us()."""
+    matches DuckDB's naive-UTC epoch_us(). The final select pins ONE
+    column order for both generations so positional consumers can't
+    silently diverge by testdata vintage."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     if isinstance(df.schema["ts"].dataType, T.LongType):
-        return (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
-    return (
-        df.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withColumn("ts_ns", F.unix_micros(F.col("ts")) * 1000)
-    )
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * 1000
+        )
+    others = [c for c in df.columns if c not in ("ts", "ts_ns")]
+    return df.select(*others, "ts_ns", "ts")
 
 
 def register(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

@@ -21,15 +21,26 @@ Spark-first re-expression, no external enumeration binary:
                                    itself)
     -> euid = sha2(size|hnf|canonical), dropDuplicates(euid)
 
-Dedupe model: translation symmetry within each superlattice (HNF). Two
-labelings related by a lattice translation collapse to one structure;
-distinct HNFs are distinct structures (euid includes the HNF), matching
-the reference's geometry-hash euid. Point-group/rotation reduction
-(which phenum additionally applies) is intentionally out of scope and
-documented: counts here are exact for the translation-group definition
-and are independently verifiable via Burnside's lemma
-(#classes = (1/n) * sum_{g in G} k^(n / ord(g))), which is what the
-DuckDB oracle encodes.
+Dedupe model, two tiers:
+
+* `enumerated_transform` — translation symmetry within each superlattice
+  (HNF) only. Two labelings related by a lattice translation collapse to
+  one structure; distinct HNFs are distinct structures (euid includes
+  the HNF). Counts are exact for the translation-group definition and
+  independently verifiable via Burnside's lemma
+  (#classes = (1/n) * sum_{g in G} k^(n / ord(g))), which is what that
+  query's DuckDB oracle encodes. Kept as the unreduced baseline.
+* `enumerated_reduced` — the full Hart-Forcade reduction phenum applies
+  (reference matdb/database/enumerated.py:387-429; published algorithm
+  Hart & Forcade, PRB 77 224115): additionally mods out the parent
+  lattice's point group (the 48 Oh ops, expressed as integer unimodular
+  matrices in the sc/fcc/bcc primitive bases) acting on both the
+  superlattice (HNF classes) and the labelings (semidirect with the
+  translations), and removes superperiodic labelings (fixed by a
+  nonzero pure translation — those are duplicates of smaller cells).
+  Oracle: tools/derive_enum_oracle.py recomputes the same counts by
+  exhaustive disjoint-set orbit union — no canonical-min machinery
+  shared with this path.
 
 At scale: HNF x labeling explosion is columnar; the canonicalization UDF
 is O(n^2) per row with n = structure size (inherently small — the space
@@ -129,6 +140,284 @@ def _canon_udf():
         return pd.Series(out)
 
     return canon
+
+
+# ---------------------------------------------------------------------------
+# Full point-group (Hart-Forcade) reduction
+# ---------------------------------------------------------------------------
+#
+# Conventions (shared with tools/derive_enum_oracle.py): an HNF tuple
+# (a, b, c, d, e, f) is the matrix M = [[a,0,0],[b,c,0],[d,e,f]] whose
+# COLUMNS (a,b,d), (0,c,e), (0,0,f) are the superlattice basis in parent
+# primitive coords; 0<=b<c, 0<=d,e<f (operators/crystal.py:28-47). Sites
+# are the a*c*f cosets Z^3 / M Z^3 with representatives in
+# [0,a) x [0,c) x [0,f).
+
+
+def hnf_tuples(n: int) -> list[tuple[int, int, int, int, int, int]]:
+    """All normalized HNF tuples of determinant n (driver-side twin of
+    the columnar hnf_enumerate, for oracle scripts and stabilizer math)."""
+    out = []
+    for a in range(1, n + 1):
+        if n % a:
+            continue
+        for c in range(1, n // a + 1):
+            if (n // a) % c:
+                continue
+            f = n // (a * c)
+            out.extend(
+                (a, b, c, d, e, f)
+                for b in range(c)
+                for d in range(f)
+                for e in range(f)
+            )
+    return out
+
+
+def site_reduce(x: tuple[int, int, int], h: tuple[int, ...]) -> tuple[int, int, int]:
+    """Canonical coset representative of x in Z^3 / M Z^3 (column basis
+    (a,b,d),(0,c,e),(0,0,f)): floor-divide out each basis column in turn."""
+    a, b, c, d, e, f = h
+    x1, x2, x3 = x
+    q = x1 // a
+    x1, x2, x3 = x1 - q * a, x2 - q * b, x3 - q * d
+    q = x2 // c
+    x2, x3 = x2 - q * c, x3 - q * e
+    x3 -= (x3 // f) * f
+    return (x1, x2, x3)
+
+
+def sites_of(h: tuple[int, ...]) -> list[tuple[int, int, int]]:
+    a, b, c, d, e, f = h
+    return [(i, j, l) for i in range(a) for j in range(c) for l in range(f)]
+
+
+def column_hnf(m: list[list[int]]) -> tuple[int, int, int, int, int, int]:
+    """Column-style Hermite normal form of a nonsingular integer 3x3
+    matrix whose columns span a lattice: the unique equivalent basis with
+    columns (a,b,d),(0,c,e),(0,0,f), a,c,f>0, 0<=b<c, 0<=d,e<f — the
+    normalization hnf_enumerate emits, so canonical forms land inside
+    the enumeration."""
+    cols = [[m[0][j], m[1][j], m[2][j]] for j in range(3)]
+    for i in range(3):
+        while any(cols[j][i] for j in range(i + 1, 3)):
+            jmin = min(
+                (j for j in range(i, 3) if cols[j][i]), key=lambda j: abs(cols[j][i])
+            )
+            cols[i], cols[jmin] = cols[jmin], cols[i]
+            for j in range(i + 1, 3):
+                if cols[j][i]:
+                    q = cols[j][i] // cols[i][i]
+                    cols[j] = [cols[j][r] - q * cols[i][r] for r in range(3)]
+        if cols[i][i] < 0:
+            cols[i] = [-v for v in cols[i]]
+    for r in range(1, 3):
+        for j in range(r):
+            q = cols[j][r] // cols[r][r]
+            if q:
+                cols[j] = [cols[j][x] - q * cols[r][x] for x in range(3)]
+    return (cols[0][0], cols[0][1], cols[1][1], cols[0][2], cols[1][2], cols[2][2])
+
+
+def point_group(lattice: str) -> list[list[list[int]]]:
+    """The 48 Oh point-group ops as integer unimodular matrices in the
+    PRIMITIVE basis of sc/fcc/bcc. Cartesian Oh is the signed
+    permutations; conjugating by the primitive basis (columns, units of
+    a/2: fcc (011),(101),(110); bcc (-111),(1-11),(11-1)) keeps all 48
+    integer because Oh is the point group of all three lattices."""
+    from fractions import Fraction
+    from itertools import permutations, product
+
+    cart = []
+    for perm in permutations(range(3)):
+        for signs in product((1, -1), repeat=3):
+            cart.append(
+                [[signs[r] if perm[r] == c else 0 for c in range(3)] for r in range(3)]
+            )
+    if lattice == "sc":
+        return cart
+    B = {
+        "fcc": [[0, 1, 1], [1, 0, 1], [1, 1, 0]],
+        "bcc": [[-1, 1, 1], [1, -1, 1], [1, 1, -1]],
+    }[lattice]
+    Bf = [[Fraction(v) for v in row] for row in B]
+    det = (
+        Bf[0][0] * (Bf[1][1] * Bf[2][2] - Bf[1][2] * Bf[2][1])
+        - Bf[0][1] * (Bf[1][0] * Bf[2][2] - Bf[1][2] * Bf[2][0])
+        + Bf[0][2] * (Bf[1][0] * Bf[2][1] - Bf[1][1] * Bf[2][0])
+    )
+    inv = [
+        [
+            (Bf[(j + 1) % 3][(i + 1) % 3] * Bf[(j + 2) % 3][(i + 2) % 3]
+             - Bf[(j + 1) % 3][(i + 2) % 3] * Bf[(j + 2) % 3][(i + 1) % 3]) / det
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    out = []
+    for R in cart:
+        # A = B^-1 R B in the primitive coords
+        RB = [[sum(R[i][t] * Bf[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+        A = [[sum(inv[i][t] * RB[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+        assert all(v.denominator == 1 for row in A for v in row), (lattice, R)
+        out.append([[int(v) for v in row] for row in A])
+    return out
+
+
+def _stabilizer(h: tuple[int, ...], ops: list[list[list[int]]]) -> list[list[list[int]]]:
+    """Ops A with A * (M Z^3) = M Z^3, i.e. M^-1 A M integer (checked
+    exactly via adj(M) A M divisible by det)."""
+    a, b, c, d, e, f = h
+    M = [[a, 0, 0], [b, c, 0], [d, e, f]]
+    det = a * c * f
+    adj = [
+        [c * f, 0, 0],
+        [-b * f, a * f, 0],
+        [b * e - c * d, -a * e, a * c],
+    ]
+    keep = []
+    for A in ops:
+        AM = [[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+        ok = all(
+            sum(adj[i][t] * AM[t][j] for t in range(3)) % det == 0
+            for i in range(3)
+            for j in range(3)
+        )
+        if ok:
+            keep.append(A)
+    return keep
+
+
+def _hnf_canon_udf(lattice: str):
+    """Pandas UDF: canonical (min) normalized HNF tuple over the point
+    group — rows whose own tuple equals it are the class representatives."""
+    ops = point_group(lattice)
+
+    @pandas_udf("string")
+    def canon_hnf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series, e: pd.Series, f: pd.Series) -> pd.Series:
+        out = []
+        for h in zip(a, b, c, d, e, f):
+            h = tuple(int(v) for v in h)
+            M = [[h[0], 0, 0], [h[1], h[2], 0], [h[3], h[4], h[5]]]
+            best = min(
+                column_hnf(
+                    [[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+                )
+                for A in ops
+            )
+            out.append(",".join(str(v) for v in best))
+        return pd.Series(out)
+
+    return canon_hnf
+
+
+def _orbit_perms(h: tuple[int, ...], ops: list[list[list[int]]]):
+    """Site-permutation matrix of the full acting group (stabilizer
+    rotations x translations) plus the nonzero pure-translation subset,
+    as numpy index arrays: apply as labels[perm] (new label at site i =
+    old label at perm[i]... inverse convention is irrelevant for a
+    canonical MIN over a group)."""
+    import numpy as np
+
+    sites = sites_of(h)
+    sidx = {s: i for i, s in enumerate(sites)}
+    n = len(sites)
+    stab = _stabilizer(h, ops)
+    perms = []
+    tperms = []
+    for A in stab:
+        rot = [
+            sidx[
+                site_reduce(
+                    (
+                        A[0][0] * x[0] + A[0][1] * x[1] + A[0][2] * x[2],
+                        A[1][0] * x[0] + A[1][1] * x[1] + A[1][2] * x[2],
+                        A[2][0] * x[0] + A[2][1] * x[1] + A[2][2] * x[2],
+                    ),
+                    h,
+                )
+            ]
+            for x in sites
+        ]
+        for t in sites:
+            tr = [
+                rot[sidx[site_reduce((x[0] + t[0], x[1] + t[1], x[2] + t[2]), h)]]
+                for x in sites
+            ]
+            perms.append(tr)
+            if A == ops[0] and t != (0, 0, 0):  # identity rotation is ops[0]
+                tperms.append(tr)
+    return np.asarray(perms, dtype=np.int64), np.asarray(tperms, dtype=np.int64), n
+
+
+def enumerated_reduced(spark: SparkSession, lattice: str, max_size: int, k: int = 2) -> DataFrame:
+    """One row per symmetry-distinct, primitive derivative structure of
+    `lattice` (sc/fcc/bcc) for sizes 1..max_size with k species: HNFs
+    reduced to point-group classes (distributed canon UDF), labelings
+    reduced under stabilizer x translations and superperiodic-filtered
+    (grouped applyInPandas, numpy-vectorized per HNF — no per-labeling
+    Python loop). Mirrors phenum's Hart-Forcade enumeration (reference
+    matdb/database/enumerated.py:387-429)."""
+    import numpy as np
+
+    ops = point_group(lattice)
+    hnfs = hnf_enumerate(spark, max_size).withColumnRenamed("det", "size")
+    canon = _hnf_canon_udf(lattice)("a", "b", "c", "d", "e", "f")
+    own = F.concat_ws(",", "a", "b", "c", "d", "e", "f")
+    reps = hnfs.withColumn("canon", canon).filter(F.col("canon") == own)
+
+    out_schema = "size int, hnf string, canonical string"
+
+    def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            h = (int(r.a), int(r.b), int(r.c), int(r.d), int(r.e), int(r.f))
+            perms, tperms, n = _orbit_perms(h, ops)
+            lids = np.arange(k**n, dtype=np.int64)
+            digits = (lids[:, None] // k ** np.arange(n, dtype=np.int64)[None, :]) % k
+            weights = k ** np.arange(n, dtype=np.int64)
+            # orbit images: labels permuted by every group element
+            imgs = digits[:, perms]  # (m, G, n)
+            packed = (imgs * weights[None, None, :]).sum(axis=2)
+            canon_ids = packed.min(axis=1)
+            if len(tperms):
+                timgs = (digits[:, tperms] * weights[None, None, :]).sum(axis=2)
+                superperiodic = (timgs == lids[:, None]).any(axis=1)
+            else:
+                superperiodic = np.zeros(len(lids), dtype=bool)
+            keep = np.unique(canon_ids[~superperiodic])
+            hs = ",".join(str(v) for v in h)
+            for cid in keep:
+                v, lab = int(cid), []
+                for _ in range(n):
+                    lab.append(str(v % k))
+                    v //= k
+                rows.append((int(r.size), hs, "".join(lab)))
+        return pd.DataFrame(rows, columns=["size", "hnf", "canonical"])
+
+    return reps.groupBy("size", "a", "b", "c", "d", "e", "f").applyInPandas(
+        expand, out_schema
+    )
+
+
+def enumerated_reduced_counts(spark: SparkSession, max_size: int, k: int = 2) -> DataFrame:
+    """Per (lattice, size): point-group-reduced HNF class count and
+    primitive symmetry-distinct structure count for sc/fcc/bcc."""
+    parts = []
+    for lattice in ("sc", "fcc", "bcc"):
+        structs = enumerated_reduced(spark, lattice, max_size, k)
+        parts.append(
+            structs.groupBy("size")
+            .agg(
+                F.countDistinct("hnf").alias("n_hnfs"),
+                F.count(F.lit(1)).alias("n_unique"),
+            )
+            .withColumn("lattice", F.lit(lattice))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("lattice", "size", "n_hnfs", "n_unique").orderBy("lattice", "size")
 
 
 def enumerated_transform(spark: SparkSession, max_size: int, k: int = 2) -> DataFrame:

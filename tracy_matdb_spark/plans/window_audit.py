@@ -70,7 +70,18 @@ def window_findings(plan: str) -> list[str]:
         if not args:
             continue
         groups = _bracket_groups(args.group(1))
-        part_cols = _cols(groups[1]) if len(groups) >= 2 else set()
+        if len(groups) >= 3:
+            part_frag = groups[1]
+        elif len(groups) == 2:
+            # Formatted explain OMITS an empty spec group: a Window with no
+            # partition keys prints only [functions], [order] — so a naive
+            # groups[1] read would mistake ORDER columns for partition keys
+            # and miss exactly the single-task shape this audit exists to
+            # catch. Order specs always carry ASC/DESC; partition specs never.
+            part_frag = "" if re.search(r"\b(?:ASC|DESC)\b", groups[1]) else groups[1]
+        else:
+            part_frag = ""
+        part_cols = _cols(part_frag)
         input_cols = _cols(inp.group(1)) if inp else set()
         if input_cols & SLICE_COLS:
             continue  # two-phase rank internals: bounded or slice-parallel

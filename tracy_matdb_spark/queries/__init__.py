@@ -43,13 +43,17 @@ def register(name: str, oracle: str | None, headline: bool = False, doc: str = "
 
 
 def _driver_green() -> set[str]:
-    """Names with a green (or deliberately oracle-less) row in any
-    CORRECTNESS_r*.json the driver has written at the repo root.
+    """Names with a green row in any CORRECTNESS_r*.json the driver has
+    written at the repo root.
 
     Used only to ORDER the registry: the driver checks ~50 queries per
     round, so queries still lacking a green row are surfaced first to
     drain the verification backlog. Red rows do NOT count as green —
-    a failed query must be re-surfaced until its row turns green.
+    a failed query must be re-surfaced until its row turns green. A
+    ``no_oracle`` row counts as green only while the query's CURRENT
+    registration still has ``oracle=None``: once an oracle is added, the
+    old rows-only row is stale and the query must surface for a real
+    hash check (the round-3 verdict's ordering bug).
     """
     import glob
     import json
@@ -66,8 +70,12 @@ def _driver_green() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+            if row.get("hash_match") is True:
                 green.add(name)
+            elif row.get("err") == "no_oracle":
+                q = REGISTRY.get(name)
+                if q is not None and q.oracle is None:
+                    green.add(name)
     return green
 
 

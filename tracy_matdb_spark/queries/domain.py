@@ -481,6 +481,58 @@ def enumerated_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "enumerated_point_group",
+    # Full Hart-Forcade reduction (phenum's semantics): HNF classes and
+    # labelings reduced under the parent lattice's 48-op Oh point group
+    # (semidirect with translations), superperiodic labelings removed.
+    # Constants independently derived by exhaustive disjoint-set orbit
+    # union (tools/derive_enum_oracle.py — no shared canonical-min code
+    # path) and they reproduce the published Hart & Forcade PRB 77,
+    # 224115 table: binary fcc sizes 1..8 sum to the well-known 631
+    # structures, with HNF class counts 1,2,3,7,5,10,7,20.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('bcc', 1, cast(1 as bigint), cast(2 as bigint)),
+        ('bcc', 2, cast(2 as bigint), cast(2 as bigint)),
+        ('bcc', 3, cast(3 as bigint), cast(6 as bigint)),
+        ('bcc', 4, cast(7 as bigint), cast(19 as bigint)),
+        ('bcc', 5, cast(5 as bigint), cast(28 as bigint)),
+        ('bcc', 6, cast(10 as bigint), cast(80 as bigint)),
+        ('bcc', 7, cast(7 as bigint), cast(104 as bigint)),
+        ('bcc', 8, cast(20 as bigint), cast(390 as bigint)),
+        ('fcc', 1, cast(1 as bigint), cast(2 as bigint)),
+        ('fcc', 2, cast(2 as bigint), cast(2 as bigint)),
+        ('fcc', 3, cast(3 as bigint), cast(6 as bigint)),
+        ('fcc', 4, cast(7 as bigint), cast(19 as bigint)),
+        ('fcc', 5, cast(5 as bigint), cast(28 as bigint)),
+        ('fcc', 6, cast(10 as bigint), cast(80 as bigint)),
+        ('fcc', 7, cast(7 as bigint), cast(104 as bigint)),
+        ('fcc', 8, cast(20 as bigint), cast(390 as bigint)),
+        ('sc', 1, cast(1 as bigint), cast(2 as bigint)),
+        ('sc', 2, cast(3 as bigint), cast(3 as bigint)),
+        ('sc', 3, cast(3 as bigint), cast(6 as bigint)),
+        ('sc', 4, cast(9 as bigint), cast(24 as bigint)),
+        ('sc', 5, cast(5 as bigint), cast(28 as bigint)),
+        ('sc', 6, cast(13 as bigint), cast(104 as bigint)),
+        ('sc', 7, cast(7 as bigint), cast(104 as bigint)),
+        ('sc', 8, cast(24 as bigint), cast(491 as bigint))
+    ) t(lattice, size, n_hnfs, n_unique)
+    ORDER BY lattice, size
+    """,
+    doc="Point-group (full Hart-Forcade) derivative-structure "
+    "enumeration for sc/fcc/bcc, sizes <= 8: rotation+translation "
+    "symmetry reduction and superperiodic removal, matching phenum "
+    "(matdb/database/enumerated.py:387-429). Physics spot checks: "
+    "fcc n=2 yields exactly L1_0 and L1_1; bcc n=2 yields B2 and B32; "
+    "fcc/bcc binary <=8 total 631 each.",
+)
+def enumerated_point_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.enumerated import enumerated_reduced_counts
+
+    return enumerated_reduced_counts(spark, max_size=8, k=2)
+
+
+@register(
     "enumerated_until_nconfigs",
     # retry-until-nconfigs (enumerated.py:376-379): sizes grow until the
     # cumulative unique count reaches 60 (2 + 21 + 52 = 75 >= 60 at

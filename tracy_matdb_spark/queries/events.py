@@ -7,11 +7,13 @@ tracy_matdb_spark/streaming/windows.py and are asserted equal to these
 batch results in tests/test_streaming.py (the classic batch/stream
 unification property of Spark).
 
-Timestamps: events.ts is parquet TIMESTAMP(NANOS); Spark reads it as
-BIGINT nanos (catalog.load_events) and converts to micros TimestampType;
-DuckDB truncates to micros natively — so both engines agree on micros.
-Window starts are output as epoch seconds BIGINTs (portable, no
-session-timezone surface).
+Timestamps: the driver's testdata has shipped events.ts as both parquet
+TIMESTAMP(NANOS) and plain TIMESTAMP(MICROS)/NTZ; catalog.load_events
+normalizes either generation to the same fixed-order pair (`ts_ns`
+BIGINT epoch nanos for exact arithmetic, `ts` micros TimestampType for
+window()/session_window()), and DuckDB reads the same file natively at
+micros — so both engines agree on micros either way. Window starts are
+output as epoch seconds BIGINTs (portable, no session-timezone surface).
 """
 
 from __future__ import annotations

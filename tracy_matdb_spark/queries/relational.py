@@ -1036,6 +1036,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_rolling_7d_revenue",
+    headline=True,
     oracle="""
     SELECT o_orderkey, o_custkey,
            round(sum(o_totalprice) OVER (
@@ -1281,6 +1282,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_price_deciles",
+    headline=True,
     oracle="""
     WITH ranked AS (
         SELECT o_orderstatus, o_totalprice,
@@ -1339,6 +1341,7 @@ def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_gini_by_status",
+    headline=True,
     oracle="""
     WITH per_order AS (
         SELECT o_orderstatus AS status, o_orderkey,

@@ -37,24 +37,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TIMESTAMP(NANOS)-as-long vs plain TIMESTAMP(MICROS)/NTZ)."""
     import os
 
+    from tracy_matdb_spark.catalog import table_path
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events_path = table_path(sf_dir, "events")
+    static = spark.read.parquet(events_path)
     nanos = isinstance(static.schema["ts"].dataType, T.LongType)
     schema = EVENTS_SCHEMA if nanos else static.schema
     # the file source wants a directory; glob-filter down to the events table
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", os.path.basename(events_path))
         .load(sf_dir)
     )
     if nanos:
-        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        raw = raw.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
-        "ts_ns", F.unix_micros(F.col("ts")) * 1000
-    )
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * 1000
+        )
+    others = [c for c in raw.columns if c not in ("ts", "ts_ns")]
+    return raw.select(*others, "ts_ns", "ts")
 
 
 def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
