@@ -71,13 +71,28 @@ def global_rank_lazy(
     out_col: str = "rank",
     n_buckets: int = 128,
     total_col: str | None = None,
+    single_scan: bool = False,
 ) -> DataFrame:
     """Single-action variant of global_rank_by_hash: the per-bucket
     prefix sums come from a window over the (n_buckets-row) count
     aggregate instead of a driver collect, so the whole rank is ONE lazy
     plan — no driver materialization, composable inside larger plans,
-    and safe under speculative re-execution. The count aggregate is a
-    second (automatic) traversal of df inside the same job.
+    and safe under speculative re-execution.
+
+    By default the count aggregate is a second (automatic) traversal of
+    df inside the same job. With ``single_scan=True`` the bucketed
+    projection is lazily local-checkpointed: the first stage of the job
+    materializes it to executor storage (MEMORY_AND_DISK) and both the
+    counts branch and the window branch read that copy, so an expensive
+    upstream subquery is computed exactly once (measured ~2x on
+    split_assign at sf0.1; an explicit repartition-for-ReuseExchange
+    variant was tried and rejected — column pruning gives the two
+    branches different projections, so the exchanges never canonicalize
+    equal). Trade-offs of the checkpoint: executor storage for one full
+    copy of df's pruned columns, and truncated lineage (an executor
+    loss forces a job retry instead of partition recompute). For inputs
+    that are already cheap pruned scans at extreme scale, prefer
+    single_scan=False — re-scanning parquet can beat storing the copy.
 
     With total_col set, every row also carries the global row count
     (free from the same aggregate) — callers needing N for thresholds
@@ -86,6 +101,8 @@ def global_rank_lazy(
     bucketed = df.withColumn("__h", hash_col).withColumn(
         "__b", (F.col("__h") / F.lit(width)).cast("int")
     )
+    if single_scan:
+        bucketed = bucketed.localCheckpoint(eager=False)
     counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
     # n_buckets rows -> the single-partition window is O(buckets), not O(rows)
     w_all = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -41,6 +41,7 @@ def assign_split(
     train_perc: float,
     seed: int = 42,
     label_col: str = "label",
+    single_scan: bool = True,
 ) -> DataFrame:
     """Add a deterministic 'train'/'holdout'/'super' label column.
 
@@ -48,10 +49,18 @@ def assign_split(
     only on the hash order, never on partitioning or task scheduling.
     Fully lazy — the ceil thresholds are computed from the rank pass's
     own total (global_rank_lazy total_col), so labeling is ONE plan with
-    no driver-side count() or collect() anywhere.
+    no driver-side count() or collect() anywhere. single_scan=True (the
+    measured-faster default) materializes the bucketed projection once
+    instead of traversing the input twice — see global_rank_lazy for the
+    storage/lineage trade-off at extreme scale.
     """
     ranked = global_rank_lazy(
-        df, hash60(F.lit(seed), F.col(key)), [key], out_col="__rank", total_col="__n"
+        df,
+        hash60(F.lit(seed), F.col(key)),
+        [key],
+        out_col="__rank",
+        total_col="__n",
+        single_scan=single_scan,
     )
     ntrain = F.ceil(F.col("__n") * F.lit(train_perc))
     nhold = F.ceil((F.col("__n") - ntrain) * F.lit(train_perc))

@@ -401,6 +401,58 @@ def pipeline_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fqdn_oracle() -> str:
+    """VALUES oracle for the FQDN make_supercell hook: replicate the
+    builtin seeds (seed_id, n_atoms, diag/off-diag cells) and apply the
+    x2 supercell arithmetic in SQL with the same IEEE double ops."""
+    from tracy_matdb_spark.operators.generators import SEED_CELLS
+
+    rows = []
+    for (sid, cell), n in zip(SEED_CELLS, (4, 2, 1)):
+        rows.append(f"('{sid}', {n}, {cell[0][0]!r}, {cell[0][1]!r}, {cell[2][2]!r})")
+    return f"""
+    SELECT seed_id, cast(n_atoms * 8 as int) AS n_atoms,
+           cast(floor(b00 * 2 * cast(1000000 as double)) as bigint) AS b00_q,
+           cast(floor(b01 * 2 * cast(1000000 as double)) as bigint) AS b01_q,
+           cast(floor(b22 * 2 * cast(1000000 as double)) as bigint) AS b22_q
+    FROM (VALUES {", ".join(rows)}) t(seed_id, n_atoms, b00, b01, b22)
+    ORDER BY seed_id
+    """
+
+
+@register(
+    "fqdn_transform_supercell",
+    oracle=_fqdn_oracle(),
+    doc="FQDN-keyed transform hook through the pipeline step runner: a "
+    "manual step whose `transforms:` mapping names make_supercell by "
+    "fully-qualified dotted name, resolved via importlib and applied to "
+    "every created config (functions/registry.py:27-68; reference "
+    "matdb/database/__init__.py:77-79,822-826, transforms.py:101-134). "
+    "Asserts the x8 atom-count scaling and x2 cell scaling survive the "
+    "hook, i.e. the transform composed into the Catalyst plan.",
+)
+def fqdn_transform_supercell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.plans.pipeline import Pipeline, builtin_seeds
+
+    step = {
+        "type": "manual",
+        "name": "seeds",
+        "transforms": {
+            "tracy_matdb_spark.functions.registry.make_supercell": {"supercell": [2, 2, 2]}
+        },
+    }
+    pipe = Pipeline({"name": "fqdn-demo"}, out_dir="")
+    _, out = pipe._run_step(spark, builtin_seeds(spark), step, "", {}, "fqdn-demo")
+    q = "cast(floor({c} * cast(1000000 as double)) as bigint)"
+    return out.select(
+        "seed_id",
+        "n_atoms",
+        F.expr(q.format(c="b00")).alias("b00_q"),
+        F.expr(q.format(c="b01")).alias("b01_q"),
+        F.expr(q.format(c="b22")).alias("b22_q"),
+    ).orderBy("seed_id")
+
+
 # ---------------------------------------------------------------------------
 # DOS-convergence supercell selection (operators/hessian.py;
 # reference hessian.py:341-380)
