@@ -132,6 +132,8 @@ def _sliced_offsets(
     order_cols: list[str],
     measure: Column,
     n_parts: int | None,
+    single_scan: bool = False,
+    total_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared phase 1+2 of the grouped two-phase window primitives:
     range-repartition df on (group, *order) into contiguous slices,
@@ -145,6 +147,15 @@ def _sliced_offsets(
     slice ids (spark_partition_id) are deterministic because range
     bounds are sampled with partition-seeded RNG from a deterministic
     scan.
+
+    single_scan lazily local-checkpoints the sliced rows so the offsets
+    branch and the caller's window branch read one materialized copy
+    instead of re-traversing the upstream (same trade-off as
+    global_rank_lazy: executor storage + truncated lineage for one
+    fewer evaluation of df). total_col additionally emits the per-GROUP
+    total of ``measure`` on every offsets row — free from the same
+    O(n_parts) aggregate, saving callers a separate scan+groupBy when
+    they need group sizes (e.g. ntile arithmetic).
     """
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -152,13 +163,20 @@ def _sliced_offsets(
     parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
+    if single_scan:
+        parts = parts.localCheckpoint(eager=False)
     slice_tot = parts.groupBy(*group_cols, "__pid").agg(measure.alias("__m"))
     w_off = Window.partitionBy(*group_cols).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    offsets = slice_tot.select(
-        *group_cols, "__pid", (F.sum("__m").over(w_off) - F.col("__m")).alias("__offset")
-    )
+    sel = [
+        *group_cols,
+        "__pid",
+        (F.sum("__m").over(w_off) - F.col("__m")).alias("__offset"),
+    ]
+    if total_col is not None:
+        sel.append(F.sum("__m").over(Window.partitionBy(*group_cols)).alias(total_col))
+    offsets = slice_tot.select(*sel)
     return parts, offsets
 
 
@@ -168,6 +186,8 @@ def grouped_value_rank(
     order_cols: list[str],
     out_col: str = "rank",
     n_parts: int | None = None,
+    single_scan: bool = False,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact 1-based rank within each group ordered by ``order_cols`` —
     the scale-safe replacement for ``row_number() OVER (PARTITION BY
@@ -189,8 +209,14 @@ def grouped_value_rank(
     ``order_cols`` must make (group, *order) unique (include a tiebreak
     key): ranks are then deterministic and no tie can straddle a range
     boundary.
+
+    single_scan / total_col: see _sliced_offsets — one materialized
+    pass instead of two traversals, and a free per-group size column.
     """
-    parts, offsets = _sliced_offsets(df, group_cols, order_cols, F.count(F.lit(1)), n_parts)
+    parts, offsets = _sliced_offsets(
+        df, group_cols, order_cols, F.count(F.lit(1)), n_parts,
+        single_scan=single_scan, total_col=total_col,
+    )
     w = Window.partitionBy(*group_cols, "__pid").orderBy(*[F.col(c) for c in order_cols])
     return (
         parts.join(F.broadcast(offsets), [*group_cols, "__pid"])
@@ -206,6 +232,7 @@ def grouped_prefix_sum(
     val_col: str,
     out_col: str = "prefix_sum",
     n_parts: int | None = None,
+    single_scan: bool = False,
 ) -> DataFrame:
     """Exact INCLUSIVE running sum of ``val_col`` within each group in
     ``order_cols`` order — the scale-safe replacement for ``sum(x) OVER
@@ -219,7 +246,9 @@ def grouped_prefix_sum(
     running sum. ``order_cols`` must make (group, *order) unique so the
     prefix order is deterministic and ties never straddle slices.
     """
-    parts, offsets = _sliced_offsets(df, group_cols, order_cols, F.sum(val_col), n_parts)
+    parts, offsets = _sliced_offsets(
+        df, group_cols, order_cols, F.sum(val_col), n_parts, single_scan=single_scan
+    )
     w = (
         Window.partitionBy(*group_cols, "__pid")
         .orderBy(*[F.col(c) for c in order_cols])

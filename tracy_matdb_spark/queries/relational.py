@@ -1315,8 +1315,14 @@ def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = orders.select(
         F.col("o_orderstatus").alias("status"), "o_totalprice", "o_orderkey"
     )
-    ranked = grouped_value_rank(per, ["status"], ["o_totalprice", "o_orderkey"], out_col="rk")
-    sizes = per.groupBy("status").agg(F.count(F.lit(1)).alias("__n"))
+    # total_col rides the offsets broadcast (free from the O(slices)
+    # aggregate), so no separate scan+groupBy for per-status sizes;
+    # single_scan materializes the range-sliced rows once for both the
+    # offsets branch and the rank window.
+    ranked = grouped_value_rank(
+        per, ["status"], ["o_totalprice", "o_orderkey"], out_col="rk",
+        single_scan=True, total_col="__n",
+    )
     # ntile(10): with q = n div 10, r = n % 10, the first r buckets hold
     # q+1 rows; integer ceil-div keeps the mapping exact at any n (the
     # q=0 branch never divides: rk <= r*(q+1) = n is then always true).
@@ -1327,8 +1333,7 @@ def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end as int)"
     )
     return (
-        ranked.join(F.broadcast(sizes), "status")
-        .withColumn("decile", decile)
+        ranked.withColumn("decile", decile)
         .groupBy("status", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -1381,7 +1386,9 @@ def revenue_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    ranked = grouped_value_rank(per, ["status"], ["cents", "o_orderkey"], out_col="i")
+    ranked = grouped_value_rank(
+        per, ["status"], ["cents", "o_orderkey"], out_col="i", single_scan=True
+    )
     n = F.count(F.lit(1))
     return (
         ranked.groupBy("status")
