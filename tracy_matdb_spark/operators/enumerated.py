@@ -288,16 +288,30 @@ def _stabilizer(h: tuple[int, ...], ops: list[list[list[int]]]) -> list[list[lis
     return keep
 
 
-def _hnf_canon_udf(lattice: str):
-    """Pandas UDF: canonical (min) normalized HNF tuple over the point
-    group — rows whose own tuple equals it are the class representatives."""
-    ops = point_group(lattice)
+# per-process memo: the UDFs below resolve the ops per batch, and python
+# workers are long-lived (a plain dict, not lru_cache: cloudpickle can't
+# serialize a module-level wrapper whose qualname is the wrapped fn)
+_OPS_CACHE: dict[str, list[list[list[int]]]] = {}
+
+
+def _ops_cached(lattice: str) -> list[list[list[int]]]:
+    ops = _OPS_CACHE.get(lattice)
+    if ops is None:
+        ops = _OPS_CACHE.setdefault(lattice, point_group(lattice))
+    return ops
+
+
+def _hnf_canon_udf():
+    """Pandas UDF: canonical (min) normalized HNF tuple over the named
+    lattice's point group — rows whose own tuple equals it are the class
+    representatives."""
 
     @pandas_udf("string")
-    def canon_hnf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series, e: pd.Series, f: pd.Series) -> pd.Series:
+    def canon_hnf(lattice: pd.Series, a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series, e: pd.Series, f: pd.Series) -> pd.Series:
         out = []
-        for h in zip(a, b, c, d, e, f):
+        for lat, *h in zip(lattice, a, b, c, d, e, f):
             h = tuple(int(v) for v in h)
+            ops = _ops_cached(lat)
             M = [[h[0], 0, 0], [h[1], h[2], 0], [h[3], h[4], h[5]]]
             best = min(
                 column_hnf(
@@ -350,29 +364,38 @@ def _orbit_perms(h: tuple[int, ...], ops: list[list[list[int]]]):
     return np.asarray(perms, dtype=np.int64), np.asarray(tperms, dtype=np.int64), n
 
 
-def enumerated_reduced(spark: SparkSession, lattice: str, max_size: int, k: int = 2) -> DataFrame:
-    """One row per symmetry-distinct, primitive derivative structure of
-    `lattice` (sc/fcc/bcc) for sizes 1..max_size with k species: HNFs
-    reduced to point-group classes (distributed canon UDF), labelings
-    reduced under stabilizer x translations and superperiodic-filtered
-    (grouped applyInPandas, numpy-vectorized per HNF — no per-labeling
-    Python loop). Mirrors phenum's Hart-Forcade enumeration (reference
-    matdb/database/enumerated.py:387-429)."""
+def _reduced_structs(
+    spark: SparkSession, max_size: int, k: int, lattices: tuple[str, ...]
+) -> DataFrame:
+    """One row per symmetry-distinct, primitive derivative structure for
+    every (lattice, size<=max_size): HNFs reduced to point-group classes
+    (distributed canon UDF), labelings reduced under stabilizer x
+    translations and superperiodic-filtered (grouped applyInPandas,
+    numpy-vectorized per HNF — no per-labeling Python loop). Mirrors
+    phenum's Hart-Forcade enumeration (reference
+    matdb/database/enumerated.py:387-429).
+
+    ONE plan for all lattices — the lattice axis is an exploded literal
+    column, not a union of per-lattice branches, so the whole
+    enumeration is a single explode -> filter -> applyInPandas pipeline
+    (3x fewer stages; tiny-stage scheduling dominates this operator)."""
     import numpy as np
 
-    ops = point_group(lattice)
     hnfs = hnf_enumerate(spark, max_size).withColumnRenamed("det", "size")
-    canon = _hnf_canon_udf(lattice)("a", "b", "c", "d", "e", "f")
+    both = hnfs.withColumn(
+        "lattice", F.explode(F.array(*[F.lit(lat) for lat in lattices]))
+    )
+    canon = _hnf_canon_udf()("lattice", "a", "b", "c", "d", "e", "f")
     own = F.concat_ws(",", "a", "b", "c", "d", "e", "f")
-    reps = hnfs.withColumn("canon", canon).filter(F.col("canon") == own)
+    reps = both.withColumn("canon", canon).filter(F.col("canon") == own)
 
-    out_schema = "size int, hnf string, canonical string"
+    out_schema = "lattice string, size int, hnf string, canonical string"
 
     def expand(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in pdf.itertuples(index=False):
             h = (int(r.a), int(r.b), int(r.c), int(r.d), int(r.e), int(r.f))
-            perms, tperms, n = _orbit_perms(h, ops)
+            perms, tperms, n = _orbit_perms(h, _ops_cached(r.lattice))
             lids = np.arange(k**n, dtype=np.int64)
             digits = (lids[:, None] // k ** np.arange(n, dtype=np.int64)[None, :]) % k
             weights = k ** np.arange(n, dtype=np.int64)
@@ -392,32 +415,31 @@ def enumerated_reduced(spark: SparkSession, lattice: str, max_size: int, k: int 
                 for _ in range(n):
                     lab.append(str(v % k))
                     v //= k
-                rows.append((int(r.size), hs, "".join(lab)))
-        return pd.DataFrame(rows, columns=["size", "hnf", "canonical"])
+                rows.append((r.lattice, int(r.size), hs, "".join(lab)))
+        return pd.DataFrame(rows, columns=["lattice", "size", "hnf", "canonical"])
 
-    return reps.groupBy("size", "a", "b", "c", "d", "e", "f").applyInPandas(
+    return reps.groupBy("lattice", "size", "a", "b", "c", "d", "e", "f").applyInPandas(
         expand, out_schema
     )
+
+
+def enumerated_reduced(spark: SparkSession, lattice: str, max_size: int, k: int = 2) -> DataFrame:
+    """Per-structure rows for one lattice (see _reduced_structs)."""
+    return _reduced_structs(spark, max_size, k, (lattice,)).drop("lattice")
 
 
 def enumerated_reduced_counts(spark: SparkSession, max_size: int, k: int = 2) -> DataFrame:
     """Per (lattice, size): point-group-reduced HNF class count and
     primitive symmetry-distinct structure count for sc/fcc/bcc."""
-    parts = []
-    for lattice in ("sc", "fcc", "bcc"):
-        structs = enumerated_reduced(spark, lattice, max_size, k)
-        parts.append(
-            structs.groupBy("size")
-            .agg(
-                F.countDistinct("hnf").alias("n_hnfs"),
-                F.count(F.lit(1)).alias("n_unique"),
-            )
-            .withColumn("lattice", F.lit(lattice))
+    structs = _reduced_structs(spark, max_size, k, ("sc", "fcc", "bcc"))
+    return (
+        structs.groupBy("lattice", "size")
+        .agg(
+            F.countDistinct("hnf").alias("n_hnfs"),
+            F.count(F.lit(1)).alias("n_unique"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("lattice", "size", "n_hnfs", "n_unique").orderBy("lattice", "size")
+        .orderBy("lattice", "size")
+    )
 
 
 def enumerated_transform(spark: SparkSession, max_size: int, k: int = 2) -> DataFrame:
