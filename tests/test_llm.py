@@ -50,14 +50,14 @@ def test_simhash_close_for_identical_docs(spark):
 
 def test_simhash_near_dup_banding_lossless(spark):
     """The 4-band bucketed join must find EXACTLY the brute-force pairs
-    (pigeonhole: hd<=1 leaves >=3 of 4 bands identical)."""
+    (pigeonhole: hd<=3 leaves >=1 of the 4 12-bit bands identical)."""
     import itertools
 
-    from tracy_matdb_spark.queries.llm import SIMHASH_MAX_HD
+    from tracy_matdb_spark.queries.llm import SIMHASH_MAX_HD, _simhash_fp_df
 
     out = REGISTRY["simhash_near_dup"].fn(spark, SF_SMOKE).toPandas()
-    fp = REGISTRY["doc_fingerprint"].fn(spark, SF_SMOKE).toPandas()
-    sh = dict(zip(fp.doc_id, fp.simhash16))
+    fp = _simhash_fp_df(spark, SF_SMOKE).toPandas()
+    sh = dict(zip(fp.doc_id, fp.sh))
     brute = {
         (a, b)
         for a, b in itertools.combinations(sorted(sh), 2)

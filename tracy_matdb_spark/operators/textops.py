@@ -21,7 +21,12 @@ LANG_MARKERS = {
     "zh": ("的", "是"),
 }
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 16  # compact fingerprint column (doc_fingerprint.simhash16)
+SIMHASH_WIDE_BITS = 48  # near-dup banding fingerprint: 4 bands x 12 bits.
+# Width is a scale knob: band-bucket count is 2^(bits/bands), and the
+# within-bucket join is quadratic IN THE BUCKET — 4-bit bands (16
+# buckets) made sf0.1 effectively all-pairs; 12-bit bands (4096) keep
+# buckets sparse. 48 <= the 60 bits tok_hash60 provides.
 
 
 def toks_expr(dialect: str, text: str = "text") -> str:
@@ -58,11 +63,44 @@ def tok_hash60(dialect: str, tok_expr: str, salt: str = "s") -> str:
     return f"(('0x' || substr(md5({canon}), 1, 15))::bigint)"
 
 
+def tok_hash_array_expr(dialect: str, toks: str) -> str:
+    """Array of 60-bit token hashes — materialize this as a column ONCE,
+    then derive all simhash bits from it: one md5 per token total,
+    instead of one md5 per token PER BIT (the evaluation-cost trap of
+    inlining the hash into every bit's aggregate)."""
+    h = tok_hash60(dialect, "t")
+    if dialect == "spark":
+        return f"transform({toks}, t -> {h})"
+    return f"list_transform({toks}, t -> {h})"
+
+
+def simhash_from_hashes_expr(dialect: str, hs: str, bits: int) -> str:
+    """``bits``-wide simhash from a token-hash ARRAY column: bit b set
+    iff the frequency-weighted sign-sum of hash bit b is positive. The
+    input must be a concrete column (see tok_hash_array_expr) so the
+    per-bit array traversals are integer-only."""
+    bit_sums = []
+    for b in range(bits):
+        if dialect == "spark":
+            s = (
+                f"aggregate({hs}, 0L, (acc, x) -> "
+                f"acc + (2 * (cast(shiftright(x, {b}) as bigint) & 1) - 1))"
+            )
+        else:
+            s = (
+                f"coalesce(cast(list_sum(list_transform({hs}, "
+                f"x -> 2 * ((x >> {b}) & 1) - 1)) as bigint), 0)"
+            )
+        bit_sums.append(f"(CASE WHEN {s} > 0 THEN cast({1 << b} as bigint) ELSE 0 END)")
+    return "(" + " + ".join(bit_sums) + ")"
+
+
 def simhash_expr(dialect: str, toks: str) -> str:
-    """16-bit simhash over token multiset: bit b set iff the frequency-
-    weighted sign-sum of token-hash bit b is positive. Near-duplicate
-    documents land at small Hamming distance (document fingerprinting,
-    north-star op; no reference precedent)."""
+    """16-bit simhash over token multiset (document fingerprinting,
+    north-star op; no reference precedent). Same value as
+    simhash_from_hashes_expr(bits=16) over tok_hash_array_expr — kept as
+    a single self-contained expression for call sites that fingerprint
+    inline; prefer the two-step form where the token count is large."""
     h = tok_hash60(dialect, "t")
     bit_sums = []
     for b in range(SIMHASH_BITS):

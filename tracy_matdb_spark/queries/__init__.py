@@ -31,6 +31,14 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Queries whose SEMANTICS (and oracle) changed after earlier rounds
+# recorded green rows: name -> first round whose CORRECTNESS rows are
+# still valid. Earlier rows are ignored by the ordering, so the driver
+# re-verifies the new semantics instead of trusting a stale green.
+INVALIDATED_BEFORE: dict[str, int] = {
+    "simhash_near_dup": 4,  # 16-bit/4-bit-band simhash -> 48-bit/12-bit-band
+}
+
 
 def register(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
@@ -58,10 +66,13 @@ def _driver_green() -> set[str]:
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     green: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -70,6 +81,8 @@ def _driver_green() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            if rnd < INVALIDATED_BEFORE.get(name, 0):
+                continue  # row predates a semantics change
             if row.get("hash_match") is True:
                 green.add(name)
             elif row.get("err") == "no_oracle":

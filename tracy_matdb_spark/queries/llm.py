@@ -176,21 +176,43 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-SIMHASH_MAX_HD = 1  # near-dup threshold on the 16-bit simhash
-SIMHASH_BANDS = 4  # 4 bands x 4 bits; hd<=1 touches <=1 band, so any
-#                    true pair agrees on >=3 bands -> band join is lossless
+SIMHASH_MAX_HD = 3  # near-dup threshold on the 48-bit simhash
+SIMHASH_BANDS = 4  # 4 bands x 12 bits; hd<=3 touches <=3 bands, so any
+#                    true pair agrees on >=1 band -> band join is lossless
+_BAND_BITS = textops.SIMHASH_WIDE_BITS // SIMHASH_BANDS
+_BAND_MASK = (1 << _BAND_BITS) - 1
+
+
+def _simhash_fp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, 48-bit simhash) — token hashes materialized ONCE as an
+    array column, then all 48 bit-sums derive from it (one md5 per
+    token total, integer ops after)."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    return docs.selectExpr(
+        "doc_id",
+        f"{textops.tok_hash_array_expr('spark', textops.toks_expr('spark'))} AS __hs",
+    ).selectExpr(
+        "doc_id",
+        f"{textops.simhash_from_hashes_expr('spark', '__hs', textops.SIMHASH_WIDE_BITS)} AS sh",
+    )
 
 
 @register(
     "simhash_near_dup",
     # The oracle verifies the banded join against the exhaustive
     # all-pairs form — quadratic is fine at oracle scale; the Spark side
-    # only ever joins within 4-bit band buckets (bounded fan-out).
+    # only ever joins within 12-bit band buckets (sparse at corpus
+    # scale, see textops.SIMHASH_WIDE_BITS).
     oracle=f"""
-    WITH fp AS (
+    WITH hs AS (
         SELECT doc_id,
-               {textops.simhash_expr('duckdb', textops.toks_expr('duckdb'))} AS sh
+               {textops.tok_hash_array_expr('duckdb', textops.toks_expr('duckdb'))} AS hsarr
         FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               {textops.simhash_from_hashes_expr('duckdb', 'hsarr', textops.SIMHASH_WIDE_BITS)} AS sh
+        FROM hs
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            cast(bit_count(xor(cast(a.sh as bigint), cast(b.sh as bigint))) as int) AS hamming
@@ -200,17 +222,15 @@ SIMHASH_BANDS = 4  # 4 bands x 4 bits; hd<=1 touches <=1 band, so any
     """,
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: 16-bit simhash -> 4-bit band
+    """SimHash near-duplicate pairs: 48-bit simhash -> 12-bit band
     bucketing -> within-bucket join -> exact Hamming filter. By
     pigeonhole, any pair within the Hamming threshold shares at least
     one identical band, so the bucketed join finds exactly the all-pairs
     result without ever comparing across buckets — the same
-    candidates-only discipline as MinHash-LSH, linear-ish at 100 TB."""
-    docs = load(spark, sf_dir, ("documents",))["documents"]
-    fp = docs.selectExpr(
-        "doc_id",
-        f"cast({textops.simhash_expr('spark', textops.toks_expr('spark'))} as bigint) AS sh",
-    )
+    candidates-only discipline as MinHash-LSH. Band width is the scale
+    valve: 2^12 buckets/band keeps buckets sparse where the earlier
+    16-bit/4-bit-band form degenerated to all-pairs within 16 buckets."""
+    fp = _simhash_fp_df(spark, sf_dir)
     bands = fp.select(
         "doc_id",
         "sh",
@@ -219,7 +239,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(f"shiftright(sh, {4 * b}) & 15").alias("val"),
+                        F.expr(f"shiftright(sh, {_BAND_BITS * b}) & {_BAND_MASK}").alias("val"),
                     )
                     for b in range(SIMHASH_BANDS)
                 ]
@@ -296,17 +316,23 @@ def _minhash_sql_duckdb() -> str:
     """
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, word-3-gram shingle) rows — the substrate for both
-    LSH candidate generation and exact Jaccard verification."""
+def _shingles_df(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
+    """(doc_id, word-3-gram shingle) rows — the substrate for both LSH
+    candidate generation and exact Jaccard verification.
+
+    distinct=True (a full |shingles| shuffle) is required only where
+    shingles are COUNTED (exact Jaccard set sizes/intersections). The
+    minhash path skips it: min(md5(p|sh)) over a multiset equals the min
+    over the distinct set, so dedupe there would buy nothing and cost a
+    wide exchange."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
     toks = textops.toks_expr("spark")
     docs_t = docs.selectExpr("doc_id", f"{toks} AS toks").filter(F.expr("size(toks) >= 3"))
-    return (
+    out = (
         docs_t.select("doc_id", F.explode(F.expr("sequence(1, size(toks) - 2)")).alias("i"), "toks")
         .selectExpr("doc_id", "array_join(slice(toks, i, 3), ' ') AS sh")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _lsh_candidate_pairs(shingles: DataFrame) -> DataFrame:
@@ -371,7 +397,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs over word-3-gram shingles.
     Candidates are then verified by exact Jaccard (ngram_jaccard_pairs)
     on the (small) candidate set."""
-    return _lsh_candidate_pairs(_shingles_df(spark, sf_dir)).orderBy("doc_a", "doc_b")
+    return _lsh_candidate_pairs(_shingles_df(spark, sf_dir, distinct=False)).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 # ---------------------------------------------------------------------------
