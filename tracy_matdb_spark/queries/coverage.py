@@ -330,12 +330,22 @@ PIPE_SPEC = {
 PIPE_DIR = os.path.join(FIXTURE_ROOT, "pipeline")
 
 
+_PIPE_CACHE: dict[int, object] = {}
+
+
 def _pipeline(spark: SparkSession):
-    """Materialize the fixture pipeline (idempotent overwrite)."""
+    """Materialize the fixture pipeline (idempotent overwrite), once per
+    session: six registered queries consume the same deterministic
+    catalog, so re-running setup()'s parquet writes for each is pure
+    overhead (it dominated their sweep times)."""
     from tracy_matdb_spark.plans.pipeline import Pipeline
 
-    p = Pipeline(PIPE_SPEC, PIPE_DIR)
-    p.setup(spark)
+    key = id(spark._jsparkSession)
+    p = _PIPE_CACHE.get(key)
+    if p is None:
+        p = Pipeline(PIPE_SPEC, PIPE_DIR)
+        p.setup(spark)
+        _PIPE_CACHE[key] = p
     return p
 
 

@@ -55,8 +55,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _tok_layer(dialect: str) -> list[str]:
+    """Tokenize-once select layer: every downstream metric references the
+    materialized ``__t`` array instead of inlining the regex tokenizer
+    into each expression (which re-lexed the text up to ~10x per row)."""
+    return ["doc_id", "text", f"{textops.toks_expr(dialect)} AS __t"]
+
+
 def _quality_sql(dialect: str) -> list[str]:
-    toks = textops.toks_expr(dialect)
+    """Metric exprs over the _tok_layer output. The repeated sub-exprs
+    here (size/__t traversals) are integer-only and cheap; only the
+    tokenization itself was worth hoisting."""
+    toks = "__t"
     n_tok = f"cast({'size' if dialect == 'spark' else 'len'}({toks}) as bigint)"
     n_stop = f"cast({textops.count_in_expr(dialect, toks, textops.STOPWORDS)} as bigint)"
     sum_len = textops.sum_len_expr(dialect, toks)
@@ -76,8 +86,7 @@ def _quality_sql(dialect: str) -> list[str]:
     headline=True,
     oracle=f"""
     SELECT {', '.join(_quality_sql('duckdb'))}
-    FROM documents
-    WHERE n_chars > 0
+    FROM (SELECT {', '.join(_tok_layer('duckdb'))} FROM documents WHERE n_chars > 0) t
     ORDER BY doc_id
     """,
 )
@@ -88,6 +97,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, ("documents",))["documents"]
     return (
         docs.filter(F.col("n_chars") > 0)
+        .selectExpr(*_tok_layer("spark"))
         .selectExpr(*_quality_sql("spark"))
         .orderBy("doc_id")
     )
@@ -99,8 +109,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_sql(dialect: str) -> tuple[str, str]:
-    toks = textops.toks_expr(dialect)
-    scores = textops.lang_score_exprs(dialect, toks)
+    # scores reference the materialized __t token array (_tok_layer):
+    # the tokenizer runs once per row, not once per language
+    scores = textops.lang_score_exprs(dialect, "__t")
     langs = sorted(scores)
     inner = ["doc_id", "lang AS lang_actual"] + [f"{scores[lang]} AS s_{lang}" for lang in langs]
     best = f"greatest({', '.join('s_' + lang for lang in langs)})"
@@ -114,7 +125,8 @@ def _langid_sql(dialect: str) -> tuple[str, str]:
     oracle=(
         lambda inner_outer: f"""
     SELECT {inner_outer[1]}
-    FROM (SELECT {inner_outer[0]} FROM documents) scored
+    FROM (SELECT {inner_outer[0]} FROM
+          (SELECT lang, {', '.join(_tok_layer('duckdb'))} FROM documents) tokd) scored
     ORDER BY doc_id
     """
     )(_langid_sql("duckdb")),
@@ -125,7 +137,8 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this demonstrates the operator shape, not classifier accuracy."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
     inner, outer = _langid_sql("spark")
-    scored = docs.selectExpr(*_split_exprs(inner))
+    tokd = docs.selectExpr("lang", *_tok_layer("spark"))
+    scored = tokd.selectExpr(*_split_exprs(inner))
     return scored.selectExpr(*_split_exprs(outer)).orderBy("doc_id")
 
 
@@ -157,11 +170,19 @@ def _split_exprs(joined: str) -> list[str]:
 
 @register(
     "doc_fingerprint",
+    # hash-once form: same VALUES as the original inline simhash_expr
+    # (identical bits from identical token hashes), but one md5 per
+    # token total instead of one per token per bit (16x less hashing).
     oracle=f"""
+    WITH hs AS (
+        SELECT doc_id, text,
+               {textops.tok_hash_array_expr('duckdb', textops.toks_expr('duckdb'))} AS hsarr
+        FROM documents
+    )
     SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
-           {textops.simhash_expr('duckdb', textops.toks_expr('duckdb'))} AS simhash16
-    FROM documents
+           cast({textops.simhash_from_hashes_expr('duckdb', 'hsarr', textops.SIMHASH_BITS)} as int) AS simhash16
+    FROM hs
     ORDER BY doc_id
     """,
 )
@@ -171,8 +192,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, ("documents",))["documents"]
     return docs.selectExpr(
         "doc_id",
+        "text",
+        f"{textops.tok_hash_array_expr('spark', textops.toks_expr('spark'))} AS __hs",
+    ).selectExpr(
+        "doc_id",
         "md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))) AS fp",
-        f"{textops.simhash_expr('spark', textops.toks_expr('spark'))} AS simhash16",
+        f"cast({textops.simhash_from_hashes_expr('spark', '__hs', textops.SIMHASH_BITS)} as int) AS simhash16",
     ).orderBy("doc_id")
 
 
@@ -808,8 +833,7 @@ def _corpus_prep_parts(dialect: str) -> tuple[str, str]:
         if dialect == "duckdb"
         else "md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp"
     )
-    toks = textops.toks_expr(dialect)
-    scores = textops.lang_score_exprs(dialect, toks)
+    scores = textops.lang_score_exprs(dialect, "__t")  # over _tok_layer's array
     langs = sorted(scores)
     inner = quality + [fp] + [f"{scores[lang]} AS s_{lang}" for lang in langs]
     best = f"greatest({', '.join('s_' + lang for lang in langs)})"
@@ -821,8 +845,11 @@ def _corpus_prep_parts(dialect: str) -> tuple[str, str]:
 def _corpus_prep_sql_duckdb() -> str:
     inner, outer = _corpus_prep_parts("duckdb")
     return f"""
-    WITH scored AS (
-        SELECT {inner} FROM documents WHERE n_chars > 0
+    WITH tokd AS (
+        SELECT {', '.join(_tok_layer('duckdb'))} FROM documents WHERE n_chars > 0
+    ),
+    scored AS (
+        SELECT {inner} FROM tokd
     ),
     pred AS (
         SELECT doc_id, fp, n_tokens, stop_ratio_q, quality_ok, {outer}
@@ -857,7 +884,8 @@ def corpus_prep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, ("documents",))["documents"]
     inner, outer = _corpus_prep_parts("spark")
-    scored = docs.filter(F.col("n_chars") > 0).selectExpr(*_split_exprs(inner))
+    tokd = docs.filter(F.col("n_chars") > 0).selectExpr(*_tok_layer("spark"))
+    scored = tokd.selectExpr(*_split_exprs(inner))
     pred = scored.selectExpr(
         "doc_id", "fp", "n_tokens", "stop_ratio_q", "quality_ok", *_split_exprs(outer)
     )
@@ -905,10 +933,12 @@ _BPE_RE_SPARK = "[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]"
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, ("documents",))["documents"]
     pieces = f"regexp_extract_all(text, '{_BPE_RE_SPARK}', 0)"
-    return docs.selectExpr(
+    # materialize the piece array once: inlining `pieces` into both
+    # output expressions would run the regex lexer twice per row
+    return docs.selectExpr("doc_id", f"{pieces} AS __p").selectExpr(
         "doc_id",
-        f"cast(size({pieces}) as bigint) AS n_pieces",
-        f"aggregate({pieces}, cast(0 as bigint), (a, t) -> a + cast(ceil(length(t) / 4.0) as bigint)) AS n_bpe_est",
+        "cast(size(__p) as bigint) AS n_pieces",
+        "aggregate(__p, cast(0 as bigint), (a, t) -> a + cast(ceil(length(t) / 4.0) as bigint)) AS n_bpe_est",
     ).orderBy("doc_id")
 
 
