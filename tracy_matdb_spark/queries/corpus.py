@@ -29,25 +29,25 @@ from tracy_matdb_spark.queries import register
 # ---------------------------------------------------------------------------
 
 
-def _rep_sql(dialect: str) -> list[str]:
+def _rep_layers(dialect: str) -> tuple[list[str], list[str]]:
+    """(tokenize layer, metric layer): __t / __d are materialized ONCE —
+    inlining the tokenizer into top_freq's lambda would re-lex the text
+    once per DISTINCT TOKEN per row (the evaluation trap the round-4
+    sweep caught)."""
     toks = textops.toks_expr(dialect)
     if dialect == "spark":
-        n_tok = f"cast(size({toks}) as bigint)"
-        n_distinct = f"cast(size(array_distinct({toks})) as bigint)"
-        top_freq = (
-            f"cast(array_max(transform(array_distinct({toks}), "
-            f"t -> size(filter({toks}, x -> x = t)))) as bigint)"
-        )
+        layer0 = ["doc_id", f"{toks} AS __t", f"array_distinct({toks}) AS __d"]
+        n_tok = "cast(size(__t) as bigint)"
+        n_distinct = "cast(size(__d) as bigint)"
+        top_freq = "cast(array_max(transform(__d, t -> size(filter(__t, x -> x = t)))) as bigint)"
     else:
-        n_tok = f"cast(len({toks}) as bigint)"
-        n_distinct = f"cast(len(list_distinct({toks})) as bigint)"
-        top_freq = (
-            f"cast(list_max(list_transform(list_distinct({toks}), "
-            f"t -> len(list_filter({toks}, x -> x = t)))) as bigint)"
-        )
+        layer0 = ["doc_id", f"{toks} AS __t", f"list_distinct({toks}) AS __d"]
+        n_tok = "cast(len(__t) as bigint)"
+        n_distinct = "cast(len(__d) as bigint)"
+        top_freq = "cast(list_max(list_transform(__d, t -> len(list_filter(__t, x -> x = t)))) as bigint)"
     distinct_q = textops.quant_ratio_expr(n_distinct, n_tok)
     top_q = textops.quant_ratio_expr(top_freq, n_tok)
-    return [
+    return layer0, [
         "doc_id",
         f"{n_tok} AS n_tokens",
         f"{n_distinct} AS n_distinct",
@@ -61,12 +61,13 @@ def _rep_sql(dialect: str) -> list[str]:
 
 @register(
     "repetition_ratio",
-    oracle=f"""
-    SELECT {', '.join(_rep_sql('duckdb'))}
-    FROM documents
-    WHERE n_chars > 0
+    oracle=(
+        lambda layers: f"""
+    SELECT {', '.join(layers[1])}
+    FROM (SELECT {', '.join(layers[0])} FROM documents WHERE n_chars > 0) t
     ORDER BY doc_id
-    """,
+    """
+    )(_rep_layers("duckdb")),
 )
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-diversity screening (Gopher repetition rules): distinct-token
@@ -78,9 +79,11 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     book-length documents the explode -> groupBy(doc_id, tok) -> max form
     is the scale path (one shuffle keyed on doc_id, map-side combine)."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
+    layer0, layer1 = _rep_layers("spark")
     return (
         docs.filter(F.col("n_chars") > 0)
-        .selectExpr(*_rep_sql("spark"))
+        .selectExpr(*layer0)
+        .selectExpr(*layer1)
         .orderBy("doc_id")
     )
 
@@ -229,12 +232,13 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repetition_ratio_exploded",
-    oracle=f"""
-    SELECT {', '.join(_rep_sql('duckdb'))}
-    FROM documents
-    WHERE n_chars > 0
+    oracle=(
+        lambda layers: f"""
+    SELECT {', '.join(layers[1])}
+    FROM (SELECT {', '.join(layers[0])} FROM documents WHERE n_chars > 0) t
     ORDER BY doc_id
-    """,
+    """
+    )(_rep_layers("duckdb")),
 )
 def repetition_ratio_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale variant of repetition_ratio for long documents: explode tokens,
@@ -607,11 +611,15 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", f"{_qscore('spark')} AS score"
     )
     neg = scored.withColumn("__negscore", -F.col("score"))
-    ranked = grouped_value_rank(neg, ["source"], ["__negscore", "doc_id"], out_col="rn")
-    sizes = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    # per-source sizes ride the rank's own offsets broadcast (total_col)
+    # instead of a second scan+groupBy+join; single_scan materializes
+    # the sliced rows once for the offsets and window branches
+    ranked = grouped_value_rank(
+        neg, ["source"], ["__negscore", "doc_id"], out_col="rn",
+        single_scan=True, total_col="n_src",
+    )
     return (
-        ranked.join(F.broadcast(sizes), "source")
-        .select(
+        ranked.select(
             "doc_id",
             "source",
             "score",
