@@ -95,23 +95,6 @@ def simhash_from_hashes_expr(dialect: str, hs: str, bits: int) -> str:
     return "(" + " + ".join(bit_sums) + ")"
 
 
-def simhash_expr(dialect: str, toks: str) -> str:
-    """16-bit simhash over token multiset (document fingerprinting,
-    north-star op; no reference precedent). Same value as
-    simhash_from_hashes_expr(bits=16) over tok_hash_array_expr — kept as
-    a single self-contained expression for call sites that fingerprint
-    inline; prefer the two-step form where the token count is large."""
-    h = tok_hash60(dialect, "t")
-    bit_sums = []
-    for b in range(SIMHASH_BITS):
-        if dialect == "spark":
-            bitval = f"(cast(shiftright({h}, {b}) as bigint) & 1)"
-            s = f"aggregate({toks}, 0L, (acc, t) -> acc + (2 * {bitval} - 1))"
-        else:
-            bitval = f"(({h} >> {b}) & 1)"
-            s = f"coalesce(cast(list_sum(list_transform({toks}, t -> 2 * {bitval} - 1)) as bigint), 0)"
-        bit_sums.append(f"(CASE WHEN {s} > 0 THEN {1 << b} ELSE 0 END)")
-    return "(" + " + ".join(bit_sums) + ")"
 
 
 def lang_score_exprs(dialect: str, toks: str) -> dict[str, str]:

@@ -742,8 +742,11 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LSH_BANDS = 4
-LSH_BAND_BITS = 4
+LSH_BANDS = 8
+LSH_BAND_BITS = 8  # 8 bands x 8 sign-bits = all 64 dims; 2^8 buckets per
+# band keeps buckets sparse (the 4-bit version had 16 buckets/band and
+# its within-bucket join degenerated toward all-pairs as N grew) while
+# 8 band chances keep recall ~99% for cos >= 0.95 pairs.
 
 
 def _embedding_lsh_sql_duckdb() -> str:
@@ -764,12 +767,18 @@ def _embedding_lsh_sql_duckdb() -> str:
         FROM embeddings
     ),
     banded AS (
-        SELECT vec_id, embedding, nrm, band, {bucket} AS bucket
+        SELECT vec_id, band, {bucket} AS bucket
         FROM n CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) bs
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim} AS sim_q
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    SELECT vec_a, vec_b, {sim} AS sim_q
+    FROM cands c
+    JOIN n a ON a.vec_id = c.vec_a
+    JOIN n b ON b.vec_id = c.vec_b
     WHERE {sim} >= {NEAR_DUP_MIN_Q}
     ORDER BY vec_a, vec_b
     """
@@ -794,24 +803,33 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(LSH_BAND_BITS)
         )
         band_rows.append(f"struct(cast({band} as int) AS band, ({bits}) AS bucket)")
+    # bands carry only (vec_id, band, bucket): the candidate self-join
+    # shuffles narrow rows, and the cosine runs ONCE per DISTINCT pair
+    # after dedupe (the old form computed the 64-dim dot per candidate
+    # occurrence, up to once per shared band, before deduping)
     banded = n.selectExpr(
-        "vec_id", "embedding", "nrm", f"explode(array({', '.join(band_rows)})) AS bb"
-    ).selectExpr("vec_id", "embedding", "nrm", "bb.band AS band", "bb.bucket AS bucket")
+        "vec_id", f"explode(array({', '.join(band_rows)})) AS bb"
+    ).selectExpr("vec_id", "bb.band AS band", "bb.bucket AS bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    sim = (
-        f"cast(floor(({_dot_expr('spark', 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) "
-        f"* cast(1000000 as double)) as bigint)"
-    )
-    return (
+    cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", f"{sim} AS sim_q")
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
+    )
+    sim = (
+        f"cast(floor(({_dot_expr('spark', 'ea', 'eb')} / (na * nb)) "
+        f"* cast(1000000 as double)) as bigint)"
+    )
+    return (
+        cands.join(n.selectExpr("vec_id AS vec_a", "embedding AS ea", "nrm AS na"), "vec_a")
+        .join(n.selectExpr("vec_id AS vec_b", "embedding AS eb", "nrm AS nb"), "vec_b")
+        .selectExpr("vec_a", "vec_b", f"{sim} AS sim_q")
         .filter(F.col("sim_q") >= NEAR_DUP_MIN_Q)
         .orderBy("vec_a", "vec_b")
     )
