@@ -188,17 +188,19 @@ def _split_exprs(joined: str) -> list[str]:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of normalized text) + 16-bit simhash for
-    near-dup bucketing; map-only, no shuffle."""
+    near-dup bucketing. The fp is map-only; the simhash rides the
+    explode+sum path (_simhash_sums_df) and joins back on doc_id."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
-    return docs.selectExpr(
-        "doc_id",
-        "text",
-        f"{textops.tok_hash_array_expr('spark', textops.toks_expr('spark'))} AS __hs",
-    ).selectExpr(
+    fp = docs.selectExpr(
         "doc_id",
         "md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))) AS fp",
-        f"cast({textops.simhash_from_hashes_expr('spark', '__hs', textops.SIMHASH_BITS)} as int) AS simhash16",
-    ).orderBy("doc_id")
+    )
+    sh = _simhash_sums_df(docs, textops.SIMHASH_BITS)
+    return (
+        fp.join(sh, "doc_id")
+        .selectExpr("doc_id", "fp", "cast(sh as int) AS simhash16")
+        .orderBy("doc_id")
+    )
 
 
 SIMHASH_MAX_HD = 3  # near-dup threshold on the 48-bit simhash
@@ -208,21 +210,20 @@ _BAND_BITS = textops.SIMHASH_WIDE_BITS // SIMHASH_BANDS
 _BAND_MASK = (1 << _BAND_BITS) - 1
 
 
-def _simhash_fp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, 48-bit simhash) — tokens exploded, hashed as a plain
-    codegen'd column (one md5 per token), then the 48 bit-sign sums run
-    as ordinary SUM aggregates with map-side partials. The array-lambda
-    form (aggregate() per bit over a transform()'d hash array) is
-    interpreted per element in Spark — higher-order functions are
-    CodegenFallback — and was the execute-time hot spot (9.4s at sf0.1
-    vs 0.27s for this plan's warm data path). The shuffle this buys is
-    narrow: partial aggregation reduces each partition to 48 longs per
-    doc before the exchange. Remaining first-run cost is one-time
-    Janino compilation of the wide aggregate (~7s) — constant at any
-    scale, irrelevant at 100 TB. Docs with no tokens keep sh=0
-    (explode_outer + NULL-sum CASEs), matching the oracle's
+def _simhash_sums_df(docs: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, sh BIGINT): ``bits``-wide simhash — tokens exploded,
+    hashed as a plain codegen'd column (one md5 per token), then the
+    bit-sign sums run as ordinary SUM aggregates with map-side partials.
+    The array-lambda form (aggregate() per bit over a transform()'d hash
+    array) is interpreted per element in Spark — higher-order functions
+    are CodegenFallback — and was the execute-time hot spot (9.4s at
+    sf0.1 vs 0.27s for this plan's warm data path). The shuffle this
+    buys is narrow: partial aggregation reduces each partition to
+    ``bits`` longs per doc before the exchange. Remaining first-run cost
+    is one-time Janino compilation of the wide aggregate — constant at
+    any scale, irrelevant at 100 TB. Docs with no tokens keep sh=0
+    (explode_outer + NULL-sum CASEs), matching the oracles'
     coalesce(list_sum)."""
-    docs = load(spark, sf_dir, ("documents",))["documents"]
     tok = docs.selectExpr(
         "doc_id",
         f"explode_outer({textops.toks_expr('spark')}) AS t",
@@ -230,14 +231,19 @@ def _simhash_fp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(F.expr(f"2 * (cast(shiftright(x, {b}) as bigint) & 1) - 1")).alias(f"s{b}")
-            for b in range(textops.SIMHASH_WIDE_BITS)
+            for b in range(bits)
         ]
     )
     sh = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN cast({1 << b} as bigint) ELSE 0 END)"
-        for b in range(textops.SIMHASH_WIDE_BITS)
+        f"(CASE WHEN s{b} > 0 THEN cast({1 << b} as bigint) ELSE 0 END)" for b in range(bits)
     )
     return sums.selectExpr("doc_id", f"coalesce({sh}, 0) AS sh")
+
+
+def _simhash_fp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, 48-bit simhash) for the near-dup banding."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    return _simhash_sums_df(docs, textops.SIMHASH_WIDE_BITS)
 
 
 @register(
