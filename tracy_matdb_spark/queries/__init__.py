@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None, headline: bool = False, doc: str = "
     return deco
 
 
-def _driver_green() -> set[str]:
+def _driver_green(root: str | None = None) -> set[str]:
     """Names with a green row in any CORRECTNESS_r*.json the driver has
     written at the repo root.
 
@@ -68,7 +68,8 @@ def _driver_green() -> set[str]:
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     green: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
