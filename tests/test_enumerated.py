@@ -108,3 +108,58 @@ def test_reduced_counts_match_brute_force_orbits(spark):
     # physics anchors: fcc n=2 is exactly {L1_0, L1_1}; bcc n=2 {B2, B32}
     assert got[("fcc", 2)] == (2, 2)
     assert got[("bcc", 2)] == (2, 2)
+
+
+def test_column_hnf_unimodular_invariance_property():
+    """Property: right-multiplying by ANY unimodular matrix (a product of
+    random elementary column ops) preserves the lattice, so column_hnf
+    must be invariant — the algebraic contract the HNF-class reduction
+    rests on."""
+    import random
+
+    from tracy_matdb_spark.operators.enumerated import column_hnf, hnf_tuples
+
+    rng = random.Random(7)
+    for h in hnf_tuples(6):
+        a, b, c, d, e, f = h
+        M = [[a, 0, 0], [b, c, 0], [d, e, f]]
+        U = [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+        for _ in range(6):  # random elementary ops: swap / negate / shear
+            op = rng.randrange(3)
+            i, j = rng.sample(range(3), 2)
+            if op == 0:
+                for r in range(3):
+                    U[r][i], U[r][j] = U[r][j], U[r][i]
+            elif op == 1:
+                for r in range(3):
+                    U[r][i] = -U[r][i]
+            else:
+                k = rng.randrange(-2, 3)
+                for r in range(3):
+                    U[r][i] += k * U[r][j]
+        MU = [[sum(M[r][t] * U[t][cc] for t in range(3)) for cc in range(3)] for r in range(3)]
+        assert column_hnf(MU) == h, (h, U)
+
+
+def test_hnf_canon_orbit_invariance_property():
+    """Property: the point-group canonical form is constant on each
+    orbit — canon(column_hnf(A @ M)) == canon(M) for every op A."""
+    from tracy_matdb_spark.operators.enumerated import column_hnf, hnf_tuples, point_group
+
+    def canon(M, ops):
+        return min(
+            column_hnf([[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)])
+            for A in ops
+        )
+
+    for lattice in ("sc", "fcc", "bcc"):
+        ops = point_group(lattice)
+        for h in hnf_tuples(4):
+            a, b, c, d, e, f = h
+            M = [[a, 0, 0], [b, c, 0], [d, e, f]]
+            base = canon(M, ops)
+            for A in ops[::7]:  # sample ops for speed
+                AM = [[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+                h2 = column_hnf(AM)
+                M2 = [[h2[0], 0, 0], [h2[1], h2[2], 0], [h2[3], h2[4], h2[5]]]
+                assert canon(M2, ops) == base, (lattice, h, A)
