@@ -28,7 +28,28 @@ def materialize(df) -> int:
     return 0
 
 
+def _contention_guard() -> None:
+    """Warn (stderr only — the stdout JSON contract is untouched) when
+    other JVMs are running: the round-2/3 recorded benches were polluted
+    by concurrent Spark work by +15-50%, making them useless as
+    round-over-round signals."""
+    try:
+        import subprocess
+
+        out = subprocess.run(["pgrep", "-c", "java"], capture_output=True, text=True)
+        n = int(out.stdout.strip() or 0)
+        if n > 0:
+            print(
+                f"bench warning: {n} java process(es) already running — "
+                "timings will include contention; rerun on a quiet machine",
+                file=sys.stderr,
+            )
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> None:
+    _contention_guard()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     registry = load_all()
