@@ -163,3 +163,31 @@ def test_hnf_canon_orbit_invariance_property():
                 h2 = column_hnf(AM)
                 M2 = [[h2[0], 0, 0], [h2[1], h2[2], 0], [h2[3], h2[4], h2[5]]]
                 assert canon(M2, ops) == base, (lattice, h, A)
+
+
+def test_hcp_space_ops_and_anchors(spark):
+    """hcp: D6h has 24 ops; every op resolves a consistent basis map
+    (screw/glide classes compose with the tau_1 fractional translation);
+    and the physics anchor — one formula-unit cell has exactly 3
+    structures (AA, BB, and AB: the basis swap collapses AB with BA)."""
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.operators.enumerated import _reduced_structs, point_group, space_ops
+
+    ops = point_group("hcp")
+    assert len(ops) == 24
+    sops = space_ops("hcp")
+    assert len(sops) == 24
+    # at least one op must swap the two basis atoms (the 6_3 screw class)
+    assert any(bm[0][0] == 1 for _, bm in sops)
+    out = (
+        _reduced_structs(spark, 2, 2, ("hcp",))
+        .groupBy("size")
+        .agg(F.countDistinct("hnf").alias("nh"), F.count(F.lit(1)).alias("nu"))
+        .orderBy("size")
+        .collect()
+    )
+    got = {r.size: (r.nh, r.nu) for r in out}
+    # brute-force orbit counts (tools/derive_enum_oracle.py): n=1 -> 3
+    # structures over 1 HNF class, n=2 -> 10 over 3 classes
+    assert got == {1: (1, 3), 2: (3, 10)}

@@ -220,13 +220,38 @@ def column_hnf(m: list[list[int]]) -> tuple[int, int, int, int, int, int]:
 
 
 def point_group(lattice: str) -> list[list[list[int]]]:
-    """The 48 Oh point-group ops as integer unimodular matrices in the
-    PRIMITIVE basis of sc/fcc/bcc. Cartesian Oh is the signed
-    permutations; conjugating by the primitive basis (columns, units of
-    a/2: fcc (011),(101),(110); bcc (-111),(1-11),(11-1)) keeps all 48
-    integer because Oh is the point group of all three lattices."""
+    """The parent lattice's point group as integer unimodular matrices in
+    the PRIMITIVE basis: the 48 Oh ops for sc/fcc/bcc (Cartesian signed
+    permutations conjugated by the primitive basis — columns, units of
+    a/2: fcc (011),(101),(110); bcc (-111),(1-11),(11-1) — stay integer
+    because Oh is the point group of all three), and the 24 D6h ops for
+    the hexagonal lattice of hcp, enumerated as the integer matrices
+    preserving the hexagonal metric (in-plane Gram [[1,-1/2],[-1/2,1]],
+    c-axis orthogonal — (c/a) is irrational so no op mixes the axes)."""
     from fractions import Fraction
     from itertools import permutations, product
+
+    if lattice == "hcp":
+        half = Fraction(1, 2)
+        G2 = [[Fraction(1), -half], [-half, Fraction(1)]]
+        out = []
+        for p in (-1, 0, 1):
+            for q in (-1, 0, 1):
+                for r in (-1, 0, 1):
+                    for s in (-1, 0, 1):
+                        A2 = [[p, q], [r, s]]
+                        # A2^T G2 A2 == G2 (exact rational check)
+                        ok = all(
+                            sum(A2[t][i] * sum(G2[t][u] * A2[u][j] for u in range(2)) for t in range(2))
+                            == G2[i][j]
+                            for i in range(2)
+                            for j in range(2)
+                        )
+                        if ok:
+                            for e in (1, -1):
+                                out.append([[p, q, 0], [r, s, 0], [0, 0, e]])
+        assert len(out) == 24, len(out)
+        return out
 
     cart = []
     for perm in permutations(range(3)):
@@ -261,6 +286,62 @@ def point_group(lattice: str) -> list[list[list[int]]]:
         A = [[sum(inv[i][t] * RB[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
         assert all(v.denominator == 1 for row in A for v in row), (lattice, R)
         out.append([[int(v) for v in row] for row in A])
+    return out
+
+
+# Multi-atom bases (fractional atom positions in primitive coords).
+# Single-atom lattices omit an entry and default to [(0,0,0)]. hcp: the
+# B site at (1/3, 2/3, 1/2) — half the D6h ops only map the crystal to
+# itself COMPOSED with a fractional translation (the 6_3 screw / c-glide
+# of P6_3/mmc), which space_ops resolves per op.
+def _basis(lattice: str):
+    from fractions import Fraction
+
+    if lattice == "hcp":
+        return [
+            (Fraction(0), Fraction(0), Fraction(0)),
+            (Fraction(1, 3), Fraction(2, 3), Fraction(1, 2)),
+        ]
+    return [(0, 0, 0)]
+
+
+def space_ops(lattice: str):
+    """[(A, bm)] — every point-group op A paired with its basis map
+    bm[beta] = (beta', w): the crystal symmetry sends atom beta at
+    x + tau_beta to atom beta' at (A x + w) + tau_beta', where w is an
+    integer lattice vector folding in the op's fractional translation v
+    (v=0 for symmorphic ops; v=tau_1 for hcp's screw/glide classes —
+    the candidate v set is the basis itself since A tau_0 + v = v must
+    land on an atom). Every op of the point group is realized: the
+    factor group of P6_3/mmc has order 24."""
+    from fractions import Fraction
+
+    basis = _basis(lattice)
+    out = []
+    for A in point_group(lattice):
+        resolved = None
+        for v in basis:
+            bm = []
+            for tau in basis:
+                img = tuple(
+                    sum(Fraction(A[i][t]) * tau[t] for t in range(3)) + v[i]
+                    for i in range(3)
+                )
+                hit = None
+                for b2, tau2 in enumerate(basis):
+                    d = tuple(img[i] - tau2[i] for i in range(3))
+                    if all(x.denominator == 1 for x in map(Fraction, d)):
+                        hit = (b2, tuple(int(x) for x in d))
+                        break
+                if hit is None:
+                    bm = None
+                    break
+                bm.append(hit)
+            if bm is not None:
+                resolved = bm
+                break
+        assert resolved is not None, (lattice, A)
+        out.append((A, resolved))
     return out
 
 
@@ -301,6 +382,16 @@ def _ops_cached(lattice: str) -> list[list[list[int]]]:
     return ops
 
 
+_SOPS_CACHE: dict[str, list] = {}
+
+
+def _sops_cached(lattice: str):
+    sops = _SOPS_CACHE.get(lattice)
+    if sops is None:
+        sops = _SOPS_CACHE.setdefault(lattice, space_ops(lattice))
+    return sops
+
+
 def _hnf_canon_udf():
     """Pandas UDF: canonical (min) normalized HNF tuple over the named
     lattice's point group — rows whose own tuple equals it are the class
@@ -325,43 +416,71 @@ def _hnf_canon_udf():
     return canon_hnf
 
 
-def _orbit_perms(h: tuple[int, ...], ops: list[list[list[int]]]):
-    """Site-permutation matrix of the full acting group (stabilizer
-    rotations x translations) plus the nonzero pure-translation subset,
-    as numpy index arrays: apply as labels[perm] (new label at site i =
-    old label at perm[i]... inverse convention is irrelevant for a
-    canonical MIN over a group)."""
+def _orbit_perms(h: tuple[int, ...], lattice: str):
+    """Site-permutation matrix of the full acting group (lattice-
+    stabilizing space-group ops x lattice translations) plus the nonzero
+    pure-translation subset, as numpy index arrays: apply as
+    labels[perm] (new label at site i = old label at perm[i]... inverse
+    convention is irrelevant for a canonical MIN over a group).
+
+    Sites are (cell coset x, basis atom beta) pairs — n_cells * n_basis
+    of them. A space-group op (A, bm) sends (x, beta) to
+    (reduce(A x + w_beta), beta') with (beta', w_beta) = bm[beta]
+    (fractional translations already folded into bm by space_ops).
+    Pure translations act on x only; they are the superperiodicity
+    test group (a labeling fixed by a nonzero lattice translation is a
+    smaller cell — screw/glide fixes do NOT shrink the cell)."""
     import numpy as np
 
-    sites = sites_of(h)
+    cells = sites_of(h)
+    basis = _basis(lattice)
+    nb = len(basis)
+    sites = [(x, b) for x in cells for b in range(nb)]
     sidx = {s: i for i, s in enumerate(sites)}
     n = len(sites)
-    stab = _stabilizer(h, ops)
+    identity = [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
     perms = []
     tperms = []
-    for A in stab:
-        rot = [
-            sidx[
-                site_reduce(
-                    (
-                        A[0][0] * x[0] + A[0][1] * x[1] + A[0][2] * x[2],
-                        A[1][0] * x[0] + A[1][1] * x[1] + A[1][2] * x[2],
-                        A[2][0] * x[0] + A[2][1] * x[1] + A[2][2] * x[2],
-                    ),
-                    h,
-                )
-            ]
-            for x in sites
-        ]
-        for t in sites:
-            tr = [
-                rot[sidx[site_reduce((x[0] + t[0], x[1] + t[1], x[2] + t[2]), h)]]
-                for x in sites
-            ]
+    for A, bm in _sops_cached(lattice):
+        if not _lattice_stabilizes(A, h):
+            continue
+        rot = [0] * n
+        for (x, b), i in sidx.items():
+            b2, w = bm[b]
+            y = site_reduce(
+                (
+                    A[0][0] * x[0] + A[0][1] * x[1] + A[0][2] * x[2] + w[0],
+                    A[1][0] * x[0] + A[1][1] * x[1] + A[1][2] * x[2] + w[1],
+                    A[2][0] * x[0] + A[2][1] * x[1] + A[2][2] * x[2] + w[2],
+                ),
+                h,
+            )
+            rot[i] = sidx[(y, b2)]
+        is_pure_identity = A == identity and all(
+            b2 == b and w == (0, 0, 0) for b, (b2, w) in enumerate(bm)
+        )
+        for t in cells:
+            tr = [0] * n
+            for (x, b), i in sidx.items():
+                y = site_reduce((x[0] + t[0], x[1] + t[1], x[2] + t[2]), h)
+                tr[i] = rot[sidx[(y, b)]]
             perms.append(tr)
-            if A == ops[0] and t != (0, 0, 0):  # identity rotation is ops[0]
+            if is_pure_identity and t != (0, 0, 0):
                 tperms.append(tr)
     return np.asarray(perms, dtype=np.int64), np.asarray(tperms, dtype=np.int64), n
+
+
+def _lattice_stabilizes(A: list[list[int]], h: tuple[int, ...]) -> bool:
+    a, b, c, d, e, f = h
+    M = [[a, 0, 0], [b, c, 0], [d, e, f]]
+    det = a * c * f
+    adj = [[c * f, 0, 0], [-b * f, a * f, 0], [b * e - c * d, -a * e, a * c]]
+    AM = [[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+    return all(
+        sum(adj[i][t] * AM[t][j] for t in range(3)) % det == 0
+        for i in range(3)
+        for j in range(3)
+    )
 
 
 def _reduced_structs(
@@ -395,7 +514,7 @@ def _reduced_structs(
         rows = []
         for r in pdf.itertuples(index=False):
             h = (int(r.a), int(r.b), int(r.c), int(r.d), int(r.e), int(r.f))
-            perms, tperms, n = _orbit_perms(h, _ops_cached(r.lattice))
+            perms, tperms, n = _orbit_perms(h, r.lattice)
             lids = np.arange(k**n, dtype=np.int64)
             digits = (lids[:, None] // k ** np.arange(n, dtype=np.int64)[None, :]) % k
             weights = k ** np.arange(n, dtype=np.int64)

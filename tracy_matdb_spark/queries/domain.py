@@ -533,6 +533,49 @@ def enumerated_point_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "enumerated_point_group_hcp",
+    # hcp extends the Hart-Forcade reduction to a MULTILATTICE parent:
+    # two basis atoms, D6h point group (24 ops), and space-group ops
+    # with fractional translations — half the classes (the 6_3 screw /
+    # c-glide of P6_3/mmc) only map the crystal to itself composed with
+    # the tau_1 translation, which operators/enumerated.space_ops
+    # resolves exactly in rational arithmetic. Constants independently
+    # derived by exhaustive orbit union (tools/derive_enum_oracle.py,
+    # basis-aware transport). Physics anchor: one formula-unit cell has
+    # exactly 3 structures — AA, BB, AB — because the screw swaps the
+    # two sublattices, collapsing AB with BA.
+    oracle="""
+    SELECT * FROM (VALUES
+        ('hcp', 1, cast(1 as bigint), cast(3 as bigint)),
+        ('hcp', 2, cast(3 as bigint), cast(10 as bigint)),
+        ('hcp', 3, cast(5 as bigint), cast(50 as bigint)),
+        ('hcp', 4, cast(11 as bigint), cast(270 as bigint)),
+        ('hcp', 5, cast(7 as bigint), cast(651 as bigint)),
+        ('hcp', 6, cast(19 as bigint), cast(4793 as bigint))
+    ) t(lattice, size, n_hnfs, n_unique)
+    ORDER BY lattice, size
+    """,
+    doc="Point-group (full Hart-Forcade) derivative-structure "
+    "enumeration for the hcp MULTILATTICE, sizes <= 6: 2-atom basis, "
+    "D6h ops with screw/glide fractional translations, superperiodic "
+    "removal — completes the reference's lattice list "
+    "(matdb/database/enumerated.py:147-184: fcc/bcc/sc/hcp).",
+)
+def enumerated_point_group_hcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.enumerated import _reduced_structs
+
+    structs = _reduced_structs(spark, 6, 2, ("hcp",))
+    return (
+        structs.groupBy("lattice", "size")
+        .agg(
+            F.countDistinct("hnf").alias("n_hnfs"),
+            F.count(F.lit(1)).alias("n_unique"),
+        )
+        .orderBy("lattice", "size")
+    )
+
+
+@register(
     "enumerated_until_nconfigs",
     # retry-until-nconfigs (enumerated.py:376-379): sizes grow until the
     # cumulative unique count reaches 60 (2 + 21 + 52 = 75 >= 60 at
