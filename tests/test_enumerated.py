@@ -191,3 +191,30 @@ def test_hcp_space_ops_and_anchors(spark):
     # brute-force orbit counts (tools/derive_enum_oracle.py): n=1 -> 3
     # structures over 1 HNF class, n=2 -> 10 over 3 classes
     assert got == {1: (1, 3), 2: (3, 10)}
+
+
+def test_lattice_point_group_custom_matches_named():
+    """The generic Gram-preservation search (the reference's `custom`
+    lattice case) must reproduce the named groups EXACTLY (same matrix
+    sets, column convention), find the hexagonal group from a rational
+    Gram, and collapse a skew triclinic cell to +/-I."""
+    from fractions import Fraction as Fr
+
+    from tracy_matdb_spark.operators.enumerated import lattice_point_group, point_group
+
+    half = Fr(1, 2)
+    bases = {
+        "sc": [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        "fcc": [[0, half, half], [half, 0, half], [half, half, 0]],
+        "bcc": [[-half, half, half], [half, -half, half], [half, half, -half]],
+    }
+    for name, basis in bases.items():
+        named = {tuple(v for r in A for v in r) for A in point_group(name)}
+        found = {tuple(v for r in A for v in r) for A in lattice_point_group(basis)}
+        assert named == found, name
+    hexg = [[1, -half, 0], [-half, 1, 0], [0, 0, 2]]
+    named = {tuple(v for r in A for v in r) for A in point_group("hcp")}
+    found = {tuple(v for r in A for v in r) for A in lattice_point_group(gram=hexg)}
+    assert named == found
+    tri = [[1, 0, 0], [Fr(1, 5), 1, 0], [Fr(1, 7), Fr(2, 9), 1]]
+    assert len(lattice_point_group(tri)) == 2  # only +/-identity

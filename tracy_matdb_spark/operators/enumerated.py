@@ -289,6 +289,72 @@ def point_group(lattice: str) -> list[list[list[int]]]:
     return out
 
 
+def lattice_point_group(basis: list[list] | None = None, gram: list[list] | None = None) -> list[list[list[int]]]:
+    """Integer point group of an ARBITRARY lattice given its primitive
+    basis (rows, exact rationals/ints) or directly its Gram matrix
+    (for lattices whose Cartesian basis is irrational but whose metric
+    is rational — e.g. hexagonal): all integer matrices A with
+    A G A^T == G, i.e. lattice automorphisms preserving the metric.
+    Completes the reference's `custom` lattice case
+    (matdb/database/enumerated.py:147-184) beyond the named
+    sc/fcc/bcc/hcp groups.
+
+    Search is row-wise pruned: row i of A must be an integer vector of
+    squared norm G[i][i] (entries bounded via a conservative Gram
+    eigenbound), then cross terms must match. Always contains +/-I;
+    order divides 48 for 3D lattices."""
+    from fractions import Fraction
+    from itertools import product
+
+    if gram is not None:
+        G = [[Fraction(v) for v in row] for row in gram]
+    else:
+        B = [[Fraction(v) for v in row] for row in basis]
+        G = [[sum(B[i][t] * B[j][t] for t in range(3)) for j in range(3)] for i in range(3)]
+
+    def quad(v, w):
+        return sum(v[i] * G[i][j] * w[j] for i in range(3) for j in range(3))
+
+    # conservative entry bound: |x|^2 lambda_min <= x G x^T = G_ii with
+    # lambda_min >= det(G)/ (lambda_max^2) and lambda_max <= trace(G);
+    # cheap and safe for the small cells this library targets.
+    detG = (
+        G[0][0] * (G[1][1] * G[2][2] - G[1][2] * G[2][1])
+        - G[0][1] * (G[1][0] * G[2][2] - G[1][2] * G[2][0])
+        + G[0][2] * (G[1][0] * G[2][1] - G[1][1] * G[2][0])
+    )
+    trG = G[0][0] + G[1][1] + G[2][2]
+    lam_min_lb = detG / (trG * trG)
+    bound = max(1, int((max(G[i][i] for i in range(3)) / lam_min_lb) ** Fraction(1, 2)) + 1)
+    rng = range(-bound, bound + 1)
+    cands = {
+        i: [v for v in product(rng, rng, rng) if quad(v, v) == G[i][i]]
+        for i in range(3)
+    }
+    out = []
+    for r0 in cands[0]:
+        for r1 in cands[1]:
+            if quad(r0, r1) != G[0][1]:
+                continue
+            for r2 in cands[2]:
+                if quad(r0, r2) != G[0][2] or quad(r1, r2) != G[1][2]:
+                    continue
+                det = (
+                    r0[0] * (r1[1] * r2[2] - r1[2] * r2[1])
+                    - r0[1] * (r1[0] * r2[2] - r1[2] * r2[0])
+                    + r0[2] * (r1[0] * r2[1] - r1[1] * r2[0])
+                )
+                if det in (1, -1):
+                    # the search finds A with A G A^T == G (rows are
+                    # norm-preserving vectors); the enumeration machinery
+                    # acts on COLUMN coordinate vectors, whose condition
+                    # is A^T G A == G — so return the transpose. (The
+                    # two sets differ for non-self-dual lattices: fcc's
+                    # row set is bcc's column set.)
+                    out.append([[r0[0], r1[0], r2[0]], [r0[1], r1[1], r2[1]], [r0[2], r1[2], r2[2]]])
+    return out
+
+
 # Multi-atom bases (fractional atom positions in primitive coords).
 # Single-atom lattices omit an entry and default to [(0,0,0)]. hcp: the
 # B site at (1/3, 2/3, 1/2) — half the D6h ops only map the crystal to
