@@ -103,4 +103,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv[1:]:
+        # Scaling-regression mode: sf0.01 vs sf0.1 ratios per query
+        # (see tools/scaling_check.py). Writes SCALING.json.
+        from tools.scaling_check import main as scaling_main
+
+        scaling_main()
+    else:
+        main()

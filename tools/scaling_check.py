@@ -1,0 +1,139 @@
+"""Scaling-regression harness: sf0.01 -> sf0.1 wall-time ratios per query.
+
+Motivation (round-4 verdict #1): a query can be hash-green at sf0.01 and
+fast enough at one sf while its plan is super-linear in data size. The
+round-4 simhash fix is the canonical example — 16-bit signatures banded
+into 4-bit buckets degenerated to all-pairs *within* 16 buckets, which a
+correctness check can never show and a single-sf bench under-weights.
+This tool times each query at two scale factors and flags ratios far
+above the data ratio.
+
+Threshold: the sf0.01 -> sf0.1 data ratio is 10x. A healthy shuffle/agg
+plan on local[32] lands well under that (fixed per-query overhead
+dominates the small sf). We flag ratio > 25x (2.5x super-linear
+headroom). Calibration against the one known bad plan: the pre-28a1628
+simhash ran 9.4 s at sf0.1; at sf0.01 the 500-doc corpus fits in 16
+buckets of ~30 docs (~0.2 s) — ratio ~45x, well above 25. The current
+banded plan measures ~2-4x (overhead-dominated). Queries faster than
+MIN_LARGE_SEC at the large sf are never flagged: at that absolute cost
+they cannot be a scale hazard yet, and tiny denominators make the ratio
+pure noise — they re-enter the net automatically once they grow.
+
+Query set: every bench headline query, plus SCALING_EXTRA — the
+candidate-pair-generating operators (LSH bucket joins, n-gram overlap
+joins, pair explosions) whose topology is exactly the class that can
+degenerate the way simhash did.
+
+Usage:
+    python tools/scaling_check.py            # writes SCALING.json, prints one JSON line
+    python bench.py --scaling                # same entry point
+Exit code 1 when any query is flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tracy_matdb_spark.queries import load_all
+from tracy_matdb_spark.session import get_session
+
+SMALL_SF_DIR = "/root/testdata/sf0.01"
+LARGE_SF_DIR = "/root/testdata/sf0.1"
+DATA_RATIO = 10.0
+# Flag when t(large)/t(small) exceeds this. 2.5x the data ratio: the old
+# quadratic simhash shape measures ~45x here, healthy plans 2-8x.
+RATIO_THRESHOLD = 25.0
+# Below this absolute time at the large sf a query cannot yet be a scale
+# hazard and its ratio is denominator-noise; it is reported, not flagged.
+MIN_LARGE_SEC = 0.30
+
+# Non-headline queries whose join topology generates candidate pairs —
+# the degeneration-prone class this harness exists for.
+SCALING_EXTRA = [
+    "simhash_near_dup",
+    "ngram_jaccard_pairs",
+    "embedding_lsh_near_dup",
+    "knn_ivf_embeddings",
+    "near_dup_clusters",
+    "doc_fingerprint",
+    "decontam_ngram_overlap",
+    "source_vocab_overlap",
+    "basket_part_pairs",
+    "incremental_dedup_ingest",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _warm_time(spark, fn, sf_dir: str) -> float:
+    _materialize(fn(spark, sf_dir))  # warmup: JVM/codegen, parquet footer cache
+    t0 = time.time()
+    _materialize(fn(spark, sf_dir))
+    return time.time() - t0
+
+
+def run(out_path: str | None = None) -> dict:
+    registry = load_all()
+    names = [n for n, q in registry.items() if q.headline]
+    names += [n for n in SCALING_EXTRA if n in registry and n not in names]
+    missing = [n for n in SCALING_EXTRA if n not in registry]
+    if missing:
+        raise SystemExit(f"scaling_check: unknown SCALING_EXTRA queries: {missing}")
+
+    spark = get_session("scaling_check")
+    rows: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in sorted(names):
+        fn = registry[name].fn
+        try:
+            t_small = _warm_time(spark, fn, SMALL_SF_DIR)
+            t_large = _warm_time(spark, fn, LARGE_SF_DIR)
+        except Exception as e:  # noqa: BLE001
+            rows[name] = {"error": str(e)[:200]}
+            flagged.append(name)
+            continue
+        ratio = t_large / max(t_small, 1e-9)
+        flag = ratio > RATIO_THRESHOLD and t_large >= MIN_LARGE_SEC
+        rows[name] = {
+            "sec_sf0.01": round(t_small, 3),
+            "sec_sf0.1": round(t_large, 3),
+            "ratio": round(ratio, 2),
+            "flagged": flag,
+        }
+        if flag:
+            flagged.append(name)
+    spark.stop()
+
+    result = {
+        "metric": "scaling_ratio_sf0.01_to_sf0.1",
+        "data_ratio": DATA_RATIO,
+        "ratio_threshold": RATIO_THRESHOLD,
+        "min_large_sec": MIN_LARGE_SEC,
+        "queries": rows,
+        "flagged": sorted(flagged),
+    }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=2, sort_keys=True)
+            fh.write("\n")
+    return result
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = run(out_path=os.path.join(root, "SCALING.json"))
+    print(json.dumps({k: v for k, v in result.items() if k != "queries"} | {"n_queries": len(result["queries"])}))
+    if result["flagged"]:
+        print(f"scaling_check: FLAGGED {result['flagged']}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
