@@ -218,3 +218,143 @@ def test_lattice_point_group_custom_matches_named():
     assert named == found
     tri = [[1, 0, 0], [Fr(1, 5), 1, 0], [Fr(1, 7), Fr(2, 9), 1]]
     assert len(lattice_point_group(tri)) == 2  # only +/-identity
+
+
+def test_custom_lattice_spec_parsing_and_groups():
+    """custom[...] Gram specs: tetragonal D4h (16 ops), hcp expressed as
+    a custom gram+basis reproduces the named hcp space group exactly, a
+    symmetry-breaking basis drops to the resolvable subgroup, and
+    malformed specs fail fast."""
+    import pytest
+
+    from tracy_matdb_spark.operators.enumerated import (
+        _ops_cached,
+        parse_custom_lattice,
+        point_group,
+        space_ops,
+    )
+
+    assert parse_custom_lattice("sc") is None
+    assert len(point_group("custom[1,0,0,1,0,2]")) == 16  # D4h
+    hcp_c = "custom[1,-1/2,0,1,0,5/2]@0,0,0;1/3,2/3,1/2"
+    named = {(tuple(v for r in A for v in r), tuple(bm)) for A, bm in space_ops("hcp")}
+    cust = {(tuple(v for r in A for v in r), tuple(bm)) for A, bm in space_ops(hcp_c)}
+    assert named == cust
+    # a basis off the symmetry axes keeps only a subgroup — and the
+    # crystal point group used for HNF classes is that same subset
+    broke = "custom[1,0,0,1,0,2]@0,0,0;1/2,0,1/2"
+    assert len(space_ops(broke)) == 8
+    assert len(_ops_cached(broke)) == 8
+    for bad in (
+        "custom[1,0,0,1,0",          # unterminated
+        "custom[1,0,0,1,0,2,3]",     # 7 entries
+        "custom[1,0,0,-1,0,2]",      # not positive definite
+        "custom[1,0,0,1,0,2]@1/3,0,0",  # basis not origin-anchored
+    ):
+        with pytest.raises(ValueError):
+            point_group(bad) if "@" not in bad else space_ops(bad)
+
+
+def test_custom_hcp_counts_match_named(spark):
+    """The whole reduction pipeline run through the custom-spec path
+    must reproduce the named hcp counts (same Gram, same basis)."""
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.operators.enumerated import _reduced_structs
+
+    hcp_c = "custom[1,-1/2,0,1,0,5/2]@0,0,0;1/3,2/3,1/2"
+    out = (
+        _reduced_structs(spark, 2, 2, (hcp_c,))
+        .groupBy("size")
+        .agg(F.countDistinct("hnf").alias("nh"), F.count(F.lit(1)).alias("nu"))
+        .orderBy("size")
+        .collect()
+    )
+    assert {r.size: (r.nh, r.nu) for r in out} == {1: (1, 3), 2: (3, 10)}
+
+
+def test_oracle_tool_groups_are_independent_and_match():
+    """tools/derive_enum_oracle builds its groups locally (only
+    hnf_tuples is imported from production); its op sets must coincide
+    with the production module's — a cross-check, not a dependency."""
+    import ast
+    import pathlib
+
+    from tools.derive_enum_oracle import GRAMS, local_point_group, local_space_ops, parse_lattice
+    from tracy_matdb_spark.operators.enumerated import point_group, space_ops
+
+    for lat, expect in (("sc", 48), ("fcc", 48), ("bcc", 48), ("hcp", 24)):
+        loc = {tuple(v for r in A for v in r) for A in local_point_group(GRAMS[lat])}
+        prod = {tuple(v for r in A for v in r) for A in point_group(lat)}
+        assert loc == prod and len(loc) == expect, lat
+    G, basis = parse_lattice("hcp")
+    locs = {(tuple(v for r in A for v in r), tuple(bm)) for A, bm in local_space_ops(G, basis)}
+    prods = {(tuple(v for r in A for v in r), tuple(bm)) for A, bm in space_ops("hcp")}
+    assert locs == prods
+    # import-surface pin: the tool may import ONLY hnf_tuples from the
+    # production package (the shared enumeration convention)
+    tree = ast.parse(pathlib.Path("tools/derive_enum_oracle.py").read_text())
+    prod_imports = [
+        alias.name
+        for node in ast.walk(tree)
+        if isinstance(node, ast.ImportFrom) and node.module and "tracy_matdb_spark" in node.module
+        for alias in node.names
+    ]
+    assert prod_imports == ["hnf_tuples"], prod_imports
+
+
+def test_until_nconfigs_incremental_single_size_plans(spark):
+    """The retry loop enumerates each size exactly once with a
+    single-size plan (min_size == size) — O(1) plans per iteration, not
+    a re-enumeration of 1..s (round-4 verdict item #4)."""
+    import tracy_matdb_spark.operators.enumerated as en
+
+    calls = []
+    orig = en.enumerated_transform
+
+    def spy(spark_, max_size, k=2, min_size=1):
+        calls.append((max_size, min_size))
+        return orig(spark_, max_size, k, min_size)
+
+    en.enumerated_transform = spy
+    try:
+        out = en.enumerated_until_nconfigs(spark, nconfigs=30, k=2).toPandas()
+    finally:
+        en.enumerated_transform = orig
+    assert len(out) == 30
+    # sizes 1, 2, 3 each enumerated once, as single-size increments
+    assert calls == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_reduced_structs_labeling_guard(spark):
+    """Oversized enumeration requests fail fast driver-side with
+    guidance instead of launching an exponential job."""
+    import pytest
+
+    from tracy_matdb_spark.operators.enumerated import MAX_LABELINGS, enumerated_reduced
+
+    with pytest.raises(ValueError, match="labelings per largest HNF"):
+        enumerated_reduced(spark, "sc", max_size=30, k=2)
+    with pytest.raises(ValueError, match="lower max_size/k"):
+        enumerated_reduced(spark, "hcp", max_size=12, k=4)
+    assert 2**22 == MAX_LABELINGS  # documented ceiling
+
+
+def test_expand_chunked_streaming_matches_unchunked(spark):
+    """Forcing a tiny orbit block makes expand() stream the labeling
+    axis in many chunks; counts must be identical to the single-chunk
+    path (canonical-min and the superperiodic test are per-labeling)."""
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.operators.enumerated import _reduced_structs
+
+    agg = lambda df: {  # noqa: E731
+        r.size: (r.nh, r.nu)
+        for r in df.groupBy("size")
+        .agg(F.countDistinct("hnf").alias("nh"), F.count(F.lit(1)).alias("nu"))
+        .orderBy("size")
+        .collect()
+    }
+    tiny = agg(_reduced_structs(spark, 4, 2, ("sc",), block_elems=64))
+    full = agg(_reduced_structs(spark, 4, 2, ("sc",)))
+    assert tiny == full == {1: (1, 2), 2: (3, 3), 3: (3, 6), 4: (9, 24)}

@@ -576,6 +576,50 @@ def enumerated_point_group_hcp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "enumerated_point_group_custom",
+    # The reference's CUSTOM lattice case (matdb/database/enumerated.py:
+    # 147-184: a user-supplied lattice instead of a named one), end to
+    # end: the lattice is a custom[...] Gram spec string riding the
+    # distributed plan; its point group is found at orbit time by the
+    # generic Gram-preservation search (operators/enumerated.
+    # lattice_point_group) — here simple tetragonal (c^2/a^2 = 2),
+    # whose D4h group (16 ops) is a strict subgroup of Oh, so every
+    # count differs from sc (e.g. 5 HNF classes at n=2 vs sc's 3: fewer
+    # ops merge fewer superlattices). Constants independently derived
+    # by the import-free exhaustive orbit union in
+    # tools/derive_enum_oracle.py (local Gram search + DSU).
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, cast(1 as bigint), cast(2 as bigint)),
+        (2, cast(5 as bigint), cast(5 as bigint)),
+        (3, cast(5 as bigint), cast(10 as bigint)),
+        (4, cast(17 as bigint), cast(46 as bigint)),
+        (5, cast(9 as bigint), cast(52 as bigint)),
+        (6, cast(29 as bigint), cast(232 as bigint))
+    ) t(size, n_hnfs, n_unique)
+    ORDER BY size
+    """,
+    doc="Point-group (full Hart-Forcade) derivative-structure "
+    "enumeration for a CUSTOM lattice given as a Gram-matrix spec "
+    "(simple tetragonal, D4h found by generic Gram-preservation "
+    "search), sizes <= 6 — the reference's custom-lattice case "
+    "(matdb/database/enumerated.py:147-184) end to end.",
+)
+def enumerated_point_group_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.enumerated import _reduced_structs
+
+    structs = _reduced_structs(spark, 6, 2, ("custom[1,0,0,1,0,2]",))
+    return (
+        structs.groupBy("size")
+        .agg(
+            F.countDistinct("hnf").alias("n_hnfs"),
+            F.count(F.lit(1)).alias("n_unique"),
+        )
+        .orderBy("size")
+    )
+
+
+@register(
     "enumerated_until_nconfigs",
     # retry-until-nconfigs (enumerated.py:376-379): sizes grow until the
     # cumulative unique count reaches 60 (2 + 21 + 52 = 75 >= 60 at
