@@ -67,3 +67,19 @@ def test_invalidated_before_ignores_pre_change_rows(tmp_path):
         del Q.INVALIDATED_BEFORE["__t_changed"]
         for n in added:
             del Q.REGISTRY[n]
+
+
+def test_invalidated_before_names_are_registered():
+    """Every INVALIDATED_BEFORE entry must name a registered query —
+    a stale name (query renamed/removed after a semantics change) would
+    silently stop forcing re-verification. Any oracle/semantics change
+    to a driver-green query MUST add an entry here with the current
+    round number (see CONTRIBUTING.md)."""
+    from tracy_matdb_spark.queries import INVALIDATED_BEFORE, load_all
+
+    registered = set(load_all())
+    stale = set(INVALIDATED_BEFORE) - registered
+    assert not stale, f"INVALIDATED_BEFORE names unregistered queries: {sorted(stale)}"
+    assert all(
+        isinstance(rnd, int) and rnd > 0 for rnd in INVALIDATED_BEFORE.values()
+    ), "rounds must be positive ints"

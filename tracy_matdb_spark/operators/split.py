@@ -41,7 +41,7 @@ def assign_split(
     train_perc: float,
     seed: int = 42,
     label_col: str = "label",
-    single_scan: bool = True,
+    single_scan: bool = False,
 ) -> DataFrame:
     """Add a deterministic 'train'/'holdout'/'super' label column.
 
@@ -49,10 +49,15 @@ def assign_split(
     only on the hash order, never on partitioning or task scheduling.
     Fully lazy — the ceil thresholds are computed from the rank pass's
     own total (global_rank_lazy total_col), so labeling is ONE plan with
-    no driver-side count() or collect() anywhere. single_scan=True (the
-    measured-faster default) materializes the bucketed projection once
-    instead of traversing the input twice — see global_rank_lazy for the
-    storage/lineage trade-off at extreme scale.
+    no driver-side count() or collect() anywhere.
+
+    single_scan defaults to False — the library default re-scans the
+    input for the two branches, which is the safe choice at extreme
+    scale (re-reading cheap pruned parquet beats storing an executor
+    copy with truncated lineage; executor loss under localCheckpoint
+    forces a job retry). Pass single_scan=True at call sites where the
+    double scan is MEASURED to dominate (e.g. the split_assign_orders
+    headline query: ~2x) — see global_rank_lazy for the full trade-off.
     """
     ranked = global_rank_lazy(
         df,

@@ -330,22 +330,37 @@ PIPE_SPEC = {
 PIPE_DIR = os.path.join(FIXTURE_ROOT, "pipeline")
 
 
-_PIPE_CACHE: dict[int, object] = {}
+# keyed on the LIVE SparkSession (weak keys): id()-based keys are
+# recycled after GC, so a later session could collide with a dead one's
+# key and silently skip setup() (round-4 advice)
+_PIPE_CACHE: "weakref.WeakKeyDictionary[SparkSession, object]" = None  # type: ignore[assignment]
 
 
 def _pipeline(spark: SparkSession):
     """Materialize the fixture pipeline (idempotent overwrite), once per
     session: six registered queries consume the same deterministic
     catalog, so re-running setup()'s parquet writes for each is pure
-    overhead (it dominated their sweep times)."""
+    overhead (it dominated their sweep times). A cache hit is trusted
+    only while the written outputs still exist on disk."""
+    import weakref
+
     from tracy_matdb_spark.plans.pipeline import Pipeline
 
-    key = id(spark._jsparkSession)
-    p = _PIPE_CACHE.get(key)
+    global _PIPE_CACHE
+    if _PIPE_CACHE is None:
+        _PIPE_CACHE = weakref.WeakKeyDictionary()
+    p = _PIPE_CACHE.get(spark)
+    if p is not None:
+        expected = (
+            os.path.join(PIPE_DIR, "configurations"),
+            os.path.join(PIPE_DIR, "groups"),
+        )
+        if not all(os.path.isdir(d) and os.listdir(d) for d in expected):
+            p = None  # fixture files deleted mid-session: redo setup
     if p is None:
         p = Pipeline(PIPE_SPEC, PIPE_DIR)
         p.setup(spark)
-        _PIPE_CACHE[key] = p
+        _PIPE_CACHE[spark] = p
     return p
 
 

@@ -28,7 +28,12 @@ def split_assign_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/holdout/super assignment over orders; exact
     ceil-based counts and counter-hash shuffle per SURVEY.md §2.9."""
     orders = load(spark, sf_dir, ("orders",))["orders"].select("o_orderkey")
-    return assign_split(orders, "o_orderkey", 0.4, seed=42).select("o_orderkey", "label").orderBy("o_orderkey")
+    return (
+        # single_scan measured ~2x on this query (round-4 plan audit)
+        assign_split(orders, "o_orderkey", 0.4, seed=42, single_scan=True)
+        .select("o_orderkey", "label")
+        .orderBy("o_orderkey")
+    )
 
 
 @register(
@@ -519,6 +524,8 @@ def enumerated_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t(lattice, size, n_hnfs, n_unique)
     ORDER BY lattice, size
     """,
+    headline=True,  # perf-track the applyInPandas orbit stage — the
+    # repo's biggest Python-side compute (round-4 verdict item #5)
     doc="Point-group (full Hart-Forcade) derivative-structure "
     "enumeration for sc/fcc/bcc, sizes <= 8: rotation+translation "
     "symmetry reduction and superperiodic removal, matching phenum "
