@@ -527,28 +527,55 @@ def _sops_cached(lattice: str):
     return sops
 
 
-def _hnf_canon_udf():
-    """Pandas UDF: canonical (min) normalized HNF tuple over the named
-    lattice's point group — rows whose own tuple equals it are the class
-    representatives."""
+def _half_ops_cached(lattice: str) -> list[list[list[int]]]:
+    """Crystal ops deduped under A ~ -A: A and -A send every sublattice
+    to the SAME image (the columns of -AM span the lattice of AM), so
+    lattice-level computations (HNF classes) need only one of each pair
+    — every lattice point group contains -I, halving the op count.
+    Labeling orbits must NOT use this (A and -A act differently on
+    site labels)."""
+    ops = _HALF_OPS_CACHE.get(lattice)
+    if ops is None:
+        seen: set[tuple[int, ...]] = set()
+        kept = []
+        for A in _ops_cached(lattice):
+            flat = tuple(v for row in A for v in row)
+            if tuple(-v for v in flat) not in seen:
+                seen.add(flat)
+                kept.append(A)
+        ops = _HALF_OPS_CACHE.setdefault(lattice, kept)
+    return ops
 
-    @pandas_udf("string")
-    def canon_hnf(lattice: pd.Series, a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series, e: pd.Series, f: pd.Series) -> pd.Series:
+
+_HALF_OPS_CACHE: dict[str, list[list[list[int]]]] = {}
+
+
+def _hnf_is_rep_udf():
+    """Pandas UDF: is this row's normalized HNF tuple the minimum of its
+    point-group orbit (i.e. the class representative)? Early-exits on
+    the first strictly smaller image and iterates the +/--deduped half
+    group — ~4x fewer column_hnf calls than materializing the full
+    orbit minimum, same surviving rows."""
+
+    @pandas_udf("boolean")
+    def is_rep(lattice: pd.Series, a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series, e: pd.Series, f: pd.Series) -> pd.Series:
         out = []
         for lat, *h in zip(lattice, a, b, c, d, e, f):
-            h = tuple(int(v) for v in h)
-            ops = _ops_cached(lat)
-            M = [[h[0], 0, 0], [h[1], h[2], 0], [h[3], h[4], h[5]]]
-            best = min(
-                column_hnf(
+            own = tuple(int(v) for v in h)
+            ops = _half_ops_cached(lat)
+            M = [[own[0], 0, 0], [own[1], own[2], 0], [own[3], own[4], own[5]]]
+            rep = True
+            for A in ops:
+                img = column_hnf(
                     [[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
                 )
-                for A in ops
-            )
-            out.append(",".join(str(v) for v in best))
+                if img < own:
+                    rep = False
+                    break
+            out.append(rep)
         return pd.Series(out)
 
-    return canon_hnf
+    return is_rep
 
 
 def _orbit_perms(h: tuple[int, ...], lattice: str):
@@ -677,9 +704,7 @@ def _reduced_structs(
     both = hnfs.withColumn(
         "lattice", F.explode(F.array(*[F.lit(lat) for lat in lattices]))
     )
-    canon = _hnf_canon_udf()("lattice", "a", "b", "c", "d", "e", "f")
-    own = F.concat_ws(",", "a", "b", "c", "d", "e", "f")
-    reps = both.withColumn("canon", canon).filter(F.col("canon") == own)
+    reps = both.filter(_hnf_is_rep_udf()("lattice", "a", "b", "c", "d", "e", "f"))
 
     out_schema = "lattice string, size int, hnf string, canonical string"
 
