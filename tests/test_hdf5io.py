@@ -1,15 +1,13 @@
 """HDF5 interop (sources/hdf5io.py; reference matdb/io.py:442-509).
 
-The canonicalization layer is pure Python and always tested; the h5
-byte layer and Spark plumbing require h5py and are skipped when it is
-absent (the documented environment cut)."""
+The canonicalization layer is pure Python; the h5 byte layer runs on
+h5py when installed and on the pure-Python hdf5lite subset otherwise
+(this image), so the Spark write -> scan -> parse path is always
+exercised."""
 
 import json
 
-import pytest
-
 from tracy_matdb_spark.sources.hdf5io import (
-    HAS_H5PY,
     record_to_tree,
     tree_to_record,
 )
@@ -51,21 +49,30 @@ def test_tree_roundtrip_none_energy_and_residual_props():
     assert json.loads(back["params"]["prop:vasp_hessian"]) == [[1.0, 2.0]]
 
 
-def test_gated_paths_raise_without_h5py(spark, tmp_path):
-    if HAS_H5PY:
-        pytest.skip("h5py present; gate not active")
-    from tracy_matdb_spark.sources.hdf5io import read_atoms_h5
-
-    with pytest.raises(ImportError, match="h5py"):
-        read_atoms_h5(spark, str(tmp_path))
-
-
-@pytest.mark.skipif(not HAS_H5PY, reason="h5py not installed (documented cut)")
-def test_h5_byte_roundtrip(spark, tmp_path):
+def test_h5_byte_roundtrip_through_spark(spark, tmp_path):
+    """Executor-side write -> binaryFile scan -> mapInPandas parse, on
+    whichever byte backend the image has (hdf5lite here; h5py when
+    installed — same file subset either way)."""
     from tracy_matdb_spark.sources.hdf5io import read_atoms_h5, write_atoms_h5
 
-    df = spark.createDataFrame([ROW])
+    rows = [ROW, dict(ROW, uuid="u-2", ref_energy=1.25, params={})]
+    df = spark.createDataFrame(rows)
     write_atoms_h5(df, str(tmp_path / "h5"))
-    back = read_atoms_h5(spark, str(tmp_path / "h5")).collect()
-    assert len(back) == 1
-    assert back[0]["uuid"] == "u-1" and back[0]["ref_energy"] == -3.5
+    back = {r["uuid"]: r for r in read_atoms_h5(spark, str(tmp_path / "h5")).collect()}
+    assert set(back) == {"u-1", "u-2"}
+    assert back["u-1"]["ref_energy"] == -3.5
+    assert back["u-1"]["species"] == ["Ag", "Pd"]
+    assert back["u-1"]["pbc"] == [True, True, True]
+    assert [list(r) for r in back["u-1"]["ref_force"]] == ROW["ref_force"]
+    assert back["u-1"]["params"]["config_type"] == "manual"
+    assert back["u-2"]["ref_energy"] == 1.25
+    assert back["u-2"]["source_file"].endswith("u-2.h5")
+
+
+def test_h5_dir_to_parquet_migration(spark, tmp_path):
+    from tracy_matdb_spark.sources.hdf5io import atoms_h5_dir_to_parquet, write_atoms_h5
+
+    write_atoms_h5(spark.createDataFrame([ROW]), str(tmp_path / "h5"))
+    atoms_h5_dir_to_parquet(spark, str(tmp_path / "h5"), str(tmp_path / "pq"))
+    pq = spark.read.parquet(str(tmp_path / "pq")).collect()
+    assert len(pq) == 1 and pq[0]["uuid"] == "u-1" and pq[0]["n"] == 2

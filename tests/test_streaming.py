@@ -228,3 +228,49 @@ def test_incremental_ingest_dedupes_across_batches(spark, tmp_path):
     # re-running with nothing new ingests nothing (checkpoint skips seen files)
     run()
     assert len(spark.read.parquet(target).toPandas()) == 3
+
+
+def test_incremental_atoms_h5_ingest(spark, tmp_path):
+    """Streaming .h5 drop-dir ingest: parse new files only, dedupe on
+    uuid across batches (streaming/ingest.py, via the pure-Python
+    hdf5lite byte layer in this image)."""
+    from tracy_matdb_spark.sources.hdf5io import CONFIG_SCHEMA, write_atoms_h5
+    from tracy_matdb_spark.streaming.ingest import incremental_atoms_h5_ingest
+
+    base = {
+        "n": 1,
+        "symbols": "Cu",
+        "species": ["Cu"],
+        "cell": [[2.5, 0.0, 0.0], [0.0, 2.5, 0.0], [0.0, 0.0, 2.5]],
+        "positions": [[0.0, 0.0, 0.0]],
+        "pbc": [True, True, True],
+        "ref_energy": 0.5,
+        "ref_force": None,
+        "params": {},
+        "source_file": "",
+    }
+    drop = tmp_path / "drop"
+    target = str(tmp_path / "configs")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+
+    def run():
+        q = incremental_atoms_h5_ingest(spark, str(drop), target, checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    rows1 = [dict(base, uuid="c-1"), dict(base, uuid="c-2", ref_energy=1.5)]
+    write_atoms_h5(spark.createDataFrame(rows1, CONFIG_SCHEMA), str(drop / "b1"))
+    run()
+    got1 = spark.read.parquet(target).toPandas()
+    assert sorted(got1.uuid) == ["c-1", "c-2"]
+
+    # second drop re-exports c-2 (same uuid) and adds c-3
+    rows2 = [dict(base, uuid="c-2", ref_energy=1.5), dict(base, uuid="c-3")]
+    write_atoms_h5(spark.createDataFrame(rows2, CONFIG_SCHEMA), str(drop / "b2"))
+    run()
+    got2 = spark.read.parquet(target).toPandas()
+    assert sorted(got2.uuid) == ["c-1", "c-2", "c-3"]
+    assert got2[got2.uuid == "c-2"].ref_energy.iloc[0] == 1.5
+
+    run()  # nothing new: checkpoint skips all seen files
+    assert len(spark.read.parquet(target).toPandas()) == 3

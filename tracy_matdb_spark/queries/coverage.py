@@ -872,3 +872,96 @@ def manual_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, builtin_seeds(spark), {"type": "manual", "name": "man"}, "", {}, "main"
     )
     return out.select("seed_id", "config_id", "n_atoms", "uuid").orderBy("seed_id")
+
+
+# ---------------------------------------------------------------------------
+# atoms.h5 byte-level round-trip (sources/hdf5io.py + sources/hdf5lite.py;
+# reference matdb/io.py:442-509 write, atoms.py:366-404 read)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "atoms_h5_roundtrip",
+    # The oracle recomputes every aggregate from `part` with independent
+    # arithmetic (closed-form position sums instead of per-atom arrays),
+    # so any defect in the HDF5 byte writer, the binary parser, or the
+    # record canonicalization breaks the identity. All values are dyadic
+    # rationals (k * 0.25 / 0.125) — bit-exact in binary doubles.
+    oracle="""
+    WITH cfg AS (
+        SELECT p_partkey AS pk,
+               1 + p_partkey % 3 AS n,
+               length(p_brand) AS taglen
+        FROM part WHERE p_partkey <= 400
+    )
+    SELECT cast(count(*) as bigint) AS n_cfg,
+           cast(sum(n) as bigint) AS sum_n,
+           cast(sum(pk * 0.25 - 100.0) as double) AS sum_energy,
+           cast(sum(n * pk * 0.25 + 1.5 * (n * (n + 1) / 2)) as double) AS pos_sum,
+           cast(sum(12.0 + pk * 0.125) as double) AS cell_sum,
+           cast(sum(CASE WHEN pk % 2 = 0 THEN 1 ELSE 0 END + 1
+                    + CASE WHEN pk % 3 = 0 THEN 1 ELSE 0 END) as bigint) AS pbc_true,
+           cast(sum(CASE WHEN pk % 5 = 0 THEN 1 ELSE 0 END) as bigint) AS force_null,
+           cast(sum(taglen) as bigint) AS tag_len
+    FROM cfg
+    """,
+    doc="atoms.h5 export -> binaryFile scan -> parse round-trip through "
+    "real HDF5 bytes (pure-Python hdf5lite backend in this image, h5py "
+    "when installed; reference matdb/io.py:442-509, atoms.py:366-404). "
+    "Configs are derived from `part`, written as one .h5 per row from "
+    "the executors, re-ingested, and reduced to exact aggregates.",
+)
+def atoms_h5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from tracy_matdb_spark.sources.hdf5io import read_atoms_h5, write_atoms_h5
+
+    part = load(spark, sf_dir, ("part",))["part"]
+    cfg = part.filter(F.col("p_partkey") <= 400).select(
+        F.concat(F.lit("p-"), F.col("p_partkey").cast("string")).alias("uuid"),
+        (F.lit(1) + F.col("p_partkey") % 3).cast("int").alias("n"),
+        F.expr("concat('El', cast(p_partkey % 7 as string))").alias("symbols"),
+        F.expr(
+            "transform(sequence(1, 1 + p_partkey % 3),"
+            " i -> concat('El', cast((p_partkey + i) % 7 as string)))"
+        ).alias("species"),
+        F.expr(
+            "array(array(4.0 + p_partkey * 0.125, 0.0, 0.0),"
+            " array(0.0, 4.0, 0.0), array(0.0, 0.0, 4.0))"
+        ).alias("cell"),
+        F.expr(
+            "transform(sequence(1, 1 + p_partkey % 3),"
+            " i -> array(p_partkey * 0.25 + cast(i as double),"
+            " cast(i as double) * 0.5, 0.0))"
+        ).alias("positions"),
+        F.expr("array(p_partkey % 2 = 0, true, p_partkey % 3 = 0)").alias("pbc"),
+        F.expr("cast(p_partkey * 0.25 - 100.0 as double)").alias("ref_energy"),
+        F.expr(
+            "CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE"
+            " transform(sequence(1, 1 + p_partkey % 3),"
+            " i -> array(cast(i as double) * 0.5, -0.25, 0.0)) END"
+        ).alias("ref_force"),
+        F.expr("map('tag', p_brand)").alias("params"),
+        F.lit("").alias("source_file"),
+    )
+    out_dir = os.path.join(
+        FIXTURE_ROOT, "atoms_h5", hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    write_atoms_h5(cfg, out_dir)  # executor-side .h5 files (idempotent bytes)
+    parsed = read_atoms_h5(spark, out_dir)
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_cfg"),
+        F.sum("n").cast("bigint").alias("sum_n"),
+        F.sum("ref_energy").cast("double").alias("sum_energy"),
+        F.sum(
+            F.expr("aggregate(flatten(positions), cast(0 as double), (a, x) -> a + x)")
+        ).cast("double").alias("pos_sum"),
+        F.sum(
+            F.expr("aggregate(flatten(cell), cast(0 as double), (a, x) -> a + x)")
+        ).cast("double").alias("cell_sum"),
+        F.sum(F.expr("size(filter(pbc, b -> b))")).cast("bigint").alias("pbc_true"),
+        F.sum(F.expr("CASE WHEN ref_force IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("force_null"),
+        F.sum(F.length(F.expr("params['tag']"))).cast("bigint").alias("tag_len"),
+    )

@@ -1,4 +1,4 @@
-"""HDF5 atoms interop — the reference's native artifact format, gated.
+"""HDF5 atoms interop — the reference's native artifact format.
 
 Every real matdb artifact is an ``atoms.h5`` file: one configuration
 serialized as nested HDF5 groups (reference matdb/io.py:442-509 writes
@@ -6,17 +6,18 @@ np scalars / ndarrays / utf-8 strings / nested dicts-as-groups;
 atoms.py:366-404 reads them back; ``AtomsList`` targets are directories
 of such files, atoms.py:591-635).
 
-**Environment cut, documented:** h5py is not installed in this image, so
-the serialization layer cannot run here. The module is structured so the
-cut is as small as possible:
+Three layers:
 
 - the *canonicalization* layer (`record_to_tree` / `tree_to_record`) —
   the exact mapping between one `configurations` row (SURVEY §1.4) and
-  the reference's nested-group layout — is pure Python and fully tested;
-- the *h5 byte* layer (`_tree_to_h5` / `_h5_to_tree`) and the Spark
-  plumbing (binaryFile scan -> mapInPandas parse; per-record writer) are
-  real code paths gated behind `HAS_H5PY`, exercised by tests that
-  skip when h5py is absent and by any deployment that has h5py.
+  the reference's nested-group layout — pure Python, fully tested;
+- the *h5 byte* layer: h5py when installed (`_tree_to_h5` /
+  `_h5_to_tree`; spec-complete, preferred), else the pure-Python
+  `hdf5lite` subset (sources/hdf5lite.py) implementing the public HDF5
+  file-format spec for exactly this nested-group layout — so the
+  interop works in images without libhdf5 (this one);
+- the Spark plumbing (binaryFile scan -> mapInPandas parse;
+  per-record executor-side writer), backend-independent.
 
 One-time migration design (100 TB of atoms.h5 -> parquet): the file
 inventory is a DataFrame (`binaryFile` scan is distributed and
@@ -119,7 +120,7 @@ def tree_to_record(tree: dict[str, Any], source_file: str = "") -> dict[str, Any
 
 
 # ---------------------------------------------------------------------------
-# h5 byte layer (gated): nested tree <-> h5py groups, io.py:442-509 semantics
+# h5 byte layer: h5py when present, hdf5lite otherwise (io.py:442-509 semantics)
 # ---------------------------------------------------------------------------
 
 
@@ -136,7 +137,13 @@ def _tree_to_h5(grp, tree: dict[str, Any]) -> None:  # pragma: no cover - needs 
         elif isinstance(v, (int, float)):
             grp.attrs[k] = v  # numeric scalar
         else:
-            grp.create_dataset(k, data=np.asarray(v))  # ndarray leaf
+            arr = np.asarray(v)
+            if arr.dtype.kind == "U":  # h5py rejects numpy unicode dtypes
+                grp.create_dataset(
+                    k, data=arr.astype(object), dtype=h5py.string_dtype(encoding="utf-8")
+                )
+            else:
+                grp.create_dataset(k, data=arr)  # ndarray leaf
 
 
 def _h5_to_tree(grp) -> dict[str, Any]:  # pragma: no cover - needs h5py
@@ -155,22 +162,32 @@ def _h5_to_tree(grp) -> dict[str, Any]:  # pragma: no cover - needs h5py
     return out
 
 
-def _require_h5py() -> None:
-    if not HAS_H5PY:
-        raise ImportError(
-            "HDF5 interop requires h5py, which is not installed in this "
-            "image. Run the one-time converter (atoms_h5_dir_to_parquet) "
-            "in an environment with h5py, or ingest via XYZ/CFG/parquet."
-        )
+def atoms_record_to_h5_bytes(row) -> bytes:
+    """One CONFIG_SCHEMA row dict -> atoms.h5 file bytes (h5py when
+    present, else hdf5lite's v2 dialect — byte-compatible subset)."""
+    tree = record_to_tree(row)
+    if HAS_H5PY:  # pragma: no cover - needs h5py
+        import io as _io
+
+        bio = _io.BytesIO()
+        with h5py.File(bio, "w") as f:
+            _tree_to_h5(f, tree)
+        return bio.getvalue()
+    from tracy_matdb_spark.sources import hdf5lite
+
+    return hdf5lite.write_tree_bytes(tree, dialect="v2")
 
 
 def parse_atoms_h5_bytes(content: bytes, source_file: str = "") -> dict[str, Any]:
     """One atoms.h5 byte blob -> one CONFIG_SCHEMA row dict."""
-    _require_h5py()
-    import io as _io  # pragma: no cover - needs h5py
+    if HAS_H5PY:  # pragma: no cover - needs h5py
+        import io as _io
 
-    with h5py.File(_io.BytesIO(content), "r") as f:  # pragma: no cover
-        return tree_to_record(_h5_to_tree(f), source_file)
+        with h5py.File(_io.BytesIO(content), "r") as f:
+            return tree_to_record(_h5_to_tree(f), source_file)
+    from tracy_matdb_spark.sources import hdf5lite
+
+    return tree_to_record(hdf5lite.read_tree_bytes(bytes(content)), source_file)
 
 
 def read_atoms_h5(spark: SparkSession, path: str, glob: str = "*.h5") -> DataFrame:
@@ -178,37 +195,34 @@ def read_atoms_h5(spark: SparkSession, path: str, glob: str = "*.h5") -> DataFra
     file inventory, no driver listing bottleneck) -> mapInPandas parse on
     the executors. Mirrors AtomsList.read over a directory
     (atoms.py:591-635) as a scan."""
-    _require_h5py()
-    import pandas as pd  # pragma: no cover - needs h5py
+    import pandas as pd
 
-    files = (  # pragma: no cover
-        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
-    )
+    files = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 
-    def parse(batches):  # pragma: no cover
+    def parse(batches):
         for pdf in batches:
             rows = [
                 parse_atoms_h5_bytes(c, p) for p, c in zip(pdf["path"], pdf["content"])
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in CONFIG_SCHEMA.fields])
 
-    return files.select("path", "content").mapInPandas(parse, CONFIG_SCHEMA)  # pragma: no cover
+    return files.select("path", "content").mapInPandas(parse, CONFIG_SCHEMA)
 
 
 def write_atoms_h5(df: DataFrame, out_dir: str) -> None:
     """Export interop: one `<uuid>.h5` per configuration row, written
     from the executors (foreachPartition — no driver collect)."""
-    _require_h5py()
 
-    def dump(rows):  # pragma: no cover - needs h5py
+    def dump(rows):
         import os
 
         os.makedirs(out_dir, exist_ok=True)
         for r in rows:
-            with h5py.File(os.path.join(out_dir, f"{r['uuid']}.h5"), "w") as f:
-                _tree_to_h5(f, record_to_tree(r.asDict(recursive=True)))
+            data = atoms_record_to_h5_bytes(r.asDict(recursive=True))
+            with open(os.path.join(out_dir, f"{r['uuid']}.h5"), "wb") as fh:
+                fh.write(data)
 
-    df.foreachPartition(dump)  # pragma: no cover
+    df.foreachPartition(dump)
 
 
 def atoms_h5_dir_to_parquet(
@@ -216,9 +230,8 @@ def atoms_h5_dir_to_parquet(
 ) -> None:
     """One-time migration: directory tree of atoms.h5 -> parquet table
     (see module docstring for the 100 TB design)."""
-    _require_h5py()
-    df = read_atoms_h5(spark, src)  # pragma: no cover - needs h5py
-    writer = df.write.mode("overwrite")  # pragma: no cover
-    if partition_cols:  # pragma: no cover
+    df = read_atoms_h5(spark, src)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(dst)  # pragma: no cover
+    writer.parquet(dst)

@@ -237,9 +237,9 @@ def write_text_partitions(df: DataFrame, out_dir: str, fmt: str = "xyz") -> None
     df.foreachPartition(dump)
 
 
-# HDF5 interop lives in sources/hdf5io.py (real read/write/convert code
-# paths, gated on the optional h5py dependency — see its module docstring
-# for the documented cut and the one-time migration design).
+# HDF5 interop lives in sources/hdf5io.py (h5py when installed, else the
+# pure-Python hdf5lite file-format subset — see its module docstring and
+# the one-time migration design).
 
 
 def read_hdf5(spark: SparkSession, path: str) -> DataFrame:

@@ -69,3 +69,71 @@ def incremental_ingest(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def incremental_atoms_h5_ingest(
+    spark: SparkSession,
+    drop_dir: str,
+    target_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of `sources.hdf5io.read_atoms_h5`: watch a drop
+    directory for new ``*.h5`` config files (the reference's on-disk
+    unit, one atoms.h5 per configuration — matdb/atoms.py:591-635) and
+    upsert never-seen uuids into the parquet configurations table.
+
+    This is the live form of the one-time atoms_h5_dir_to_parquet
+    migration: producers (DFT runs finishing, the reference's
+    `cleanup()` hooks) keep dropping .h5 files; each micro-batch
+    parses only the new files (binaryFile stream source + checkpoint)
+    with the same backend-dispatched byte parser (h5py or hdf5lite),
+    anti-joins history on uuid, and appends. At 100 TB the drop dir is
+    an object-store prefix and the history read stays pruned to the
+    uuid column."""
+    import pandas as pd
+
+    from tracy_matdb_spark.sources.hdf5io import CONFIG_SCHEMA, parse_atoms_h5_bytes
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = [
+                parse_atoms_h5_bytes(c, p) for p, c in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in CONFIG_SCHEMA.fields])
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = (
+            batch_df.select("path", "content")
+            .mapInPandas(_parse, CONFIG_SCHEMA)
+            .dropDuplicates(["uuid"])
+        )
+        try:
+            seen = batch_df.sparkSession.read.parquet(target_path).select("uuid")
+            parsed = parsed.join(seen, "uuid", "left_anti")
+        except AnalysisException:
+            pass  # first batch: target does not exist yet
+        (
+            parsed.withColumn("iteration", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(target_path)
+        )
+
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)  # streaming sources require one
+        .option("pathGlobFilter", "*.h5")
+        .option("recursiveFileLookup", "true")
+        .load(drop_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_upsert).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
