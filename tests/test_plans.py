@@ -63,6 +63,8 @@ NLJ_ALLOWED = {
     "knn_ivf_embeddings",
     # one-row global-average broadcast (scalar subquery), bounded by construction
     "q22_idle_rich_customers",
+    # one-row national-total threshold broadcast (Q11's scalar HAVING)
+    "q11_important_parts",
 }
 
 

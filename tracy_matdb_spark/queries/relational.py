@@ -1402,3 +1402,384 @@ def revenue_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: the 7 shapes not yet registered (q2/q8/q9/q11/q12/q16/
+# q20). The driver's tables have no partsupp and a slim lineitem (no
+# shipmode/commitdate/receiptdate), so where the canonical query needs
+# them the adaptation is documented per query and the *plan shape* —
+# correlated min, share-of-total HAVING, conditional-count pivot,
+# distinct-pair counting, nested semi-joins — is preserved exactly.
+# partsupp is reconstructed as the distinct (l_partkey, l_suppkey)
+# relation of lineitem, which is its join graph role.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH pairs AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               min(l_extendedprice) AS cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT pk, cost, s_acctbal, s_name, n_name, s_suppkey
+        FROM pairs
+        JOIN supplier ON sk = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, round(cost, 2) AS cost
+    FROM eu
+    JOIN part ON pk = p_partkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND cost = (SELECT min(cost) FROM eu e2 WHERE e2.pk = eu.pk)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part within a region): "
+    "correlated min subquery resolved as a per-part window min. "
+    "Adaptation (no partsupp table): supply relation = distinct "
+    "(l_partkey, l_suppkey) pairs, cost = min(l_extendedprice) per pair.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-min instead of a re-scan correlated subquery: one shuffle
+    on pk for the pairs agg, broadcast dims, one window over pk (keyed,
+    scales with partition count)."""
+    t = load(spark, sf_dir, ("lineitem", "supplier", "nation", "region", "part"))
+    pairs = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    eu = (
+        pairs.join(F.broadcast(t["supplier"]), F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("pk", "cost", "s_acctbal", "s_name", "n_name")
+    )
+    part = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    w = Window.partitionBy("pk")
+    return (
+        eu.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("cost", 2).alias("cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           cast(floor(1000000.0 *
+                sum(CASE WHEN n2.n_name = 'NATION_7' THEN volume ELSE 0 END)
+                / sum(volume)) as bigint) AS mkt_share_ppm
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               s_nationkey
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) base
+    JOIN nation n2 ON base.s_nationkey = n2.n_nationkey
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 (national market share): 7-way join, share-of-total "
+    "per year quantized to ppm (same floor(1e6*x) convention as q14).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All dims broadcast; the only big-big join is lineitem x orders
+    (sort-merge + AQE). Conditional-sum share, partial-agg friendly."""
+    t = load(spark, sf_dir, ("part", "lineitem", "orders", "customer", "nation", "region", "supplier"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(t["region"]), F.col("c_rk") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0)) / F.sum("volume")
+    return (
+        base.groupBy("o_year")
+        .agg(F.floor(share * 1000000.0).cast("bigint").alias("mkt_share_ppm"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_profit_by_nation",
+    oracle="""
+    SELECT n_name AS nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%o%'
+    ) profit
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year). "
+    "Adaptation (no ps_supplycost): per-unit supply cost = "
+    "0.6 * p_retailprice, a deterministic column of part.",
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("part", "lineitem", "supplier", "nation", "orders"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%o%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH value_by_part AS (
+        SELECT l_partkey AS pk,
+               sum(l_extendedprice * (1 - l_discount)) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT pk AS p_partkey, round(value, 2) AS value
+    FROM value_by_part
+    WHERE value > (SELECT sum(value) * 0.001 FROM value_by_part)
+    ORDER BY value DESC, p_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock: parts whose value exceeds a "
+    "fraction of the national total — group-by + scalar-subquery "
+    "HAVING). Adaptation (no partsupp): value = discounted revenue of "
+    "the nation's suppliers per part.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar total rides a broadcast crossJoin (1-row side), so the
+    HAVING is a map-side filter — no second shuffle of the big side."""
+    t = load(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    nat_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    value = (
+        t["lineitem"]
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = value.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("p_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) as bigint) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipmode priority pivot: conditional counts "
+    "of high/low-priority orders among late shipments). Adaptation "
+    "(no l_shipmode/commitdate/receiptdate): class = l_returnflag, "
+    "late = shipped more than 90 days after the order date.",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("orders", "lineitem"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT sk) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem) pairs
+    JOIN part ON pk = p_partkey
+    WHERE p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+      AND p_size IN (1, 14, 23, 45)
+      AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (supplier relationship counts: distinct-pair "
+    "dedup, NOT IN exclusion subquery, count-distinct rollup). "
+    "Adaptations (no partsupp / s_comment): pairs from lineitem; the "
+    "excluded-supplier predicate is s_acctbal < 0.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN compiles to a broadcast left-anti join (null-safe here:
+    s_suppkey is a key, never null). Distinct pairs shuffle once."""
+    t = load(spark, sf_dir, ("lineitem", "part", "supplier"))
+    pairs = t["lineitem"].select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    excluded = t["supplier"].filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("sk"))
+    return (
+        pairs.join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
+        .join(F.broadcast(excluded), "sk", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("sk").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH qty96 AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    ),
+    dominant AS (
+        SELECT DISTINCT sk FROM qty96
+        JOIN (SELECT pk AS pk2, sum(qty) AS total FROM qty96 GROUP BY 1) t
+          ON pk = pk2
+        JOIN part ON pk = p_partkey
+        WHERE p_name LIKE 'small%' AND qty > 0.5 * total
+    )
+    SELECT s_name, s_suppkey
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND s_suppkey IN (SELECT sk FROM dominant)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (promotable suppliers: nested semi-join chain "
+    "part-filter -> per-pair quantity vs threshold -> supplier "
+    "semi-join + nation filter). Adaptation (no ps_availqty): a "
+    "supplier qualifies when it shipped more than half of a "
+    "qualifying part's 1996 volume; the outer filter is the ASIA "
+    "region (region->nation chain) so every driver SF has rows.",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregations over the same filtered scan (pair-level and
+    part-level) joined on pk, then a semi-join into supplier — no
+    correlated re-scans, everything keyed."""
+    t = load(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    qty96 = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    totals = qty96.groupBy(F.col("pk").alias("pk2")).agg(F.sum("qty").alias("total"))
+    small_parts = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    dominant = (
+        qty96.join(totals, F.col("pk") == F.col("pk2"))
+        .join(F.broadcast(small_parts), F.col("pk") == F.col("p_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("total"))
+        .select("sk")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(dominant, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
