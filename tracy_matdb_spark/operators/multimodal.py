@@ -3,11 +3,14 @@
 North-star addition (BASELINE.json): treat image/audio/video as
 `binary` columns with a metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas functions over
-mapInPandas. The image/audio codec libraries are NOT in this image, so
-the codec call itself is stubbed: `decode_stub` produces a
-deterministic fake decode (so the distributed plumbing — schema,
-batching, partitioning, UDF signatures — is real and tested), and
-`decode_real` raises NotImplementedError until a codec lib is present.
+mapInPandas. `decode_real` decodes PNG/BMP/PPM images and PCM16 WAV
+audio natively via the pure-Python codecs in operators/codecs.py (no
+PIL/av needed); video containers and compressed image formats (JPEG,
+WebP) still require a codec library and raise a clear
+NotImplementedError. `decode_stub` remains for payloads that are not
+real media (deterministic fake decode keeping the same shape
+contract), and the plumbing — schema, batching, partitioning, UDF
+signatures — is identical for both.
 
 Scale notes: binary payloads ride the same parquet row-groups as other
 columns; keep them in a separate table keyed by content hash so scans
@@ -62,10 +65,24 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_real(payload: bytes, kind: str):  # pragma: no cover
-    raise NotImplementedError(
-        "real decode needs an image/audio codec library (PIL/av), absent in this image"
-    )
+def decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """Real decode via the pure-Python codecs (operators/codecs.py):
+    PNG/BMP/PPM -> (h, w, c) uint8 pixels; WAV -> (n, ch) int16
+    samples. Video containers still need a demuxer library (av) and
+    raise; frame_sample's plumbing is ready for when one is present."""
+    from tracy_matdb_spark.operators import codecs
+
+    data = bytes(payload)
+    fmt = codecs.sniff(data)
+    if kind == "video" or fmt == "unknown":
+        raise NotImplementedError(
+            f"decode of kind={kind!r} format={fmt!r} needs a codec/demuxer "
+            "library (PIL/av); PNG, BMP, PPM and PCM16 WAV decode natively"
+        )
+    if fmt == "wav":
+        samples, _rate = codecs.decode_wav(data)
+        return samples
+    return codecs.decode_image(data)
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:

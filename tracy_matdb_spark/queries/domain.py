@@ -331,6 +331,112 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_stats",
+    # Closed-form oracle: pixel/sample constructions are linear ramps
+    # (no modulo wrap by design), so channel sums have exact integer
+    # closed forms and the mean is one double division — any defect in
+    # the PNG encoder, filter logic, decoder, or WAV framing breaks the
+    # identity. Images: w = 8 + pk % 5, h = 6, R(x,y) = pk % 200 + x,
+    # G(x,y) = 10 * y, B = pk % 97. Audio: 100 samples, s_i = pk % 500 + i.
+    oracle="""
+    SELECT cast(p_partkey as bigint) AS media_id,
+           CASE WHEN p_partkey % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           cast(CASE WHEN p_partkey % 2 = 0 THEN 8 + p_partkey % 5 ELSE 0 END as int) AS w,
+           cast(CASE WHEN p_partkey % 2 = 0 THEN 6 ELSE 0 END as int) AS h,
+           cast(CASE WHEN p_partkey % 2 = 0
+                THEN 3 * 6 * (8 + p_partkey % 5) ELSE 100 END as bigint) AS n_vals,
+           CASE WHEN p_partkey % 2 = 0
+                THEN cast(6 * (8 + p_partkey % 5) * (p_partkey % 200)
+                          + 6 * (8 + p_partkey % 5) * (8 + p_partkey % 5 - 1) / 2
+                          + (8 + p_partkey % 5) * 150
+                          + 6 * (8 + p_partkey % 5) * (p_partkey % 97) as double)
+                     / cast(3 * 6 * (8 + p_partkey % 5) as double)
+                ELSE cast(100 * (p_partkey % 500) + 4950 as double) / 100.0
+           END AS mean_val
+    FROM part WHERE p_partkey <= 120
+    ORDER BY media_id
+    """,
+    doc="Real codec decode end-to-end (operators/codecs.py): PNG images "
+    "encoded with all five scanline filters and PCM16 WAV audio are "
+    "built from part rows in one Arrow-batched stage, decoded by the "
+    "pure-Python decoders in a second, and reduced to exact per-media "
+    "stats the oracle recomputes in closed form.",
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tracy_matdb_spark.catalog import load as _load
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    stats_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("n_vals", T.LongType()),
+            T.StructField("mean_val", T.DoubleType()),
+        ]
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        from tracy_matdb_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for pk in pdf["p_partkey"]:
+                pk = int(pk)
+                if pk % 2 == 0:
+                    w, h = 8 + pk % 5, 6
+                    x = np.arange(w)
+                    y = np.arange(h)
+                    img = np.empty((h, w, 3), dtype=np.uint8)
+                    img[:, :, 0] = (pk % 200) + x[None, :]
+                    img[:, :, 1] = 10 * y[:, None]
+                    img[:, :, 2] = pk % 97
+                    payload = codecs.encode_png(img, filter_mode="cycle")
+                    out.append((pk, "image", bytearray(payload)))
+                else:
+                    s = (pk % 500) + np.arange(100)
+                    payload = codecs.encode_wav(s.astype(np.int16))
+                    out.append((pk, "audio", bytearray(payload)))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])
+
+    def decode(batches):
+        import numpy as np
+
+        from tracy_matdb_spark.operators.multimodal import decode_real
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_real(bytes(r.payload), r.kind)
+                if r.kind == "image":
+                    h, w, _c = arr.shape
+                else:
+                    h = w = 0
+                n = int(arr.size)
+                mean = float(arr.astype(np.int64).sum()) / n
+                out.append((int(r.media_id), r.kind, w, h, n, mean))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "w", "h", "n_vals", "mean_val"]
+            )
+
+    part = _load(spark, sf_dir, ("part",))["part"].filter(F.col("p_partkey") <= 120)
+    media = part.select("p_partkey").mapInPandas(encode, media_schema)
+    return media.mapInPandas(decode, stats_schema).orderBy("media_id")
+
+
+@register(
     "group_content_hash",
     oracle="""
     SELECT l_returnflag AS grp,
