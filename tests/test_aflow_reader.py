@@ -54,3 +54,89 @@ def test_materialize_filter_order_limit(spark, tmp_path):
         limit=3,
     ).collect()
     assert [r["auid"] for r in out] == ["aflow:0010", "aflow:0008", "aflow:0006"]
+
+
+# --- live HTTP paging against a local fixture server ------------------------
+
+
+class _AfluxHandler:
+    """Minimal AFLUX protocol server: parses paging(k,n) from the query
+    string, serves slices of a canned entry list, and (optionally)
+    fails the first request of each page with a 500 to exercise the
+    retry path."""
+
+    def __new__(cls, entries, flaky=False):
+        import http.server
+        import json as _json
+        import re
+
+        failed: set[str] = set()
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_GET(self):
+                m = re.search(r"paging\((\d+),(\d+)\)", self.path)
+                page, size = int(m.group(1)), int(m.group(2))
+                if flaky and self.path not in failed:
+                    failed.add(self.path)
+                    self.send_error(500, "transient")
+                    return
+                body = _json.dumps(entries[(page - 1) * size : page * size]).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return H
+
+
+def _serve(handler):
+    import http.server
+    import threading
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/API/aflux/"
+
+
+def test_fetch_pages_live_http(spark, tmp_path):
+    from tracy_matdb_spark.sources.aflow_reader import fetch_pages
+
+    ents = _entries(13)
+    srv, base = _serve(_AfluxHandler(ents))
+    try:
+        d = str(tmp_path / "pages")
+        n = fetch_pages(base, "Egap(*),paging_ignored", d, batch_size=5)
+        assert n == 3  # 5 + 5 + 3 (short page terminates the loop)
+        got = materialize(spark, d).orderBy("auid").collect()
+        assert [r["auid"] for r in got] == [e["auid"] for e in ents]
+    finally:
+        srv.shutdown()
+
+
+def test_fetch_pages_retries_transient_errors(spark, tmp_path):
+    from tracy_matdb_spark.sources.aflow_reader import fetch_pages
+
+    ents = _entries(7)
+    srv, base = _serve(_AfluxHandler(ents, flaky=True))
+    try:
+        d = str(tmp_path / "pages")
+        n = fetch_pages(base, "", d, batch_size=4, backoff=0.01)
+        assert n == 2
+        assert read_pages(spark, d).count() == 7
+    finally:
+        srv.shutdown()
+
+
+def test_aflux_url_shape():
+    from tracy_matdb_spark.sources.aflow_reader import aflux_url
+
+    assert (
+        aflux_url("http://aflow.org/API/aflux/", "Egap(1*,*2),species(Si)", 3, 100)
+        == "http://aflow.org/API/aflux/?Egap(1*,*2),species(Si),paging(3,100)"
+    )
+    assert aflux_url("http://x/?", "", 1, 10) == "http://x/?paging(1,10)"

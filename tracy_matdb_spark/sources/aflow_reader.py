@@ -82,3 +82,67 @@ def materialize(
         limit=limit,
         tiebreak="auid" if orderby else None,
     )
+
+
+def aflux_url(base: str, matchbook: str, page: int, batch_size: int) -> str:
+    """AFLUX request URL: `<base>?<matchbook>,paging(k,n)` — the
+    reference builds exactly this pair (matdb/database/aflux.py:168-177
+    via the aflow wrapper's paging calls); page numbering is 1-based."""
+    sep = "" if base.endswith("?") else "?"
+    mb = f"{matchbook}," if matchbook else ""
+    return f"{base}{sep}{mb}paging({page},{batch_size})"
+
+
+def fetch_pages(
+    base: str,
+    matchbook: str,
+    out_dir: str,
+    batch_size: int = 100,
+    max_pages: int = 10000,
+    retries: int = 3,
+    timeout: float = 30.0,
+    backoff: float = 0.25,
+) -> int:
+    """Live AFLUX paging: fetch page k, land it as `page-{k:04d}.json`,
+    repeat while pages come back full (the reference's "extend while
+    len == batch" loop, aflux.py:168-177). Returns the page count.
+
+    The landing-zone-then-scan split is deliberate 100 TB design: the
+    driver (or a fleet of fetchers) lands pages; Spark never blocks on
+    the network — `read_pages` scans whatever has landed, in parallel.
+    Transient HTTP failures retry with bounded backoff; a short page
+    (or an empty one) terminates the loop. Works against any server
+    speaking the protocol — production aflow.org or a local fixture
+    server (tests/test_aflow_reader.py spins up http.server)."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_pages = 0
+    for page in range(1, max_pages + 1):
+        url = aflux_url(base, matchbook, page, batch_size)
+        last_err: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as resp:
+                    body = resp.read()
+                break
+            except (urllib.error.URLError, TimeoutError) as exc:
+                last_err = exc
+                if attempt == retries:
+                    raise RuntimeError(
+                        f"AFLUX fetch failed after {retries + 1} attempts: {url}"
+                    ) from exc
+                time.sleep(backoff * (2**attempt))
+        entries = json.loads(body)
+        if not isinstance(entries, list):  # AFLUX also serves k:v maps
+            entries = list(entries.values())
+        if not entries:
+            break
+        with open(os.path.join(out_dir, f"page-{n_pages:04d}.json"), "w") as f:
+            json.dump(entries, f)
+        n_pages += 1
+        if len(entries) < batch_size:
+            break
+    return n_pages
