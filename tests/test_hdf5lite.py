@@ -176,3 +176,35 @@ _trees = st.recursive(
 @given(tree=_trees, dialect=st.sampled_from(DIALECTS))
 def test_property_random_tree_roundtrip(tree, dialect):
     assert read_tree_bytes(write_tree_bytes(tree, dialect=dialect)) == tree
+
+
+# --- robustness: corrupt/truncated input fails cleanly ----------------------
+
+
+@pytest.mark.parametrize("dialect", DIALECTS)
+def test_truncated_file_raises_cleanly(dialect):
+    """Every truncation point must raise (ValueError/KeyError/struct
+    error/index error) — never hang, never return silently-wrong data
+    of the *full* tree."""
+    data = write_tree_bytes(TREE, dialect=dialect)
+    for cut in (9, 40, 60, len(data) // 2, len(data) - 3):
+        try:
+            got = read_tree_bytes(data[:cut])
+        except Exception as exc:  # noqa: BLE001 - any clean error is fine
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
+        else:
+            assert got != TREE, f"truncation at {cut} returned the full tree"
+
+
+@pytest.mark.parametrize("dialect", DIALECTS)
+def test_bitflip_never_hangs(dialect):
+    """Flip one byte at a sample of offsets: either it still parses (a
+    payload byte changed values) or it raises cleanly."""
+    data = bytearray(write_tree_bytes(TREE, dialect=dialect))
+    for off in range(8, len(data), max(1, len(data) // 40)):
+        mut = bytearray(data)
+        mut[off] ^= 0x5A
+        try:
+            read_tree_bytes(bytes(mut))
+        except Exception as exc:  # noqa: BLE001
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt, MemoryError))

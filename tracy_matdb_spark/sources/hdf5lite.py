@@ -506,6 +506,8 @@ def read_tree_bytes(data: bytes) -> dict[str, Any]:
     elif ver in (2, 3):
         if f.u(9, 1) != 8 or f.u(10, 1) != 8:
             raise ValueError("hdf5lite supports 8-byte offsets/lengths only")
+        if f.u(44, 4) != lookup3(data[:44]):
+            raise ValueError("superblock checksum mismatch (truncated/corrupt file)")
         root = f.u(36, 8)
     else:
         raise ValueError(f"unsupported superblock version {ver}")
@@ -533,6 +535,8 @@ def _read_messages(f: _File, addr: int) -> list[tuple[int, int, int]]:
         chunk0 = f.u(pos, size_bytes)
         pos += size_bytes
         end = pos + chunk0
+        if end + 4 > len(f.d) or f.u(end, 4) != lookup3(f.d[addr:end]):
+            raise ValueError("object header checksum mismatch (truncated/corrupt file)")
         track = bool(flags & 0x04)
         while pos + 4 <= end:
             mtype = f.d[pos]
