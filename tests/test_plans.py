@@ -61,6 +61,8 @@ NLJ_ALLOWED = {
     "knn_embeddings",
     "prototypes_crossjoin",
     "knn_ivf_embeddings",
+    # SemDeDup centroid assignment: same bounded K-centroid broadcast as IVF
+    "semantic_dedup",
     # one-row global-average broadcast (scalar subquery), bounded by construction
     "q22_idle_rich_customers",
     # one-row national-total threshold broadcast (Q11's scalar HAVING)

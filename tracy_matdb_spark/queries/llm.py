@@ -10,7 +10,7 @@ except the explicitly-approximate LSH scale path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tracy_matdb_spark.catalog import load
@@ -1146,4 +1146,122 @@ def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(p & (l == 0), "fp"),
         flag(~p & (l == 1), "fn"),
         flag(~p & (l == 0), "tn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): cluster
+# embeddings around K centroids, then search for near-duplicates ONLY among
+# each point's W neighbors in within-cluster centroid-similarity order —
+# the published recipe for semantic dedup without an all-pairs stage.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_W = 4  # neighbors compared per point (window lags)
+# Fixture-scaled duplicate threshold (quantized cosine * 1e6). Real
+# corpora run ~0.95; the driver's 500 synthetic embeddings top out near
+# 0.5 pairwise, so 0.30 exercises the dup/keep split end-to-end.
+SEMDEDUP_T = 300000
+
+
+def _semdedup_sql_duckdb() -> str:
+    simc = (
+        f"cast(floor(({_dot_expr('duckdb', 'v.embedding', 'c.cv')} / (v.nrm * c.cnrm))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    comb = _IVF_COMBINE.format(sim=simc, cid="c.cid")
+    lag_sims = ", ".join(
+        f"cast(floor(({_dot_expr('duckdb', 'embedding', f'lag(embedding, {i}) OVER w')}"
+        f" / (nrm * lag(nrm, {i}) OVER w)) * cast(1000000 as double)) as bigint)"
+        f" AS s{i}"
+        for i in range(1, SEMDEDUP_W + 1)
+    )
+    best = "greatest(" + ", ".join(
+        f"coalesce(s{i}, -2000000)" for i in range(1, SEMDEDUP_W + 1)
+    ) + ")"
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {_norm_expr('duckdb', 'embedding')} AS nrm
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    cents AS (
+        SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM base
+        WHERE vec_id BETWEEN 1 AND {IVF_K}
+    ),
+    assign AS (
+        SELECT v.vec_id, v.embedding, v.nrm,
+               15 - (max({comb}) % 16) AS cid,
+               (max({comb}) // 16) - 2000000 AS csim
+        FROM base v CROSS JOIN cents c
+        GROUP BY v.vec_id, v.embedding, v.nrm
+    ),
+    lagged AS (
+        SELECT vec_id, cid, csim, {lag_sims}
+        FROM assign
+        WINDOW w AS (PARTITION BY cid ORDER BY csim DESC, vec_id)
+    )
+    SELECT vec_id, cast(cid as int) AS cid, csim,
+           {best} >= {SEMDEDUP_T} AS is_dup
+    FROM lagged ORDER BY vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semdedup_sql_duckdb(),
+    doc="SemDeDup (arXiv:2303.09540): K-centroid assignment (same "
+    "deterministic integer-argmax combine as the IVF index), then "
+    "near-duplicate detection only among each point's W=4 preceding "
+    "neighbors in within-cluster centroid-similarity order — linear in "
+    "corpus size, no all-pairs stage. At 100 TB, K grows ~sqrt(N) "
+    "(SemDeDup uses ~100k clusters) so the per-cluster window sort "
+    "stays bounded; the window is keyed on cluster id.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.filter(F.col("vec_id") != 0).selectExpr(
+        "vec_id", "embedding", f"{_norm_expr('spark', 'embedding')} AS nrm"
+    )
+    cents = base.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)).selectExpr(
+        "vec_id AS cid", "embedding AS cv", "nrm AS cnrm"
+    )
+    simc = (
+        f"cast(floor(({_dot_expr('spark', 'embedding', 'cv')} / (nrm * cnrm))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    comb = _IVF_COMBINE.format(sim=simc, cid="cid")
+    # every crossJoin copy carries the identical embedding/nrm for a
+    # given vec_id, so first() is value-deterministic (no re-join scan)
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .selectExpr("vec_id", "embedding", "nrm", f"{comb} AS combined")
+        .groupBy("vec_id")
+        .agg(
+            F.max("combined").alias("mc"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (F.lit(15) - (F.col("mc") % 16)).cast("int").alias("cid"),
+            (F.expr("mc div 16") - 2000000).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("csim").desc(), "vec_id")
+    lagged = assign
+    for i in range(1, SEMDEDUP_W + 1):
+        lagged = lagged.withColumn(f"e{i}", F.lag("embedding", i).over(w)).withColumn(
+            f"n{i}", F.lag("nrm", i).over(w)
+        )
+    sim_i = lambda i: (  # noqa: E731
+        f"coalesce(cast(floor(({_dot_expr('spark', 'embedding', f'e{i}')} / "
+        f"(nrm * n{i})) * cast(1000000 as double)) as bigint), -2000000)"
+    )
+    best = "greatest(" + ", ".join(sim_i(i) for i in range(1, SEMDEDUP_W + 1)) + ")"
+    return (
+        lagged.selectExpr(
+            "vec_id", "cid", "csim", f"({best}) >= {SEMDEDUP_T} AS is_dup"
+        )
+        .orderBy("vec_id")
     )
