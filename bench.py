@@ -4,10 +4,12 @@ Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Each query is executed twice; the reported time is the second (warm)
-run — the first run pays JVM/codegen warmup, which is noise relative
-to the plan quality we are measuring. Timing includes full execution
-to a count/collect-free materialization (`write.format("noop")`).
+Each query is executed three times; the reported time is the MIN of
+the two post-warmup runs — the first run pays JVM/codegen warmup, and
+min-of-2 suppresses the GC/page-cache jitter that made single warm
+runs swing +-80% on some queries across rounds. Timing includes full
+execution to a count/collect-free materialization
+(`write.format("noop")`).
 """
 
 from __future__ import annotations
@@ -79,10 +81,13 @@ def main() -> None:
         if not q.headline:
             continue
         try:
-            materialize(q.fn(spark, sf_dir))  # warmup
-            t0 = time.time()
-            materialize(q.fn(spark, sf_dir))
-            times[name] = round(time.time() - t0, 3)
+            materialize(q.fn(spark, sf_dir))  # warmup (JVM/codegen)
+            warm = []
+            for _ in range(2):  # min-of-2 warm runs: GC/page-cache jitter
+                t0 = time.time()  # on a single run was +-80% on some
+                materialize(q.fn(spark, sf_dir))  # queries across rounds
+                warm.append(time.time() - t0)
+            times[name] = round(min(warm), 3)
         except Exception as e:  # noqa: BLE001
             times[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
