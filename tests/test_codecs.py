@@ -83,3 +83,32 @@ def test_sniff_dispatch():
     assert C.sniff(b"\xff\xd8\xff\xe0 jpeg") == "unknown"
     with pytest.raises(NotImplementedError, match="codec"):
         C.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+
+
+def test_png_truncation_and_bitflips_fail_cleanly():
+    """Truncations raise; single-byte flips either raise cleanly (CRC
+    catches nearly all) or decode to same-shape data — never hang."""
+    img = _img(h=9, w=11)
+    data = C.encode_png(img, filter_mode="cycle")
+    for cut in (7, 20, 40, len(data) // 2, len(data) - 2):
+        with pytest.raises(Exception) as ei:
+            C.decode_png(data[:cut])
+        assert not issubclass(ei.type, (SystemExit, KeyboardInterrupt))
+    for off in range(8, len(data), max(1, len(data) // 30)):
+        mut = bytearray(data)
+        mut[off] ^= 0xA5
+        try:
+            out = C.decode_png(bytes(mut))
+            assert out.shape == (9, 11, 3)
+        except Exception as exc:  # noqa: BLE001
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt, MemoryError))
+
+
+def test_wav_truncation_fails_cleanly():
+    data = C.encode_wav(np.arange(64, dtype=np.int16))
+    for cut in (3, 11, 30, len(data) - 5):
+        try:
+            arr, _ = C.decode_wav(data[:cut])
+            assert arr.shape[0] <= 64  # header said fewer frames: fine
+        except Exception as exc:  # noqa: BLE001
+            assert not isinstance(exc, (SystemExit, KeyboardInterrupt))
