@@ -99,3 +99,35 @@ def simhash_from_hashes_expr(dialect: str, hs: str, bits: int) -> str:
 
 def lang_score_exprs(dialect: str, toks: str) -> dict[str, str]:
     return {lang: count_in_expr(dialect, toks, words) for lang, words in sorted(LANG_MARKERS.items())}
+
+
+def html_to_text_expr(dialect: str, col: str = "html") -> str:
+    """HTML -> text extraction as one JVM/RE2 regex chain (the C4/CCNet
+    boilerplate-removal stage, spec'd to the common subset of Java
+    regex and RE2 — no lookaround, no backreferences, (?is) flags only,
+    so Spark and DuckDB compute identical results):
+
+    1. drop <script>/<style> elements with their content,
+    2. drop HTML comments,
+    3. turn block-closing tags into newlines (paragraph structure),
+    4. strip remaining tags,
+    5. decode the five predefined entities + &nbsp;,
+    6. collapse runs of whitespace, trim.
+    """
+    g = ", 'g'" if dialect == "duckdb" else ""
+    # DuckDB string literals are raw; Spark SQL literals process
+    # backslash escapes — the regex \s needs one more level there.
+    ws = "'\\\\s+'" if dialect == "spark" else "'\\s+'"
+    e = col
+    e = f"regexp_replace({e}, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' '{g})"
+    e = f"regexp_replace({e}, '(?s)<!--.*?-->', ' '{g})"
+    e = f"regexp_replace({e}, '(?i)</(p|div|h[1-6]|li|tr|br)>', chr(10){g})"
+    e = f"regexp_replace({e}, '(?s)<[^>]*>', ' '{g})"
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", chr(39)), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST
+    ):
+        rep = "''''" if ch == chr(39) else f"'{ch}'"
+        e = f"replace({e}, '{ent}', {rep})"
+    e = f"trim(regexp_replace({e}, {ws}, ' '{g}))"
+    return e

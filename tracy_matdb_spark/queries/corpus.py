@@ -819,3 +819,53 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 300)
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the C4/CCNet boilerplate-removal stage)
+# ---------------------------------------------------------------------------
+
+
+def _html_wrap(dialect: str) -> str:
+    """Deterministic HTML page per document row (same construction in
+    both engines): headline from `source`, body from `text`, plus
+    script/style/comment boilerplate the extractor must drop."""
+    nl = "chr(10)"
+    return (
+        "concat('<html><head><title>x</title><script>var a = 1 < 2 && 3 > 2;</script>"
+        "<style>p {margin: 0}</style></head><body><h1>', source, '</h1>', "
+        f"{nl}, '<p>', text, '</p><!-- tracker -->"
+        "<div>footer &amp; legal</div></body></html>')"
+    )
+
+
+@register(
+    "html_extract_text",
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id, text, {_html_wrap('duckdb')} AS html FROM documents
+    )
+    SELECT doc_id,
+           cast(length({textops.html_to_text_expr('duckdb')}) as bigint) AS n_extracted,
+           {textops.html_to_text_expr('duckdb')} LIKE
+               '%' || trim(regexp_replace(text, '\\s+', ' ', 'g')) || '%' AS recovered
+    FROM pages
+    ORDER BY doc_id
+    """,
+    doc="HTML boilerplate removal (the C4/CCNet extraction stage) as "
+    "one JVM regex chain — drop script/style/comments, tags to "
+    "whitespace/newlines, entity decode, whitespace collapse — spec'd "
+    "to the common subset of Java regex and RE2 so the DuckDB twin "
+    "computes identical bytes (operators/textops.py:html_to_text_expr). "
+    "Map-only, no shuffle; `recovered` pins that the body text "
+    "survives extraction verbatim.",
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    pages = docs.selectExpr("doc_id", "text", f"{_html_wrap('spark')} AS html")
+    ext = textops.html_to_text_expr("spark")
+    return pages.selectExpr(
+        "doc_id",
+        f"cast(length({ext}) as bigint) AS n_extracted",
+        f"({ext}) LIKE concat('%', trim(regexp_replace(text, '\\\\s+', ' ')), '%') AS recovered",
+    ).orderBy("doc_id")
