@@ -1783,3 +1783,74 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_suppkey")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot + multi-level (ROLLUP) aggregation — the remaining relational
+# surface: one-pass wide reshaping and hierarchical subtotals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="PIVOT: order revenue by priority x status. Spark's pivot with "
+    "explicit value list compiles to one pass of conditional partial "
+    "aggregates (no second shuffle) — identical to the oracle's "
+    "CASE-sum formulation by construction.",
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        # explicit values: no discovery job, stable schema at any scale
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           cast(count(*) as bigint) AS n_lines,
+           cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as int) AS lvl
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY lvl, returnflag, linestatus
+    """,
+    doc="ROLLUP: hierarchical revenue subtotals (flag x status, per "
+    "flag, grand total) in ONE aggregation pass — Spark expands the "
+    "grouping sets map-side, so the 100 TB cost is one shuffle, not "
+    "three scans. grouping() flags disambiguate real 'ALL' values.",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    lvl = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            lvl.alias("lvl"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_lines",
+            "lvl",
+        )
+        .orderBy("lvl", "returnflag", "linestatus")
+    )
