@@ -702,3 +702,57 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine gap filling (time-series densification)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH p AS (
+        SELECT date_trunc('hour', ts) AS h, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM p),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+    c AS (
+        SELECT h, count(*) AS n,
+               cast(floor(sum(value) * cast(100 as double)) as bigint) AS sv
+        FROM p GROUP BY 1
+    )
+    SELECT epoch_us(spine.h) // 1000000 AS hour_s,
+           cast(coalesce(n, 0) as bigint) AS n_events,
+           cast(coalesce(sv, 0) as bigint) AS sum_value_c
+    FROM spine LEFT JOIN c USING (h)
+    ORDER BY hour_s
+    """,
+    doc="Gap filling over a generated calendar spine: hourly purchase "
+    "counts densified to every hour between the first and last event, "
+    "zero-filled. The spine is sequence()+explode from a 1-row bounds "
+    "aggregate — O(time range), independent of data size — so at "
+    "100 TB the plan is one keyed agg plus a join of two "
+    "O(hours)-sized sides.",
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    hours = ev.select(F.date_trunc("hour", "ts").alias("h"), "value")
+    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    counts = hours.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("value") * F.lit(100).cast("double")).cast("bigint").alias("sv"),
+    )
+    return (
+        spine.join(counts, "h", "left")
+        .select(
+            F.unix_timestamp("h").alias("hour_s"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("sv", F.lit(0)).cast("bigint").alias("sum_value_c"),
+        )
+        .orderBy("hour_s")
+    )
