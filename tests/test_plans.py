@@ -88,7 +88,9 @@ def test_no_quadratic_joins_in_registered_queries(spark):
 #                          (O(sources) ~ 20 rows)
 #   events_daily_anomaly — per-type window over the per-(type, day) rollup
 #                          (O(types x days) rows)
-WINDOW_ALLOWED = {"mixture_weights", "events_daily_anomaly"}
+#   events_gap_fill_locf — LOCF window over the generated calendar spine
+#                          (O(hours in range), independent of data size)
+WINDOW_ALLOWED = {"mixture_weights", "events_daily_anomaly", "events_gap_fill_locf"}
 
 
 def test_no_single_task_windows_in_registered_queries(spark):

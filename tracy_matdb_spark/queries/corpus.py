@@ -869,3 +869,4 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(length({ext}) as bigint) AS n_extracted",
         f"({ext}) LIKE concat('%', trim(regexp_replace(text, '\\\\s+', ' ')), '%') AS recovered",
     ).orderBy("doc_id")
+

@@ -756,3 +756,59 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_s")
     )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH p AS (
+        SELECT date_trunc('hour', ts) AS h, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM p),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+    c AS (
+        SELECT h, cast(floor(avg(value) * cast(100 as double)) as bigint) AS avg_c
+        FROM p GROUP BY 1
+    ),
+    joined AS (
+        SELECT spine.h, avg_c FROM spine LEFT JOIN c USING (h)
+    )
+    SELECT epoch_us(h) // 1000000 AS hour_s,
+           avg_c IS NULL AS filled,
+           coalesce(last_value(avg_c IGNORE NULLS)
+                    OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    cast(-1 as bigint)) AS locf_avg_c
+    FROM joined
+    ORDER BY hour_s
+    """,
+    doc="Last-observation-carried-forward over the calendar spine: "
+    "hours with no purchases inherit the most recent hourly average "
+    "(-1 before the first observation). The unpartitioned window runs "
+    "over the O(time range) spine — bounded by construction, "
+    "independent of data size (documented windows-allowlist class); "
+    "at scale the spine would be ranged into day slices like "
+    "operators/rank.py does for value ranks.",
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    hours = ev.select(F.date_trunc("hour", "ts").alias("h"), "value")
+    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    counts = hours.groupBy("h").agg(
+        F.floor(F.avg("value") * F.lit(100).cast("double")).cast("bigint").alias("avg_c")
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(counts, "h", "left")
+        .select(
+            F.unix_timestamp("h").alias("hour_s"),
+            F.col("avg_c").isNull().alias("filled"),
+            F.coalesce(
+                F.last("avg_c", ignorenulls=True).over(w), F.lit(-1).cast("bigint")
+            ).alias("locf_avg_c"),
+        )
+        .orderBy("hour_s")
+    )
