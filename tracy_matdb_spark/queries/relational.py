@@ -1854,3 +1854,78 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lvl", "returnflag", "linestatus")
     )
+
+
+@register(
+    "orders_price_histogram",
+    oracle="""
+    SELECT cast(floor(o_totalprice / 20000.0) as bigint) AS bin,
+           cast(count(*) as bigint) AS n,
+           round(sum(o_totalprice), 2) AS bin_total
+    FROM orders
+    GROUP BY 1 ORDER BY bin
+    """,
+    doc="Fixed-width histogram binning: floor-division bucketing is one "
+    "codegen'd projection + keyed agg (map-side partials), the shape "
+    "that replaces driver-side numpy.histogram at 100 TB.",
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(20000.0)).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("bin_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "qty_price_moment_stats",
+    # corr/cov via explicit raw moments with IDENTICAL formulas in both
+    # engines (not the engines' one-pass corr() implementations, whose
+    # accumulation orders differ); ppm-floor quantization absorbs the
+    # sub-1e-10 float tail of the big double sums.
+    oracle="""
+    WITH m AS (
+        SELECT cast(count(*) as double) AS n,
+               sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_quantity) AS sxx,
+               sum(l_extendedprice * l_extendedprice) AS syy,
+               sum(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem
+    )
+    SELECT cast(n as bigint) AS n_rows,
+           cast(floor(1000000.0 * (sxy / n - (sx / n) * (sy / n))
+                / sqrt((sxx / n - (sx / n) * (sx / n))
+                     * (syy / n - (sy / n) * (sy / n)))) as bigint) AS corr_ppm,
+           cast(floor((sxy / n - (sx / n) * (sy / n)) * 100.0) as bigint) AS cov_c
+    FROM m
+    """,
+    doc="Correlation/covariance from explicit raw moments (n, sx, sy, "
+    "sxx, syy, sxy): one map-side-partial aggregation pass, then "
+    "driver-free scalar arithmetic — the distributed form of "
+    "numpy.corrcoef. Moments are the associative/commutative "
+    "reduction, so AQE partial aggregation cannot change the result "
+    "beyond float tails the ppm floor absorbs.",
+)
+def qty_price_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "cast(n as bigint) AS n_rows",
+        "cast(floor(1000000.0 * (sxy / n - (sx / n) * (sy / n))"
+        " / sqrt((sxx / n - (sx / n) * (sx / n))"
+        " * (syy / n - (sy / n) * (sy / n)))) as bigint) AS corr_ppm",
+        "cast(floor((sxy / n - (sx / n) * (sy / n)) * 100.0) as bigint) AS cov_c",
+    )
