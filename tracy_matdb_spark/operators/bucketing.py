@@ -78,3 +78,17 @@ def zorder_expr(dialect: str, x: str, y: str, bits: int = 8) -> str:
         terms.append(shl(f"({shr(x, i)} & 1)", 2 * i))
         terms.append(shl(f"({shr(y, i)} & 1)", 2 * i + 1))
     return "(" + " + ".join(terms) + ")"
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str, target_files: int
+) -> None:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into `target_files` files. The classic 100 TB maintenance job —
+    ingest paths (streaming micro-batches, per-task writers) leave
+    thousands of KB-scale files whose open/footer overhead dominates
+    scans; one repartition+rewrite restores scan efficiency. At scale
+    this runs per partition-directory (so each job is bounded) and
+    swaps directories atomically at the end."""
+    df = spark.read.parquet(src)
+    df.repartition(target_files).write.mode("overwrite").parquet(dst)

@@ -965,3 +965,92 @@ def atoms_h5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("force_null"),
         F.sum(F.length(F.expr("params['tag']"))).cast("bigint").alias("tag_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse maintenance: small-file compaction + schema-evolution reads
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "compaction_roundtrip",
+    # file counts are construction-determined (repartition(n) emits
+    # exactly n part files); content aggregates recomputed from the
+    # original table prove the rewrite is lossless
+    oracle="""
+    SELECT cast(48 as int) AS files_before, cast(4 as int) AS files_after,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS sum_chars
+    FROM documents
+    """,
+    doc="Small-file compaction (operators/bucketing.py:"
+    "compact_parquet_dir): fragment documents into 48 files, compact "
+    "to 4, verify the rewrite preserved every row and the file counts "
+    "match the repartition contract.",
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import hashlib
+
+    from tracy_matdb_spark.operators.bucketing import compact_parquet_dir
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    frag = os.path.join(FIXTURE_ROOT, "compact", tag, "frag")
+    tight = os.path.join(FIXTURE_ROOT, "compact", tag, "tight")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    docs.repartition(48).write.mode("overwrite").parquet(frag)
+    compact_parquet_dir(spark, frag, tight, target_files=4)
+
+    def n_parts(d: str) -> int:
+        return len(_glob.glob(os.path.join(d, "part-*.parquet")))
+
+    back = spark.read.parquet(tight)
+    return back.agg(
+        F.lit(n_parts(frag)).cast("int").alias("files_before"),
+        F.lit(n_parts(tight)).cast("int").alias("files_after"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@register(
+    "schema_evolution_union",
+    # v1 rows (doc_id < 200) lack the quality column entirely on disk;
+    # mergeSchema=true must surface them as NULLs next to v2 rows
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_docs,
+           cast(sum(CASE WHEN doc_id < 200 THEN 1 ELSE 0 END) as bigint) AS n_v1,
+           cast(sum(CASE WHEN doc_id < 200 THEN 0 ELSE 1 END) as bigint) AS n_v2,
+           cast(sum(CASE WHEN doc_id < 200 THEN 1 ELSE 0 END) as bigint) AS n_quality_null,
+           cast(sum(CASE WHEN doc_id >= 200 THEN n_chars * 2 END) as bigint) AS sum_quality
+    FROM documents
+    """,
+    doc="Schema evolution: a table written in two generations (v1: "
+    "doc_id/text/n_chars; v2 adds a quality column) read as ONE "
+    "DataFrame via mergeSchema — missing columns surface as NULLs, "
+    "the operational contract for years-long 100 TB tables whose "
+    "schema widens in place.",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(FIXTURE_ROOT, "schema_evo", tag)
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    v1 = docs.filter(F.col("doc_id") < 200).select("doc_id", "text", "n_chars")
+    v2 = (
+        docs.filter(F.col("doc_id") >= 200)
+        .select("doc_id", "text", "n_chars", (F.col("n_chars") * 2).cast("bigint").alias("quality"))
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") < 200).cast("int")).cast("bigint").alias("n_v1"),
+        F.sum((F.col("doc_id") >= 200).cast("int")).cast("bigint").alias("n_v2"),
+        F.sum(F.col("quality").isNull().cast("int")).cast("bigint").alias("n_quality_null"),
+        F.sum("quality").cast("bigint").alias("sum_quality"),
+    )
