@@ -123,3 +123,61 @@ def test_range_join_errors_all_present(spark):
     out = REGISTRY["events_range_join_10m"].fn(spark, SF_SMOKE).toPandas()
     assert len(out) == n_err
     assert (out.n_clicks_10m >= 0).all()
+
+
+# --- HTML extraction: independent html.parser cross-check -------------------
+
+
+def _extract_with_stdlib(html: str) -> str:
+    """Independent oracle for textops.html_to_text_expr: a real HTML
+    tokenizer (stdlib html.parser), not regex — shared code: none."""
+    from html.parser import HTMLParser
+
+    class X(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            self.parts.append(" ")
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip:
+                self.skip -= 1
+            self.parts.append(" ")
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+    p = X()
+    p.feed(html)
+    return " ".join("".join(p.parts).split())
+
+
+def test_html_extract_matches_stdlib_parser():
+    """The regex chain and a real HTML tokenizer must agree on
+    well-formed pages (whitespace-normalized)."""
+    import duckdb
+
+    from tracy_matdb_spark.operators.textops import html_to_text_expr
+
+    pages = [
+        "<html><body><p>plain text</p></body></html>",
+        "<html><head><script>var a = '<p>not text</p>';</script></head>"
+        "<body><h1>Title</h1><p>Body &amp; more</p></body></html>",
+        "<div>nested <b>bold <i>italic</i></b> tail</div>",
+        "<p>entity zoo &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;x</p>",
+        "<ul><li>one</li><li>two</li></ul><!-- comment --><p>after</p>",
+        "<style>p{}</style><p>styled</p><script src='x.js'></script><p>end</p>",
+    ]
+    con = duckdb.connect()
+    for html in pages:
+        got = con.execute(
+            f"SELECT {html_to_text_expr('duckdb')} FROM (SELECT ? AS html)", [html]
+        ).fetchone()[0]
+        want = _extract_with_stdlib(html)
+        assert got == want, (html, got, want)
