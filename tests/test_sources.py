@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from tracy_matdb_spark.sources import textformats as TF
@@ -90,3 +92,45 @@ def test_hdf5_byte_layer_works_without_h5py():
               "ref_energy", "ref_force"):
         assert back[k] == row[k], k
     assert back["source_file"] == "g-1.h5"
+
+
+def test_xyz_python_datasource(spark, tmp_path):
+    """Spark 4 custom Python DataSource: spark.read.format('xyz') over
+    the text fixture matches the binaryFile+mapInPandas reader."""
+    from tracy_matdb_spark.queries.coverage import _write_text_fixture
+    from tracy_matdb_spark.sources.pyds import register_all
+    from tracy_matdb_spark.sources.textformats import read_xyz
+
+    register_all(spark)
+    d = _write_text_fixture("xyz")
+    via_ds = spark.read.format("xyz").load(d)
+    via_map = read_xyz(spark, d)
+    a = sorted(
+        (os.path.basename(r["source_file"]), r["config_id"], r["n"], r["energy"])
+        for r in via_ds.collect()
+    )
+    b = sorted(
+        (os.path.basename(r["source_file"]), r["config_id"], r["n"], r["energy"])
+        for r in via_map.collect()
+    )
+    assert a == b and len(a) == 3
+    # partition granularity = files (distributed parse)
+    assert via_ds.rdd.getNumPartitions() == 2
+
+
+def test_atomsh5_python_datasource(spark, tmp_path):
+    from tracy_matdb_spark.sources.hdf5io import write_atoms_h5
+    from tracy_matdb_spark.sources.pyds import register_all
+
+    register_all(spark)
+    row = {
+        "uuid": "ds-1", "n": 1, "symbols": "Cu", "species": ["Cu"],
+        "cell": [[2.5, 0.0, 0.0], [0.0, 2.5, 0.0], [0.0, 0.0, 2.5]],
+        "positions": [[0.0, 0.0, 0.0]], "pbc": [True, True, True],
+        "ref_energy": 0.75, "ref_force": None, "params": {}, "source_file": "",
+    }
+    from tracy_matdb_spark.sources.hdf5io import CONFIG_SCHEMA
+
+    write_atoms_h5(spark.createDataFrame([row], CONFIG_SCHEMA), str(tmp_path / "h5"))
+    got = spark.read.format("atomsh5").load(str(tmp_path / "h5")).collect()
+    assert len(got) == 1 and got[0]["uuid"] == "ds-1" and got[0]["ref_energy"] == 0.75

@@ -1054,3 +1054,20 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("quality").isNull().cast("int")).cast("bigint").alias("n_quality_null"),
         F.sum("quality").cast("bigint").alias("sum_quality"),
     )
+
+
+@register(
+    "xyz_datasource_scan",
+    oracle=_roundtrip_oracle_sql(),
+    doc="Spark 4 custom Python DataSource (sources/pyds.py): "
+    "spark.read.format('xyz') over the text fixture — one "
+    "InputPartition per file, executor-side parse — must produce the "
+    "identical rows the binaryFile+mapInPandas reader (xyz_roundtrip) "
+    "produces, against the same ground-truth VALUES oracle.",
+)
+def xyz_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.sources.pyds import register_all
+
+    register_all(spark)
+    out_dir = _write_text_fixture("xyz")
+    return _roundtrip_projection(spark.read.format("xyz").load(out_dir))
