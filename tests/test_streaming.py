@@ -274,3 +274,46 @@ def test_incremental_atoms_h5_ingest(spark, tmp_path):
 
     run()  # nothing new: checkpoint skips all seen files
     assert len(spark.read.parquet(target).toPandas()) == 3
+
+
+def test_atomsh5_custom_streaming_source(spark, tmp_path):
+    """Spark 4 SimpleDataSourceStreamReader: readStream.format('atomsh5')
+    over a drop dir — each restart processes only never-seen files."""
+    from tracy_matdb_spark.sources.hdf5io import CONFIG_SCHEMA, write_atoms_h5
+    from tracy_matdb_spark.sources.pyds import register_all
+
+    register_all(spark)
+    base = {
+        "n": 1, "symbols": "Ni", "species": ["Ni"],
+        "cell": [[3.0, 0.0, 0.0], [0.0, 3.0, 0.0], [0.0, 0.0, 3.0]],
+        "positions": [[0.0, 0.0, 0.0]], "pbc": [True, True, True],
+        "ref_energy": 2.0, "ref_force": None, "params": {}, "source_file": "",
+    }
+    drop = tmp_path / "drop"
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+
+    def run():
+        q = (
+            spark.readStream.format("atomsh5")
+            .load(str(drop))
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows1 = [dict(base, uuid="s-1"), dict(base, uuid="s-2")]
+    write_atoms_h5(spark.createDataFrame(rows1, CONFIG_SCHEMA), str(drop / "b1"))
+    run()
+    assert sorted(r["uuid"] for r in spark.read.parquet(target).collect()) == ["s-1", "s-2"]
+
+    write_atoms_h5(
+        spark.createDataFrame([dict(base, uuid="s-3")], CONFIG_SCHEMA), str(drop / "b2")
+    )
+    run()
+    got = sorted(r["uuid"] for r in spark.read.parquet(target).collect())
+    assert got == ["s-1", "s-2", "s-3"]  # s-1/s-2 not re-ingested

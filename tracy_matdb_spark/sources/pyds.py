@@ -26,7 +26,12 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # field order must match textformats.CONFIG_SCHEMA
 _FIELDS = ("source_file", "config_id", "n", "cell", "species", "positions", "forces", "energy")
@@ -93,6 +98,9 @@ class AtomsH5DataSource(DataSource):
 
         return CONFIG_SCHEMA
 
+    def simpleStreamReader(self, schema) -> "SimpleDataSourceStreamReader":
+        return _AtomsH5StreamReader(self.options)
+
     def reader(self, schema) -> DataSourceReader:
         options = self.options
         path = options.get("path")
@@ -120,3 +128,48 @@ def register_all(spark) -> None:
     """Register every custom source on a session (idempotent)."""
     spark.dataSource.register(XYZDataSource)
     spark.dataSource.register(AtomsH5DataSource)
+
+
+class _AtomsH5StreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the atomsh5 source: each micro-batch picks up
+    .h5 files not seen by any earlier offset. The offset is the sorted
+    list of processed file names — O(dir size) per offset-log entry,
+    fine for drop-directory scale (a production source would keep a
+    compacted manifest; the read/readBetweenOffsets replay contract
+    stays identical)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("path option is required")
+
+    def _list(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "**", "*.h5"), recursive=True))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        # materialized list, not a generator: the streaming runtime
+        # caches and copy.copy()s the returned iterator for replay
+        from tracy_matdb_spark.sources.hdf5io import CONFIG_SCHEMA, parse_atoms_h5_bytes
+
+        rows = []
+        for f in files:
+            with open(f, "rb") as fh:
+                rec = parse_atoms_h5_bytes(fh.read(), f)
+            rows.append(tuple(rec[fld.name] for fld in CONFIG_SCHEMA.fields))
+        return rows
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        now = self._list()
+        fresh = [f for f in now if f not in seen]
+        return self._rows(fresh), {"files": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        seen = set(start.get("files", []))
+        return self._rows([f for f in end.get("files", []) if f not in seen])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: files stay in place
