@@ -870,3 +870,79 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({ext}) LIKE concat('%', trim(regexp_replace(text, '\\\\s+', ' ')), '%') AS recovered",
     ).orderBy("doc_id")
 
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Appendix A1.1;
+# adopted by Dolma/FineWeb) — the published rule-based document filter.
+# ---------------------------------------------------------------------------
+
+
+def _gopher_exprs(dialect: str) -> list[str]:
+    """The rule metrics as engine-shared SQL. Whitespace tokenization
+    (the paper's unit), alphabetic-word fraction, mean word length,
+    ellipsis density, stopword presence. Thresholds follow the paper
+    except the word-count floor (50 -> 10: the synthetic docs are
+    short; the comparison operators are what is under test)."""
+    if dialect == "spark":
+        split = "split(trim(text), '\\\\s+')"
+    else:
+        split = "regexp_split_to_array(trim(text), '\\s+')"
+    size = "size" if dialect == "spark" else "len"
+    n_words = f"cast({size}({split}) as bigint)"
+    n_alpha = (
+        f"cast({size}(filter({split}, w -> w rlike '[a-zA-Z]')) as bigint)"
+        if dialect == "spark"
+        else f"cast(len(list_filter({split}, w -> regexp_matches(w, '[a-zA-Z]'))) as bigint)"
+    )
+    sum_len = (
+        f"aggregate({split}, cast(0 as bigint), (a, w) -> a + length(w))"
+        if dialect == "spark"
+        else f"list_reduce(list_transform({split}, w -> cast(length(w) as bigint)), (a, b) -> a + b)"
+    )
+    n_ellipsis = (
+        f"cast(size(split(text, '\\\\.\\\\.\\\\.')) - 1 as bigint)"
+        if dialect == "spark"
+        else "cast(len(regexp_split_to_array(text, '\\.\\.\\.')) - 1 as bigint)"
+    )
+    if dialect == "spark":
+        n_stop = (
+            f"cast(size(filter({split}, w -> w in ('the','and','of','to','in'))) as bigint)"
+        )
+    else:
+        n_stop = (
+            f"cast(len(list_filter({split}, w -> w in ('the','and','of','to','in'))) as bigint)"
+        )
+    mean_len_q = f"cast(floor(cast({sum_len} as double) * 1000 / {n_words}) as bigint)"
+    alpha_q = f"cast(floor(cast({n_alpha} as double) * 1000000 / {n_words}) as bigint)"
+    return [
+        "doc_id",
+        f"{n_words} AS n_words",
+        f"{mean_len_q} AS mean_word_len_milli",
+        f"{alpha_q} AS alpha_frac_ppm",
+        f"{n_ellipsis} AS n_ellipsis",
+        f"{n_stop} AS n_stop",
+        f"(CASE WHEN {n_words} BETWEEN 10 AND 100000"
+        f" AND {mean_len_q} BETWEEN 3000 AND 10000"
+        f" AND {alpha_q} >= 800000"
+        f" AND {n_ellipsis} * 10 <= {n_words}"
+        f" AND {n_stop} >= 2 THEN true ELSE false END) AS gopher_ok",
+    ]
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    SELECT {', '.join(_gopher_exprs('duckdb'))}
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Gopher rule-based document filter (arXiv:2112.11446 A1.1, the "
+    "Dolma/FineWeb heuristic set): word-count bounds, mean word "
+    "length, alphabetic-word fraction, ellipsis density, stopword "
+    "presence — one codegen'd map-only projection per document, "
+    "integer-quantized ratios identical in both engines.",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    return docs.selectExpr(*_gopher_exprs("spark")).orderBy("doc_id")
