@@ -65,6 +65,7 @@ SCALING_EXTRA = [
     "source_vocab_overlap",
     "basket_part_pairs",
     "incremental_dedup_ingest",
+    "semantic_dedup",  # K-centroid assignment + W-neighbor window pairs
 ]
 
 
