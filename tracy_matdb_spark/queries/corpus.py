@@ -946,3 +946,100 @@ def _gopher_exprs(dialect: str) -> list[str]:
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, ("documents",))["documents"]
     return docs.selectExpr(*_gopher_exprs("spark")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the corpus pipeline END-TO-END in one lazy plan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_e2e_rollup",
+    # The oracle is the SAME pipeline as composed DuckDB CTEs — every
+    # stage reuses the dual-dialect expression that already has its own
+    # green row (html_to_text_expr, _gopher_exprs, the dedup fp), so a
+    # break here isolates stage *composition*, not stage logic.
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id, lang, {_html_wrap('duckdb')} AS html FROM documents
+    ),
+    extracted AS (
+        SELECT doc_id, lang, {textops.html_to_text_expr('duckdb')} AS text
+        FROM pages
+    ),
+    scored AS (
+        SELECT doc_id, lang, text,
+               length(text) > 0 AS nonempty,
+               {_gopher_exprs('duckdb')[-1].rsplit(' AS ', 1)[0]} AS gopher_ok
+        FROM extracted
+    ),
+    keyed AS (
+        SELECT *,
+               CASE WHEN gopher_ok
+                    THEN md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                    ELSE concat('u#', cast(doc_id as varchar)) END AS fp,
+               cast(len(regexp_split_to_array(trim(text), '\\s+')) as bigint) AS n_tok
+        FROM scored
+    ),
+    ranked AS (
+        SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS first_of_fp
+        FROM keyed
+    )
+    SELECT lang,
+           cast(count(*) as bigint) AS n_raw,
+           cast(sum(CASE WHEN nonempty THEN 1 ELSE 0 END) as bigint) AS n_nonempty,
+           cast(sum(CASE WHEN gopher_ok THEN 1 ELSE 0 END) as bigint) AS n_quality,
+           cast(sum(CASE WHEN gopher_ok AND first_of_fp THEN 1 ELSE 0 END) as bigint)
+               AS n_unique,
+           cast(sum(CASE WHEN gopher_ok AND first_of_fp THEN n_tok ELSE 0 END) as bigint)
+               AS sum_tokens_kept
+    FROM ranked
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="The LLM corpus pipeline end-to-end as ONE lazy Spark plan: "
+    "HTML extraction -> Gopher quality rules -> exact dedup "
+    "(min-doc_id per fingerprint, non-quality rows excluded via "
+    "per-row unique keys) -> per-language rollup with stage-by-stage "
+    "survival counts. Stages are map-only until the dedup window "
+    "(keyed on the high-cardinality fingerprint) and the final keyed "
+    "agg — two shuffles total at any scale.",
+)
+def corpus_e2e_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    pages = docs.selectExpr("doc_id", "lang", f"{_html_wrap('spark')} AS html")
+    extracted = pages.selectExpr(
+        "doc_id", "lang", f"{textops.html_to_text_expr('spark')} AS text"
+    )
+    gopher_ok = _gopher_exprs("spark")[-1].rsplit(" AS ", 1)[0]
+    scored = extracted.selectExpr(
+        "doc_id", "lang", "text", "length(text) > 0 AS nonempty", f"{gopher_ok} AS gopher_ok"
+    )
+    keyed = scored.selectExpr(
+        "*",
+        "CASE WHEN gopher_ok"
+        " THEN md5(lower(regexp_replace(trim(text), '\\\\s+', ' ')))"
+        " ELSE concat('u#', cast(doc_id as string)) END AS fp",
+        "cast(size(split(trim(text), '\\\\s+')) as bigint) AS n_tok",
+    )
+    ranked = keyed.withColumn(
+        "first_of_fp", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("nonempty").cast("int")).cast("bigint").alias("n_nonempty"),
+            F.sum(F.col("gopher_ok").cast("int")).cast("bigint").alias("n_quality"),
+            F.sum((F.col("gopher_ok") & F.col("first_of_fp")).cast("int"))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.sum(
+                F.when(F.col("gopher_ok") & F.col("first_of_fp"), F.col("n_tok")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sum_tokens_kept"),
+        )
+        .orderBy("lang")
+    )
