@@ -955,6 +955,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_e2e_rollup",
+    headline=True,  # perf-track the flagship two-shuffle integration plan
     # The oracle is the SAME pipeline as composed DuckDB CTEs — every
     # stage reuses the dual-dialect expression that already has its own
     # green row (html_to_text_expr, _gopher_exprs, the dedup fp), so a
