@@ -1,0 +1,58 @@
+"""Semantic invariants for the web-scale operators (exact-substring
+spans, Bloom dedup, fixed-point PageRank). Value parity vs DuckDB is
+covered by test_parity; these pin the properties parity can't express.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tracy_matdb_spark.queries import load_all
+from tracy_matdb_spark.queries.webscale import BLOOM_K, PR_BASE, SPAN_K
+
+REGISTRY = load_all()
+
+
+def test_spans_are_maximal_and_disjoint(spark):
+    """Island merge must yield per-doc spans that are disjoint with a
+    gap > SPAN_K between consecutive span starts (else they'd have
+    merged), each span at least one window wide."""
+    pdf = REGISTRY["exact_substring_spans"].fn(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0  # the synthetic corpus has injected duplicates
+    assert (pdf.span_end - pdf.span_start + 1 >= SPAN_K).all()
+    assert (pdf.n_windows >= 1).all()
+    for _, g in pdf.groupby("doc_id"):
+        g = g.sort_values("span_start")
+        starts, ends = g.span_start.to_numpy(), g.span_end.to_numpy()
+        # disjoint, and un-mergeable: next window start is > K past the
+        # previous island's last window start (ends[i-1] - SPAN_K + 1)
+        assert all(starts[i] > ends[i - 1] for i in range(1, len(g)))
+        assert all(starts[i] - (ends[i - 1] - SPAN_K + 1) > SPAN_K for i in range(1, len(g)))
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """The Bloom guarantee: every actual duplicate must be flagged
+    (bloom_hit), and false_positive is exactly hit-and-not-dup."""
+    pdf = REGISTRY["bloom_dedup_filter"].fn(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    dup = pdf[pdf.actual_dup]
+    assert dup.bloom_hit.all()
+    assert (pdf.false_positive == (pdf.bloom_hit & ~pdf.actual_dup)).all()
+
+
+def test_pagerank_fixed_point_bounds(spark):
+    """Ranks are integer micro-units >= the damping floor, sorted
+    descending, top-20 only."""
+    pdf = REGISTRY["pagerank_bipartite"].fn(spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 20
+    assert (pdf.microrank >= PR_BASE).all()
+    assert (pdf.microrank.diff().dropna() <= 0).all()
+    assert set(pdf.node_type) <= {"customer", "supplier"}
+
+
+def test_bloom_bitset_is_broadcast(spark):
+    """The membership probe must be a broadcast join of the O(m) bitset
+    — never a shuffle of the probe side keyed on bit position."""
+    df = REGISTRY["bloom_dedup_filter"].fn(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert BLOOM_K == 4  # docstrings/oracle quote the constant

@@ -1,0 +1,316 @@
+"""Web-scale pipeline operators: exact-substring dedup spans, Bloom-filter
+dedup, and fixed-point PageRank.
+
+Three operators a 100 TB training-data pipeline needs beyond doc-level
+dedup (BASELINE.json north star), each fully DuckDB-oracle-checked:
+
+- ``exact_substring_spans``: the suffix-array-style duplicated-passage
+  detector of Lee et al. 2022 ("Deduplicating Training Data Makes
+  Language Models Better"), approximated as duplicated k-token windows
+  merged into maximal per-document spans. The reference's dedup surface
+  stops at whole-config content hashes (matdb/database/__init__.py
+  group hashing); sub-document spans are the web-corpus extension.
+- ``bloom_dedup_filter``: membership pre-filter for incremental ingest —
+  a Bloom bitset built over history keys, broadcast to the incoming
+  side, with false-positive accounting. At 100 TB the bitset is O(m)
+  regardless of history size, replacing a full-history shuffle
+  anti-join with a broadcast hash join.
+- ``pagerank_bipartite``: fixed-iteration PageRank over the
+  customer<->supplier purchase graph in INTEGER fixed-point (micro-rank
+  units, floor division) so Spark and DuckDB agree bit-for-bit — the
+  standard iterative-algorithm shape (join + re-aggregate per round)
+  with none of the float-summation-order nondeterminism.
+
+All JVM-side (no Python UDFs); shuffles are keyed hash aggregations and
+equi joins only — no cartesian stages, no single-partition windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.operators import textops
+from tracy_matdb_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicated spans (Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # window width in tokens (Lee et al. use 50 BPE tokens; the
+# synthetic docs are <=99 whitespace tokens, so 8 keeps multi-window
+# spans observable while staying well above chance-collision length)
+
+
+@register(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents WHERE n_chars > 0),
+    w AS (SELECT doc_id, i,
+                 md5(array_to_string(list_slice(toks, i, i + {SPAN_K} - 1), ' ')) AS wh
+          FROM d CROSS JOIN (SELECT unnest(generate_series(1,
+              (SELECT max(len(toks)) FROM d))) AS i) g
+          WHERE i + {SPAN_K} - 1 <= len(toks)),
+    dup AS (SELECT wh FROM (SELECT DISTINCT wh, doc_id FROM w)
+            GROUP BY wh HAVING count(*) >= 2),
+    hit AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (wh)),
+    isl AS (SELECT doc_id, i,
+                   sum(CASE WHEN prev IS NULL OR i - prev > {SPAN_K} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT doc_id, i,
+                         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                  FROM hit))
+    SELECT doc_id,
+           cast(min(i) as bigint) AS span_start,
+           cast(max(i) + {SPAN_K} - 1 as bigint) AS span_end,
+           cast(count(*) as bigint) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage spans: every maximal token range covered by
+    {SPAN_K}-token windows that occur (by md5) in >= 2 distinct
+    documents — the exact-substring dedup of Lee et al. 2022, expressed
+    relationally instead of via a suffix array.
+
+    Plan shape, scale-checked: (1) window hashes are counted per
+    (hash, doc) FIRST and then per hash — two-stage aggregation with
+    map-side combine, so a window duplicated a million times within one
+    hot document contributes one row to the global count; (2) the
+    join back to positions is a hash equi join on the md5 key (bounded
+    fan-out: one row per duplicated hash); (3) span merging is a
+    per-document gap-and-island window (partitionBy doc_id — never a
+    single-partition window). Windows whose covered ranges overlap or
+    touch (gap <= {SPAN_K}) merge into one span."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    win = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("doc_id", f"{toks} AS toks")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, size(toks) - {SPAN_K - 1})")).alias("i"),
+            "toks",
+        )
+        .selectExpr(
+            "doc_id", "i", f"md5(array_join(slice(toks, i, {SPAN_K}), ' ')) AS wh"
+        )
+    )
+    dup = (
+        win.select("wh", "doc_id")
+        .distinct()
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("wh")
+    )
+    hit = win.join(dup, "wh").select("doc_id", "i")
+    byik = Window.partitionBy("doc_id").orderBy("i")
+    isl = (
+        hit.withColumn("prev", F.lag("i").over(byik))
+        .withColumn(
+            "__new",
+            F.when(F.col("prev").isNull() | (F.col("i") - F.col("prev") > SPAN_K), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("__new").over(byik.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + SPAN_K - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup pre-filter
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bitset size; small on purpose so the sf0.001 fixture
+# exercises real false positives (n~400 history keys, k=4 -> ~1% FP)
+BLOOM_K = 4  # hash functions, via Kirsch-Mitzenmacher double hashing
+
+
+def _bloom_pos_exprs(dialect: str) -> list[str]:
+    """BLOOM_K bit positions for the trimmed document text (column `t`):
+    position_j = (h1 + j*h2) mod M with h1/h2 independent 60-bit md5
+    hashes — Kirsch-Mitzenmacher double hashing, identical arithmetic in
+    both dialects (h1 + 3*h2 < 2^62: no overflow)."""
+    h1 = textops.tok_hash60(dialect, "t", salt="bloom1")
+    h2 = textops.tok_hash60(dialect, "t", salt="bloom2")
+    return [f"(({h1}) + {j} * ({h2})) % {BLOOM_M}" for j in range(BLOOM_K)]
+
+
+@register(
+    "bloom_dedup_filter",
+    oracle=f"""
+    WITH hist AS (SELECT trim(text) AS t FROM documents WHERE doc_id % 5 <> 0),
+    inc AS (SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id % 5 = 0),
+    bits AS (SELECT DISTINCT p FROM hist
+             CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j) g
+             CROSS JOIN LATERAL (SELECT {{pos}} AS p) x),
+    probe AS (SELECT inc.doc_id, count(bits.p) AS n_set
+              FROM inc
+              CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j) g
+              CROSS JOIN LATERAL (SELECT {{pos}} AS p) x
+              LEFT JOIN bits ON bits.p = x.p
+              GROUP BY inc.doc_id),
+    exact AS (SELECT DISTINCT inc.doc_id FROM inc JOIN hist ON inc.t = hist.t)
+    SELECT probe.doc_id,
+           probe.n_set = {BLOOM_K} AS bloom_hit,
+           exact.doc_id IS NOT NULL AS actual_dup,
+           (probe.n_set = {BLOOM_K}) AND exact.doc_id IS NULL AS false_positive
+    FROM probe LEFT JOIN exact ON probe.doc_id = exact.doc_id
+    ORDER BY probe.doc_id
+    """.format(
+        pos="(({h1}) + j * ({h2})) % {m}".format(
+            h1=textops.tok_hash60("duckdb", "t", salt="bloom1"),
+            h2=textops.tok_hash60("duckdb", "t", salt="bloom2"),
+            m=BLOOM_M,
+        )
+    ),
+)
+def bloom_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup pre-filter: build a {BLOOM_M}-bit Bloom bitset
+    over the history partition's text keys (doc_id % 5 != 0), probe every
+    incoming doc (doc_id % 5 == 0), and account for false positives
+    against the exact answer.
+
+    Scale story: the bitset is materialized as <= {BLOOM_M} DISTINCT
+    set-bit rows — O(m), independent of history size — and BROADCAST to
+    the probe side, so the membership test is a broadcast hash join with
+    zero shuffle of the incoming table. At 100 TB the exact-dup
+    verification join runs only on the bloom-positive slice (here it is
+    computed for every probe row because the oracle reports it); the
+    deliberately small m makes the fixture exercise real false
+    positives, which production sizes to ~10 bits/key. The reference's
+    incremental ingest dedups by full content hash anti-join
+    (group hashing, matdb/database/__init__.py); the Bloom stage is the
+    pre-filter that makes that affordable when history >> batch."""
+    docs = load(spark, sf_dir, ("documents",))["documents"].selectExpr(
+        "doc_id", "trim(text) AS t"
+    )
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    pos = _bloom_pos_exprs("spark")
+    arr = "array(" + ", ".join(pos) + ")"
+    bits = (
+        hist.selectExpr(f"explode({arr}) AS p").distinct()
+    )
+    probe = (
+        inc.selectExpr("doc_id", f"explode({arr}) AS p")
+        .join(F.broadcast(bits.withColumn("__set", F.lit(1))), "p", "left")
+        .groupBy("doc_id")
+        .agg(F.count("__set").alias("n_set"))
+    )
+    exact = (
+        inc.join(hist.select(F.col("t").alias("__ht")).distinct(),
+                 inc["t"] == F.col("__ht"), "left_semi")
+        .select("doc_id")
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        probe.join(F.broadcast(exact), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_set") == BLOOM_K).alias("bloom_hit"),
+            F.col("__dup").isNotNull().alias("actual_dup"),
+            ((F.col("n_set") == BLOOM_K) & F.col("__dup").isNull()).alias("false_positive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the customer<->supplier purchase graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000  # micro-rank fixed point
+PR_DAMP_NUM = 850_000  # 0.85 in micro units
+PR_BASE = 150_000  # (1 - 0.85) in micro units
+
+
+@register(
+    "pagerank_bipartite",
+    oracle=f"""
+    WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    eb AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM eb GROUP BY src),
+    r0 AS (SELECT node, cast({PR_SCALE} as bigint) AS r FROM deg),
+    r1 AS (SELECT eb.dst AS node,
+                  cast({PR_BASE} + ({PR_DAMP_NUM} * sum(r0.r // deg.outdeg)) // {PR_SCALE} as bigint) AS r
+           FROM eb JOIN r0 ON eb.src = r0.node JOIN deg ON eb.src = deg.node
+           GROUP BY eb.dst),
+    r2 AS (SELECT eb.dst AS node,
+                  cast({PR_BASE} + ({PR_DAMP_NUM} * sum(r1.r // deg.outdeg)) // {PR_SCALE} as bigint) AS r
+           FROM eb JOIN r1 ON eb.src = r1.node JOIN deg ON eb.src = deg.node
+           GROUP BY eb.dst),
+    r3 AS (SELECT eb.dst AS node,
+                  cast({PR_BASE} + ({PR_DAMP_NUM} * sum(r2.r // deg.outdeg)) // {PR_SCALE} as bigint) AS r
+           FROM eb JOIN r2 ON eb.src = r2.node JOIN deg ON eb.src = deg.node
+           GROUP BY eb.dst)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           cast(node // 2 as bigint) AS node_key, r AS microrank
+    FROM r3 ORDER BY r DESC, node LIMIT 20
+    """,
+)
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({PR_ITERS} synchronous iterations, damping 0.85) over
+    the bipartite customer<->supplier graph induced by purchases
+    (distinct (o_custkey, l_suppkey) pairs, edges both directions so
+    every node has outdeg >= 1 — no dangling-mass term needed).
+
+    Ranks are INTEGER micro-units with floor division at every step:
+    contribution = r div outdeg, next = {PR_BASE} + ({PR_DAMP_NUM} *
+    sum) div {PR_SCALE}. Integer sums are order-independent, so the
+    result is bit-identical between Spark and the oracle — the float
+    formulation would hash-mismatch on summation order alone.
+
+    Scale shape: each iteration is one hash equi join (edges x ranks,
+    both sides partitioned by the join key) + one keyed aggregation
+    with map-side partial sums — the classic distributed PageRank
+    round. The edge list is scanned once per iteration here; at 100 TB
+    you materialize edges+degrees once (checkpoint/bucketed table
+    partitioned by src) so every iteration joins co-partitioned data
+    with no re-derivation and no exchange on the edge side."""
+    t = load(spark, sf_dir, ("lineitem", "orders"))
+    e0 = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
+        .distinct()
+    )
+    eb = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst"))
+    deg = eb.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            eb.join(ranks, eb["src"] == ranks["node"])
+            .join(deg.withColumnRenamed("node", "__dn"), F.col("src") == F.col("__dn"))
+            .selectExpr("dst", "r div outdeg AS c")
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("__s"))
+            .selectExpr("node", f"cast({PR_BASE} + ({PR_DAMP_NUM} * __s) div {PR_SCALE} as bigint) AS r")
+        )
+    return (
+        ranks.selectExpr(
+            "node",
+            "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type",
+            "cast(node div 2 as bigint) AS node_key",
+            "r AS microrank",
+        )
+        .orderBy(F.col("microrank").desc(), "node")
+        .limit(20)
+        .select("node_type", "node_key", "microrank")
+    )
