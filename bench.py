@@ -4,8 +4,9 @@ Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Each query is executed three times; the reported time is the MIN of
-the two post-warmup runs — the first run pays JVM/codegen warmup, and
+Each query is executed four times; the reported time is the MIN of
+the two post-warmup runs — the first TWO runs pay JVM/codegen + C2
+JIT warmup (join-heavy queries are still tiering during run 2), and
 min-of-2 suppresses the GC/page-cache jitter that made single warm
 runs swing +-80% on some queries across rounds. Timing includes full
 execution to a count/collect-free materialization
@@ -82,7 +83,9 @@ def main() -> None:
             continue
         try:
             materialize(q.fn(spark, sf_dir))  # warmup (JVM/codegen)
-            warm = []
+            materialize(q.fn(spark, sf_dir))  # 2nd warmup: C2 JIT on the
+            warm = []  # join-heavy queries is still compiling during run 2
+            # (q5 measured 6.1 / 1.7 / 1.05 / 0.96 back-to-back)
             for _ in range(2):  # min-of-2 warm runs: GC/page-cache jitter
                 t0 = time.time()  # on a single run was +-80% on some
                 materialize(q.fn(spark, sf_dir))  # queries across rounds

@@ -69,6 +69,7 @@ SPAN_K = 8  # window width in tokens (Lee et al. use 50 BPE tokens; the
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start
     """.format(toks=textops.toks_expr("duckdb")),
+    headline=True,
 )
 def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-passage spans: every maximal token range covered by
@@ -98,6 +99,14 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id", "i", f"md5(array_join(slice(toks, i, {SPAN_K}), ' ')) AS wh"
         )
+        # the window table feeds BOTH the dup-hash aggregate and the
+        # join back to positions: lazily local-checkpoint so the
+        # tokenize+explode+md5 pipeline runs once, not once per branch
+        # (measured 2.5s -> 0.9s at sf0.1; same single_scan trade-offs
+        # as operators/rank.py). The dup side is left to AQE: it
+        # broadcast-converts at this scale, and falls back to a shuffle
+        # join when the duplicated-hash set is itself huge at 100 TB.
+        .localCheckpoint(eager=False)
     )
     dup = (
         win.select("wh", "doc_id")
@@ -262,6 +271,7 @@ PR_BASE = 150_000  # (1 - 0.85) in micro units
            cast(node // 2 as bigint) AS node_key, r AS microrank
     FROM r3 ORDER BY r DESC, node LIMIT 20
     """,
+    headline=True,
 )
 def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank ({PR_ITERS} synchronous iterations, damping 0.85) over
@@ -289,7 +299,11 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
         .distinct()
     )
-    eb = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst"))
+    # the edge list feeds every iteration: lazily local-checkpoint it so
+    # the lineitem x orders join + distinct runs ONCE, not once per
+    # iteration (the single_scan pattern of operators/rank.py — at
+    # cluster scale this is a bucketed edges table written once instead)
+    eb = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst")).localCheckpoint(eager=False)
     deg = eb.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ITERS):
