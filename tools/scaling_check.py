@@ -66,6 +66,7 @@ SCALING_EXTRA = [
     "basket_part_pairs",
     "incremental_dedup_ingest",
     "semantic_dedup",  # K-centroid assignment + W-neighbor window pairs
+    "bloom_dedup_filter",  # bitset build + broadcast probe join
 ]
 
 
