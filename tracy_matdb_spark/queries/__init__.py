@@ -109,6 +109,7 @@ def load_all() -> dict[str, Query]:
         ingest,
         llm,
         relational,
+        sketches,
         webscale,
     )
 

@@ -1,0 +1,214 @@
+"""Sketch-based counting and sequence modeling: count-min heavy hitters,
+Markov event transitions.
+
+Two more pieces of the large-scale toolkit (BASELINE.json north star),
+both exactly oracle-checked because every hash is the deterministic
+md5-60-bit shared with the DuckDB dialect:
+
+- ``countmin_heavy_hitters``: a count-min sketch (Cormode & Muthukrishnan
+  2005) built as a (depth x width) count table — the sublinear-memory
+  answer when the key universe (trillions of n-grams at 100 TB) is too
+  large for an exact groupBy. The estimate (min over depth rows) is
+  reported NEXT TO the exact count, so the query also measures the
+  sketch's overestimation bias on real data.
+- ``markov_event_transitions``: first-order transition counts +
+  micro-probabilities between consecutive events per user — the
+  sequence-model feed (session modeling, next-event prediction).
+
+No Python UDFs; the sketch build is two chained keyed aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tracy_matdb_spark.catalog import load, load_events
+from tracy_matdb_spark.operators import textops
+from tracy_matdb_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 3  # rows (independent hash functions)
+CM_WIDTH = 64  # counters per row — deliberately narrow so collisions are
+# observable in the fixture (vocab ~2.7k terms into 64 buckets); the
+# production setting is w = ceil(e/eps) for an eps*N additive bound
+CM_TOP = 15  # report the top-N exact-frequency terms
+
+
+def _cm_col_expr(dialect: str, row: int) -> str:
+    """Column index of `term` in sketch row `row`: independent 60-bit
+    md5 hash per row, mod width — identical arithmetic both dialects."""
+    h = textops.tok_hash60(dialect, "term", salt=f"cm{row}")
+    return f"({h}) % {CM_WIDTH}"
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT unnest({{toks}}) AS term FROM documents WHERE n_chars > 0),
+    exact AS (SELECT term, count(*) AS n_exact FROM t GROUP BY term),
+    sketch AS (
+        SELECT r, c, sum(n_exact) AS cnt FROM exact
+        CROSS JOIN (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS r) g
+        CROSS JOIN LATERAL (SELECT CASE
+            {{cases}}
+        END AS c) x
+        GROUP BY r, c),
+    top AS (SELECT term, n_exact,
+                   row_number() OVER (ORDER BY n_exact DESC, term) AS rnk
+            FROM exact QUALIFY rnk <= {CM_TOP}),
+    est AS (
+        SELECT top.term, top.n_exact, top.rnk, min(sketch.cnt) AS n_est
+        FROM top
+        CROSS JOIN (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS r) g
+        CROSS JOIN LATERAL (SELECT CASE
+            {{cases}}
+        END AS c) x
+        JOIN sketch ON sketch.r = g.r AND sketch.c = x.c
+        GROUP BY top.term, top.n_exact, top.rnk)
+    SELECT cast(rnk as int) AS rnk, term,
+           cast(n_exact as bigint) AS n_exact,
+           cast(n_est as bigint) AS n_est,
+           cast(n_est - n_exact as bigint) AS overcount
+    FROM est ORDER BY rnk
+    """.format(
+        toks=textops.toks_expr("duckdb"),
+        cases=" ".join(
+            f"WHEN r = {r} THEN {_cm_col_expr('duckdb', r)}" for r in range(CM_DEPTH)
+        ),
+    ),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus vocabulary: build the
+    {CM_DEPTH}x{CM_WIDTH} counter table, then report the top-{CM_TOP}
+    exact-frequency terms with their sketch estimate (min over rows) and
+    the overcount the narrow width induces.
+
+    Scale story: the sketch build is token explode -> groupBy(row, col)
+    — the shuffle carries at most DEPTH x WIDTH = {CM_DEPTH}x{CM_WIDTH}
+    distinct keys with map-side partial sums, so memory is O(d*w)
+    regardless of vocabulary size. Point estimates then need only the
+    tiny sketch table (broadcast). The exact side here exists to
+    MEASURE the sketch against truth; at 100 TB you'd keep only the
+    sketch and a candidate heavy-hitter stream."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    toks = textops.toks_expr("spark")
+    t = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr(f"explode({toks}) AS term")
+    )
+    exact = t.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    # one (row, col, weight) triple per term occurrence per sketch row;
+    # counts ride from the exact aggregate so the explode is x|vocab|,
+    # not x|tokens|
+    rows = exact.select(
+        "term",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_cm_col_expr("spark", r)).alias("c"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select("term", "n_exact", "rc.r", "rc.c")
+    sketch = rows.groupBy("r", "c").agg(F.sum("n_exact").alias("cnt"))
+    top = (
+        exact.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_exact").desc(), "term")
+            ),
+        )
+        .filter(F.col("rnk") <= CM_TOP)
+    )
+    top_cells = top.select(
+        "term",
+        "n_exact",
+        "rnk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_cm_col_expr("spark", r)).alias("c"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select("term", "n_exact", "rnk", "rc.r", "rc.c")
+    return (
+        top_cells.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("term", "n_exact", "rnk")
+        .agg(F.min("cnt").alias("n_est"))
+        .selectExpr(
+            "cast(rnk as int) AS rnk",
+            "term",
+            "cast(n_exact as bigint) AS n_exact",
+            "cast(n_est as bigint) AS n_est",
+            "cast(n_est - n_exact as bigint) AS overcount",
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov event transitions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_type
+                 FROM events),
+    cnt AS (SELECT event_type AS from_type, next_type AS to_type,
+                   count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type),
+    tot AS (SELECT from_type, sum(n) AS n_from FROM cnt GROUP BY from_type)
+    SELECT cnt.from_type, cnt.to_type, cast(cnt.n as bigint) AS n,
+           cast(floor(cnt.n * 1000000.0 / tot.n_from) as bigint) AS microprob
+    FROM cnt JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and floor-micro-probabilities of event_type ->
+    next event_type (deterministic (ts, event_id) ordering).
+
+    Scale shape: ONE shuffle keyed on user_id for the lead() window
+    (per-user partitions — never a global window), then a keyed
+    aggregation over at most |event_type|^2 cells with map-side combine.
+    Probabilities are fixed-point (floor of 1e6 * n / n_from) so both
+    engines agree exactly."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        cnt.join(tot, "from_type")
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "cast(n as bigint) AS n",
+            "cast(floor(n * 1000000.0 / n_from) as bigint) AS microprob",
+        )
+        .orderBy("from_type", "to_type")
+    )
