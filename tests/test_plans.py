@@ -90,7 +90,14 @@ def test_no_quadratic_joins_in_registered_queries(spark):
 #                          (O(types x days) rows)
 #   events_gap_fill_locf — LOCF window over the generated calendar spine
 #                          (O(hours in range), independent of data size)
-WINDOW_ALLOWED = {"mixture_weights", "events_daily_anomaly", "events_gap_fill_locf"}
+WINDOW_ALLOWED = {
+    "mixture_weights",
+    "events_daily_anomaly",
+    "events_gap_fill_locf",
+    # rank window runs AFTER a TakeOrderedAndProject limit(CM_TOP): its
+    # input is <= 15 rows by construction (queries/sketches.py)
+    "countmin_heavy_hitters",
+}
 
 
 def test_no_single_task_windows_in_registered_queries(spark):

@@ -427,6 +427,10 @@ def _lsh_candidate_pairs(shingles: DataFrame) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+    # (a lazy localCheckpoint on bands was tried and reverted: the two
+    # sides of the self-join re-derive the band table, but measured
+    # wall time is identical — the band join itself dominates, and the
+    # checkpoint only adds executor storage)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -120,14 +120,17 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rc"),
     ).select("term", "n_exact", "rc.r", "rc.c")
     sketch = rows.groupBy("r", "c").agg(F.sum("n_exact").alias("cnt"))
+    # top-N FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + driver merge, no global sort); the rank window then runs
+    # over the <= CM_TOP surviving rows — bounded by construction, which
+    # is why this query sits in the window auditor's allowlist
     top = (
-        exact.withColumn(
+        exact.orderBy(F.col("n_exact").desc(), "term")
+        .limit(CM_TOP)
+        .withColumn(
             "rnk",
-            F.row_number().over(
-                Window.orderBy(F.col("n_exact").desc(), "term")
-            ),
+            F.row_number().over(Window.orderBy(F.col("n_exact").desc(), "term")),
         )
-        .filter(F.col("rnk") <= CM_TOP)
     )
     top_cells = top.select(
         "term",
@@ -211,4 +214,107 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(floor(n * 1000000.0 / n_from) as bigint) AS microprob",
         )
         .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+WS_N = 25
+
+
+def _ws_key_expr(dialect: str) -> str:
+    """Efraimidis-Spirakis sort key ln(u)/w: u uniform-(0,1) derived
+    deterministically from the doc_id's 60-bit md5 hash, w = n_chars.
+    Taking the WS_N LARGEST keys draws a weighted sample without
+    replacement — the distributed weighted reservoir."""
+    styp = "string" if dialect == "spark" else "varchar"
+    h = textops.tok_hash60(dialect, f"cast(doc_id as {styp})", salt="ws")
+    u = f"((cast({h} as double) + 0.5) / 1152921504606846976.0)"  # 2^60
+    return f"(ln({u}) / cast(n_chars as double))"
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source, cast(n_chars as bigint) AS n_chars
+    FROM documents WHERE n_chars > 0
+    ORDER BY {_ws_key_expr('duckdb')} DESC, doc_id
+    LIMIT {WS_N}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of {WS_N} documents, probability proportional to
+    length, WITHOUT replacement — Efraimidis-Spirakis 2006: draw
+    u~U(0,1) per item (here deterministically from md5(doc_id), so the
+    'sample' is reproducible and oracle-checkable), keep the top-N by
+    u^(1/w), compared in log space.
+
+    Scale shape: the top-N-by-key compiles to TakeOrderedAndProject —
+    per-partition heaps of N rows + a driver merge of the per-partition
+    tops, NO global sort and no single-partition window, which is how a
+    weighted reservoir distributes. The key is map-side arithmetic on a
+    pruned 3-column scan."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy(F.expr(_ws_key_expr("spark")).desc(), "doc_id")
+        .limit(WS_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group closed-form OLS (distributed linear regression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_qty_price_by_flag",
+    # slope/intercept from raw moments with IDENTICAL formulas in both
+    # engines (same rationale as qty_price_moment_stats: never the
+    # engines' built-in regr_* whose accumulation differs); ppm floor
+    # absorbs the float tail of the big double sums.
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               cast(count(*) as double) AS n,
+               sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_quantity) AS sxx,
+               sum(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, cast(n as bigint) AS n_rows,
+           cast(floor(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+                as bigint) AS slope_ppm,
+           cast(floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                as bigint) AS intercept_floor
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def ols_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression price ~ quantity by
+    l_returnflag, closed-form from raw moments: slope = (n*sxy - sx*sy)
+    / (n*sxx - sx^2), intercept = mean residual. ONE map-side-partial
+    aggregation pass per group — the distributed form of a per-segment
+    sklearn LinearRegression fit, with no second data pass and no
+    driver math. Fixed-point floors make the cross-engine comparison
+    exact despite float-sum accumulation-order tails."""
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    return (
+        m.selectExpr(
+            "l_returnflag",
+            "cast(n as bigint) AS n_rows",
+            "cast(floor(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) as bigint) AS slope_ppm",
+            "cast(floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) as bigint) AS intercept_floor",
+        )
+        .orderBy("l_returnflag")
     )
