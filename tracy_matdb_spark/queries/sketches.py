@@ -1,9 +1,11 @@
-"""Sketch-based counting and sequence modeling: count-min heavy hitters,
-Markov event transitions.
+"""Sketches, sampling, and statistical modeling over the corpus/fact
+tables: count-min heavy hitters, Markov transitions, weighted sampling,
+closed-form OLS, bigram-LM perplexity.
 
-Two more pieces of the large-scale toolkit (BASELINE.json north star),
-both exactly oracle-checked because every hash is the deterministic
-md5-60-bit shared with the DuckDB dialect:
+Five more pieces of the large-scale toolkit (BASELINE.json north star),
+all exactly oracle-checked — hashes are the deterministic md5-60-bit
+shared with the DuckDB dialect, and every float-derived output is
+fixed-point-quantized before comparison:
 
 - ``countmin_heavy_hitters``: a count-min sketch (Cormode & Muthukrishnan
   2005) built as a (depth x width) count table — the sublinear-memory
@@ -14,8 +16,15 @@ md5-60-bit shared with the DuckDB dialect:
 - ``markov_event_transitions``: first-order transition counts +
   micro-probabilities between consecutive events per user — the
   sequence-model feed (session modeling, next-event prediction).
+- ``weighted_sample_docs``: Efraimidis-Spirakis weighted sampling
+  without replacement via TakeOrderedAndProject — the distributed
+  weighted reservoir.
+- ``ols_qty_price_by_flag``: per-group linear regression closed-form
+  from raw moments, one aggregation pass.
+- ``bigram_perplexity``: CCNet-style LM quality scoring — corpus bigram
+  MLE + per-doc mean negative log-probability.
 
-No Python UDFs; the sketch build is two chained keyed aggregations.
+No Python UDFs; everything is keyed aggregations + hash equi joins.
 """
 
 from __future__ import annotations
@@ -317,4 +326,92 @@ def ols_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) as bigint) AS intercept_floor",
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+PPLX_TOP = 30  # report the N highest-perplexity (lowest-quality) docs
+
+
+@register(
+    "bigram_perplexity",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents WHERE n_chars > 0),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM d CROSS JOIN (SELECT unnest(generate_series(1,
+               (SELECT max(len(toks)) FROM d))) AS i) g
+           WHERE i + 1 <= len(toks)),
+    bgc AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, sum(n12) AS n1 FROM bgc GROUP BY w1),
+    lp AS (SELECT bgc.w1, bgc.w2,
+                  ln(cast(bgc.n12 as double) / cast(uc.n1 as double)) AS logp
+           FROM bgc JOIN uc USING (w1)),
+    score AS (SELECT bg.doc_id,
+                     cast(count(*) as bigint) AS n_bigrams,
+                     sum(lp.logp) AS sum_logp
+              FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+              GROUP BY bg.doc_id)
+    SELECT doc_id, n_bigrams,
+           cast(floor(-1000000.0 * sum_logp / n_bigrams) as bigint)
+               AS neg_logp_ppm
+    FROM score
+    ORDER BY neg_logp_ppm DESC, doc_id
+    LIMIT {PPLX_TOP}
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: train a bigram MLE model on the
+    corpus itself, score every document by mean negative log-probability
+    (log-perplexity), report the {PPLX_TOP} worst. Docs full of rare
+    transitions float to the top — the distributed form of the
+    'perplexity bucket' filter used by CCNet/FineWeb (there the LM is
+    pretrained KenLM; the estimation + scoring dataflow is identical).
+
+    Plan shape: bigram counts are two chained keyed aggregations (map
+    -side partial); the model join back to doc bigrams is a hash equi
+    join keyed on (w1, w2) — model size is O(distinct bigrams), never
+    broadcast blindly. Mean log-prob is an associative SUM; the ppm
+    floor absorbs float-accumulation tails. Top-N compiles to
+    TakeOrderedAndProject.
+
+    Exact cross-engine trap this dodges: summing ln() doubles in
+    different orders diverges in the last bits, so the score is
+    quantized to ppm BEFORE the top-N cut; a tie at the boundary is
+    broken by doc_id in both engines."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    toks = textops.toks_expr("spark")
+    bg = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("doc_id", f"{toks} AS toks")
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(toks) - 1)")).alias("i"),
+            "toks",
+        )
+        .selectExpr("doc_id", "toks[i - 1] AS w1", "toks[i] AS w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uc = bgc.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    lp = bgc.join(uc, "w1").selectExpr(
+        "w1", "w2", "ln(cast(n12 as double) / cast(n1 as double)) AS logp"
+    )
+    score = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("logp").alias("sum_logp"),
+        )
+    )
+    return (
+        score.selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "cast(floor(-1000000.0 * sum_logp / n_bigrams) as bigint) AS neg_logp_ppm",
+        )
+        .orderBy(F.col("neg_logp_ppm").desc(), "doc_id")
+        .limit(PPLX_TOP)
     )
