@@ -106,3 +106,20 @@ def test_salted_join_left_preserves_unmatched(spark):
     out = salted_join(fact, dim, "k", shard_on="id", n_salts=4, how="left")
     rows = {r.id: r.w for r in out.collect()}
     assert rows == {1: 10, 2: 20, 3: None}
+
+
+def test_cluster_conf_scales_with_shape():
+    """The 100 TB profile must derive from cluster shape, keep AQE +
+    skew-join on, and bound the broadcast threshold at the same value
+    the local factory uses (so local plan audits transfer)."""
+    from tracy_matdb_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=8)
+    assert c["spark.sql.shuffle.partitions"] == str(2 * 1000 * 8)
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert c["spark.sql.autoBroadcastJoinThreshold"] == str(64 * 1024 * 1024)
+    small = cluster_conf(executors=10, cores_per_executor=4)
+    assert small["spark.sql.shuffle.partitions"] == "80"
+    # two waves at most per stage given maxPartitionBytes splits
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024

@@ -38,3 +38,57 @@ def get_session(app_name: str = "tracy_matdb_spark", cpus: int | None = None) ->
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 8,
+    executor_mem_gb: int = 48,
+    dataset_tb: float = 100.0,
+) -> dict[str, str]:
+    """The 100 TB deployment profile: the spark-submit `--conf` map this
+    engine is designed against, derived from cluster shape instead of
+    hand-tuned constants. Every query in the registry was written to run
+    under exactly these semantics (AQE on, skew join on, broadcast
+    threshold bounded), so local[32] results transfer.
+
+    Sizing rationale, per knob:
+    - shuffle.partitions = 2x total cores: two waves per shuffle stage —
+      enough slots that one straggler doesn't idle the cluster, few
+      enough that task overhead stays <1% (AQE coalesces small ones
+      anyway, and initialPartitionNum gives it headroom to SPLIT).
+    - files.maxPartitionBytes 256m: at 100 TB that is ~400k input
+      splits — 50 waves over 8k cores; larger splits risk >2 GB shuffle
+      blocks after explode-heavy text ops.
+    - autoBroadcastJoinThreshold 64m: dims (region/nation/supplier,
+      bloom bitsets, sketch tables) broadcast; anything
+      corpus-shaped never does. Identical to the local factory so local
+      plan audits see cluster join strategies.
+    - skewJoin thresholds default: AQE splits hot band/bucket keys
+      (LSH buckets, hot customers) at runtime — the repo additionally
+      pre-salts the provably-skewed paths (operators/skew.py).
+    - memoryOverhead: Arrow batches for the pandas-UDF parse/eigen
+      paths live off-heap; 25% is the measured-safe floor, not a guess.
+    """
+    total_cores = executors * cores_per_executor
+    shuffle_parts = 2 * total_cores
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.memoryOverhead": f"{executor_mem_gb // 4}g",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(4 * total_cores),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.shuffle.file.buffer": "1m",
+        "spark.reducer.maxSizeInFlight": "96m",
+    }
