@@ -134,3 +134,82 @@ def test_atomsh5_python_datasource(spark, tmp_path):
     write_atoms_h5(spark.createDataFrame([row], CONFIG_SCHEMA), str(tmp_path / "h5"))
     got = spark.read.format("atomsh5").load(str(tmp_path / "h5")).collect()
     assert len(got) == 1 and got[0]["uuid"] == "ds-1" and got[0]["ref_energy"] == 0.75
+
+
+# ---------------------------------------------------------------------------
+# WARC (sources/warc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_roundtrip_plain_and_gzip(tmp_path):
+    from tracy_matdb_spark.sources.warc import parse_warc_bytes, write_warc
+
+    recs = [
+        {"url": "http://a/", "date": "2026-01-01T00:00:00Z", "body": "<p>x</p>"},
+        {"url": "http://b/", "date": "2026-01-01T00:00:01Z", "status": 404, "body": "gone"},
+    ]
+    for gz, name in [(True, "x.warc.gz"), (False, "x.warc")]:
+        p = tmp_path / name
+        write_warc(str(p), recs, gzip_members=gz)
+        rows = parse_warc_bytes(p.read_bytes(), name)
+        assert [r["url"] for r in rows] == ["http://a/", "http://b/"]
+        assert [r["http_status"] for r in rows] == [200, 404]
+        assert rows[0]["body"] == "<p>x</p>"
+        assert rows[0]["warc_type"] == "response"
+
+
+def test_warc_gzip_members_are_individually_seekable(tmp_path):
+    """The CC layout contract: each record is its own gzip member, so a
+    reader can decompress any single member independently."""
+    import gzip as _gzip
+    import io as _io
+
+    from tracy_matdb_spark.sources.warc import parse_warc_bytes, write_warc
+
+    p = tmp_path / "seg.warc.gz"
+    write_warc(
+        str(p),
+        [
+            {"url": "http://a/", "date": "d", "body": "one"},
+            {"url": "http://b/", "date": "d", "body": "two"},
+        ],
+    )
+    data = p.read_bytes()
+    # find the second member by scanning for the gzip magic after byte 0
+    second = data.index(b"\x1f\x8b", 2)
+    solo = _gzip.GzipFile(fileobj=_io.BytesIO(data[second:])).read()
+    rows = parse_warc_bytes(solo, "member2")
+    assert [r["url"] for r in rows] == ["http://b/"]
+
+
+def test_warc_body_with_record_delimiter_inside(tmp_path):
+    """Content-Length must drive the scan: a body containing the
+    \\r\\n\\r\\n delimiter parses as ONE record, intact."""
+    from tracy_matdb_spark.sources.warc import parse_warc_bytes, write_warc
+
+    body = "before\r\n\r\nafter"
+    p = tmp_path / "d.warc"
+    write_warc(str(p), [{"url": "http://x/", "date": "d", "body": body}], gzip_members=False)
+    rows = parse_warc_bytes(p.read_bytes(), "d.warc")
+    assert len(rows) == 1
+    assert rows[0]["body"] == body
+
+
+def test_warc_truncated_input_fails_soft(tmp_path):
+    """A truncated final record yields the complete prefix records, no
+    exception (crawl segments do arrive truncated)."""
+    from tracy_matdb_spark.sources.warc import parse_warc_bytes, write_warc
+
+    p = tmp_path / "t.warc"
+    write_warc(
+        str(p),
+        [
+            {"url": "http://a/", "date": "d", "body": "complete"},
+            {"url": "http://b/", "date": "d", "body": "will be cut"},
+        ],
+        gzip_members=False,
+    )
+    data = p.read_bytes()
+    rows = parse_warc_bytes(data[: len(data) - 30], "t.warc")
+    assert len(rows) >= 1
+    assert rows[0]["body"] == "complete"

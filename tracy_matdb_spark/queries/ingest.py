@@ -401,3 +401,143 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (Common Crawl path; sources/warc.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic crawl fixture: two gzip segments (per-record members,
+# the CC layout) + one uncompressed segment; bodies avoid single quotes
+# so the VALUES oracle below can embed them verbatim.
+WARC_FIXTURE: list[tuple[str, bool, list[dict]]] = [
+    (
+        "seg-00000.warc.gz",
+        True,
+        [
+            {
+                "url": "http://example.com/a",
+                "date": "2026-01-01T00:00:00Z",
+                "body": "<html><head><title>Alpha</title><script>var x = 1;"
+                "</script></head><body><p>Hello crawl world.</p>"
+                "<p>Second &amp; final paragraph.</p></body></html>",
+            },
+            {
+                "url": "http://example.com/missing",
+                "date": "2026-01-01T00:00:01Z",
+                "status": 404,
+                "body": "<html><body>Not found</body></html>",
+            },
+        ],
+    ),
+    (
+        "seg-00001.warc.gz",
+        True,
+        [
+            {
+                "url": "http://example.org/b",
+                "date": "2026-01-01T00:01:00Z",
+                "content_type": "text/plain",
+                "body": "plain text record, no markup at all",
+            },
+        ],
+    ),
+    (
+        "seg-00002.warc",
+        False,
+        [
+            {
+                "url": "http://example.net/c",
+                "date": "2026-01-01T00:02:00Z",
+                "body": "<html><body><h1>Gamma</h1>A body with\r\n\r\n"
+                "a blank line inside it.</body></html>",
+            },
+        ],
+    ),
+]
+
+
+def _write_warc_fixture() -> str:
+    from tracy_matdb_spark.sources.warc import write_warc
+
+    out_dir = os.path.join(FIXTURE_ROOT, "warc")
+    os.makedirs(out_dir, exist_ok=True)
+    for fname, gz, recs in WARC_FIXTURE:
+        write_warc(os.path.join(out_dir, fname), recs, gzip_members=gz)
+    return out_dir
+
+
+def _warc_oracle_sql() -> str:
+    """VALUES oracle: the fixture's raw parsed rows are derivable at
+    registration time by running the (pure-Python) parser on the bytes
+    the writer produces — the SQL then applies the SAME html->text
+    regex chain the Spark side uses, so the extraction logic itself is
+    what parity exercises."""
+    from tracy_matdb_spark.operators import textops
+    from tracy_matdb_spark.sources.warc import parse_warc_bytes, write_warc
+
+    import io as _io
+    import tempfile
+
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        for fname, gz, recs in WARC_FIXTURE:
+            p = os.path.join(td, fname)
+            write_warc(p, recs, gzip_members=gz)
+            with open(p, "rb") as f:
+                rows.extend(parse_warc_bytes(f.read(), fname))
+    vals = ",\n        ".join(
+        "('{f}', {s}, '{u}', {st}, '{ct}', '{b}', {n})".format(
+            f=r["source_file"],
+            s=r["record_seq"],
+            u=r["url"],
+            st=r["http_status"],
+            ct=r["content_type"],
+            b=r["body"].replace("\r\n", "' || chr(13) || chr(10) || '"),
+            n=r["n_bytes"],
+        )
+        for r in rows
+    )
+    text = textops.html_to_text_expr("duckdb", "body")
+    return f"""
+    WITH raw(source_file, record_seq, url, http_status, content_type,
+             body, n_bytes) AS (VALUES
+        {vals})
+    SELECT source_file, cast(record_seq as int) AS record_seq, url,
+           cast(http_status as int) AS http_status,
+           cast(n_bytes as bigint) AS n_bytes,
+           CASE WHEN content_type LIKE 'text/html%'
+                THEN {text} ELSE body END AS text
+    FROM raw ORDER BY source_file, record_seq
+    """
+
+
+@register(
+    "warc_ingest_extract",
+    oracle=_warc_oracle_sql(),
+    doc="Common Crawl ingestion: .warc.gz segments (per-record gzip "
+    "members) -> binaryFile + mapInPandas parse (one segment per task, "
+    "the CC unit of parallelism) -> C4-style HTML->text extraction on "
+    "the JVM side. The oracle re-derives the raw records from the same "
+    "fixture and applies the shared html_to_text regex chain, so the "
+    "byte-level container parse AND the extraction are both under test.",
+)
+def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators import textops
+    from tracy_matdb_spark.sources.warc import read_warc
+
+    out_dir = _write_warc_fixture()
+    text = textops.html_to_text_expr("spark", "body")
+    return (
+        read_warc(spark, out_dir, glob="*.warc*")
+        .selectExpr(
+            "source_file",
+            "cast(record_seq as int) AS record_seq",
+            "url",
+            "cast(http_status as int) AS http_status",
+            "cast(n_bytes as bigint) AS n_bytes",
+            f"CASE WHEN content_type LIKE 'text/html%' THEN {text} "
+            "ELSE body END AS text",
+        )
+        .orderBy("source_file", "record_seq")
+    )
