@@ -52,3 +52,52 @@ def test_chunk_windows_cover_every_token_exactly(n_toks):
         sum(1 for s in starts if s <= p < s + CHUNK_W) for p in range(1, n_toks + 1)
     )
     assert max_overlap <= -(-CHUNK_W // CHUNK_S)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\r\n", min_codepoint=32
+                ),
+                max_size=200,
+            ),
+            st.sampled_from([200, 301, 404, 500]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_arbitrary_bodies(recs, gz):
+    """write_warc -> parse_warc_bytes is the identity on (body, status,
+    url-ordinal) for arbitrary printable bodies — including bodies that
+    embed WARC header keywords — in both plain and gzip-member modes."""
+    import io
+    import os
+    import tempfile
+
+    from tracy_matdb_spark.sources.warc import parse_warc_bytes, write_warc
+
+    records = [
+        {
+            "url": f"http://h/{i}",
+            "date": "2026-01-01T00:00:00Z",
+            "status": status,
+            "body": ("WARC/1.0\r\nContent-Length: 3\r\n\r\n" + body) if tricky else body,
+        }
+        for i, (body, status, tricky) in enumerate(recs)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.warc.gz" if gz else "x.warc")
+        write_warc(p, records, gzip_members=gz)
+        with open(p, "rb") as f:
+            rows = parse_warc_bytes(f.read(), os.path.basename(p))
+    assert len(rows) == len(records)
+    for rec, row in zip(records, rows):
+        assert row["body"] == rec["body"]
+        assert row["http_status"] == rec["status"]
+        assert row["url"] == rec["url"]

@@ -317,3 +317,43 @@ def test_atomsh5_custom_streaming_source(spark, tmp_path):
     run()
     got = sorted(r["uuid"] for r in spark.read.parquet(target).collect())
     assert got == ["s-1", "s-2", "s-3"]  # s-1/s-2 not re-ingested
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """Two segment drops: batch 2 re-delivers record (url a, same date)
+    — history anti-join must keep exactly one copy; the genuinely new
+    record lands."""
+    from tracy_matdb_spark.sources.warc import write_warc
+    from tracy_matdb_spark.streaming.ingest import streaming_warc_ingest
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    write_warc(
+        str(drop / "seg-0.warc.gz"),
+        [
+            {"url": "http://a/", "date": "2026-01-01T00:00:00Z", "body": "<p>a</p>"},
+            {"url": "http://b/", "date": "2026-01-01T00:00:01Z", "body": "<p>b</p>"},
+        ],
+    )
+    q = streaming_warc_ingest(spark, str(drop), target, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 2
+
+    write_warc(
+        str(drop / "seg-1.warc.gz"),
+        [
+            {"url": "http://a/", "date": "2026-01-01T00:00:00Z", "body": "<p>a</p>"},
+            {"url": "http://c/", "date": "2026-01-01T00:00:02Z", "body": "<p>c</p>"},
+        ],
+    )
+    q = streaming_warc_ingest(spark, str(drop), target, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 3  # the re-crawl of (a, same date) deduped
+    assert sorted(r.url for r in out.select("url").collect()) == [
+        "http://a/",
+        "http://b/",
+        "http://c/",
+    ]

@@ -137,3 +137,71 @@ def incremental_atoms_h5_ingest(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_warc_ingest(
+    spark: SparkSession,
+    drop_dir: str,
+    target_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of `sources.warc.read_warc`: watch a drop
+    directory (in production: an object-store crawl prefix) for new
+    ``*.warc.gz`` segments, parse each exactly once, dedup on
+    (url, warc_date) against history, append to the parquet corpus.
+
+    The Common Crawl live-ingest shape: the crawler keeps publishing
+    ~1 GB segments; each micro-batch handles only never-seen files
+    (binaryFile stream source + checkpoint tracks processed paths),
+    parses them segment-per-task with the SAME byte parser the batch
+    path uses, and anti-joins history on the record key so re-crawled
+    URLs with identical capture dates never duplicate. At 100 TB the
+    history read prunes to the two key columns."""
+    import pandas as pd
+
+    from tracy_matdb_spark.sources.warc import WARC_SCHEMA, parse_warc_bytes
+
+    def _parse(batches):
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for p, c in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_bytes(bytes(c), p))
+            yield pd.DataFrame(rows, columns=cols)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = (
+            batch_df.select("path", "content")
+            .mapInPandas(_parse, WARC_SCHEMA)
+            .dropDuplicates(["url", "warc_date"])
+        )
+        try:
+            seen = batch_df.sparkSession.read.parquet(target_path).select(
+                "url", "warc_date"
+            )
+            parsed = parsed.join(seen, ["url", "warc_date"], "left_anti")
+        except AnalysisException:
+            pass  # first batch: target does not exist yet
+        parsed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            target_path
+        )
+
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+        .load(drop_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_upsert).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
