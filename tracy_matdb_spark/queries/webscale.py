@@ -328,3 +328,101 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node_type", "node_key", "microrank")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (the crawl dedup-key normalizer)
+# ---------------------------------------------------------------------------
+
+
+def _canon_url_exprs(dialect: str, url: str = "url") -> str:
+    """Canonical form of a URL, as one regexp chain with IDENTICAL
+    semantics in Spark (Java regex) and DuckDB (RE2) — the common
+    subset: no lookaround, no backreferences.
+
+    Steps (the standard crawl canonicalization, cf. RFC 3986 §6):
+    1. strip the fragment,
+    2. lowercase scheme and authority (path case is significant),
+    3. drop default ports :80 (http) / :443 (https),
+    4. resolve single-dot path segments,
+    5. resolve parent-dot segments (bounded iterations — crawl URLs
+       nest shallowly; a fixpoint loop is not expressible in one
+       expression, so depth 4 is applied and documented),
+    6. drop a trailing '?' left by an empty query.
+    """
+    # Dialect mechanics: Spark SQL string literals process backslash
+    # escapes (regex \. is written '\\.') and regexp_replace is global
+    # with $1 backreferences; DuckDB literals are raw (regex \. is
+    # written '\.'), regexp_replace replaces only the FIRST match
+    # unless given the 'g' option, and backreferences are \1.
+    spark = dialect == "spark"
+    bs = "\\\\" if spark else "\\"  # a regex backslash in the SQL literal
+    ref = "$1" if spark else "\\1"
+
+    def rep(expr: str, pat: str, repl: str) -> str:
+        g = "" if spark else ", 'g'"
+        return f"regexp_replace({expr}, '{pat}', '{repl}'{g})"
+
+    e = url
+    e = rep(e, "#.*$", "")  # 1
+    # 2: lowercase everything before the path start (scheme://host[:port])
+    lower_auth = f"lower(regexp_extract({e}, '^[^/]*//[^/?]*', 0))"
+    rest = rep(e, "^[^/]*//[^/?]*", "")
+    e = f"concat({lower_auth}, {rest})"
+    e = rep(e, ":80(/|$)", ref)  # 3
+    e = rep(e, ":443(/|$)", ref)
+    for _ in range(4):  # 4+5, bounded
+        e = rep(e, f"/{bs}./", "/")
+        e = rep(e, f"/[^/?]+/{bs}.{bs}.(/|$)", "/")
+    e = rep(e, f"{bs}?$", "")  # 6
+    return e
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               concat('HTTP://WWW.Example', cast(doc_id % 7 as varchar),
+                      '.COM', CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END,
+                      '/A/./b', cast(doc_id % 5 as varchar),
+                      '/../c', CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END,
+                      CASE WHEN doc_id % 4 = 0 THEN '#Frag' ELSE '' END) AS url
+        FROM documents),
+    canon AS (SELECT doc_id, {{canon}} AS curl FROM raw)
+    SELECT curl, cast(count(*) as bigint) AS n_urls,
+           cast(min(doc_id) as bigint) AS first_doc
+    FROM canon GROUP BY curl ORDER BY curl
+    """.format(canon=_canon_url_exprs("duckdb")),
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization (RFC 3986 §6 subset): fragment strip,
+    authority lowercasing, default-port removal, dot-segment resolution
+    — then a rollup per canonical URL showing the dedup-key collapse.
+    The corpus has no real URLs, so deterministically messy ones are
+    synthesized from doc_id (same construction in the oracle), exactly
+    like pii_detect_redact's synthetic emails: the normalizer chain is
+    the thing under test.
+
+    Map-only regexp chain (JVM/RE2 common subset, no lookaround) + one
+    keyed aggregation — at crawl scale this runs as a projection pushed
+    against the scan, and the canonical key feeds the URL-level
+    dedup/revisit joins (see streaming_warc_ingest)."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    raw = docs.selectExpr(
+        "doc_id",
+        "concat('HTTP://WWW.Example', cast(doc_id % 7 as string), '.COM', "
+        "CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END, "
+        "'/A/./b', cast(doc_id % 5 as string), "
+        "'/../c', CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END, "
+        "CASE WHEN doc_id % 4 = 0 THEN '#Frag' ELSE '' END) AS url",
+    )
+    return (
+        raw.selectExpr("doc_id", f"{_canon_url_exprs('spark')} AS curl")
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("curl")
+    )
