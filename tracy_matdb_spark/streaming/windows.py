@@ -256,3 +256,83 @@ def run_append_to_completion(df: DataFrame, query_name: str) -> DataFrame:
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator, Spark 4 typed-state API (transformWithState)
+# ---------------------------------------------------------------------------
+
+TWS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_c", T.LongType()),
+        T.StructField("max_value_c", T.LongType()),
+    ]
+)
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The Spark 4 successor of stateful_user_totals: the same per-user
+    accumulator written against transformWithStateInPandas — typed
+    ValueState handles instead of a single packed tuple, created once in
+    init() rather than re-decoded per batch. At scale the typed-state
+    API is the one to extend: it adds ListState/MapState (bounded
+    per-key collections without full rewrite), state TTL, and timers,
+    none of which applyInPandasWithState offers. Kept alongside the
+    legacy form so both engine APIs stay covered.
+
+    ENV GATE (same policy as the old h5py cut, documented in README):
+    the typed-state protocol needs `google.protobuf` for its state
+    server messages and requires the RocksDB state store provider; this
+    image ships neither protobuf nor pip access, so the operator is
+    exercised by a protobuf-gated test (tests/test_streaming.py) and is
+    NOT registered as a driver query until the dependency exists.
+
+    Emits (count, sum*100, max*100) per user per batch — round() not
+    floor, same ulp rationale as stateful_user_totals."""
+    try:  # the state protocol dependency this image lacks
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-specific
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (state "
+            "server protocol); install protobuf to use the typed-state "
+            "API — the applyInPandasWithState twin (stateful_user_totals) "
+            "covers the same semantics without it"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+            self._sv = handle.getValueState("sv", "sv double")
+            self._mx = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self._n.get()[0] if self._n.exists() else 0
+            sv = self._sv.get()[0] if self._sv.exists() else 0.0
+            mx = self._mx.get()[0] if self._mx.exists() else float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                sv += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._n.update((n,))
+            self._sv.update((sv,))
+            self._mx.update((mx,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value_c": [int(round(sv * 100))],
+                    "max_value_c": [int(round(mx * 100))],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Totals(), TWS_OUT, "update", "processingTime"
+    )
