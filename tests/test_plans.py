@@ -67,6 +67,8 @@ NLJ_ALLOWED = {
     "q22_idle_rich_customers",
     # one-row national-total threshold broadcast (Q11's scalar HAVING)
     "q11_important_parts",
+    # one-row basket-count broadcast (the PMI normalizer N)
+    "basket_pair_pmi",
 }
 
 

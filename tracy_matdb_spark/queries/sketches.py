@@ -23,6 +23,11 @@ fixed-point-quantized before comparison:
   from raw moments, one aggregation pass.
 - ``bigram_perplexity``: CCNet-style LM quality scoring — corpus bigram
   MLE + per-doc mean negative log-probability.
+- ``basket_pair_pmi``: pointwise mutual information over basket
+  co-occurrence — the association matrix SGNS embeddings factorize.
+- ``unigram_sampling_table``: word2vec negative-sampling table
+  (unigram^0.75 with inverse-CDF cumulative) via the range-sliced
+  prefix-sum primitive.
 
 No Python UDFs; everything is keyed aggregations + hash equi joins.
 """
@@ -414,4 +419,148 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("neg_logp_ppm").desc(), "doc_id")
         .limit(PPLX_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI association scores (embedding-pretraining signal)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_CO = 3
+PMI_TOP = 40
+
+
+@register(
+    "basket_pair_pmi",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    marg AS (SELECT l_partkey, count(*) AS n_a FROM items GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING count(*) >= {PMI_MIN_CO})
+    SELECT part_a, part_b, cast(n_ab as bigint) AS n_ab,
+           cast(floor(1000000.0 * ln((cast(n_ab as double) * nb.n)
+                / (cast(ma.n_a as double) * mb.n_a))) as bigint) AS pmi_ppm
+    FROM pairs
+    JOIN marg ma ON ma.l_partkey = part_a
+    JOIN marg mb ON mb.l_partkey = part_b
+    CROSS JOIN nb
+    ORDER BY pmi_ppm DESC, part_a, part_b
+    LIMIT {PMI_TOP}
+    """,
+)
+def basket_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over basket co-occurrence: for part
+    pairs sharing >= {PMI_MIN_CO} orders, pmi = ln(p(a,b) / (p(a)p(b)))
+    — the association signal word2vec-family embedding pretraining
+    factorizes (Levy & Goldberg 2014: SGNS ~ shifted-PMI matrix).
+
+    Same bounded self-join as basket_part_pairs (dedup before join,
+    per-basket fan-out C(items,2)); the marginals join is keyed on
+    part (AQE broadcasts the small side); N rides along as a broadcast
+    scalar aggregate. The ln() input is a ratio of exact integers cast
+    to double IDENTICALLY in both engines, so the ppm floor is exact —
+    no accumulation-order tail anywhere. Top-{PMI_TOP} via
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nb = items.select(F.countDistinct("l_orderkey").alias("n"))
+    marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_a"))
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        items.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .select(F.col("l_partkey").alias("part_a"), "part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_CO)
+    )
+    return (
+        pairs.join(marg.selectExpr("l_partkey AS part_a", "n_a AS na_a"), "part_a")
+        .join(marg.selectExpr("l_partkey AS part_b", "n_a AS na_b"), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "part_a",
+            "part_b",
+            "cast(n_ab as bigint) AS n_ab",
+            "cast(floor(1000000.0 * ln((cast(n_ab as double) * n) "
+            "/ (cast(na_a as double) * na_b))) as bigint) AS pmi_ppm",
+        )
+        .orderBy(F.col("pmi_ppm").desc(), "part_a", "part_b")
+        .limit(PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram^0.75 negative-sampling table (word2vec prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_sampling_table",
+    oracle=f"""
+    WITH t AS (SELECT unnest({{toks}}) AS term FROM documents WHERE n_chars > 0),
+    c AS (SELECT term, count(*) AS n FROM t GROUP BY term),
+    w AS (SELECT term, n,
+                 cast(floor(1000000.0 * pow(cast(n as double), 0.75)) as bigint) AS wq
+          FROM c),
+    z AS (SELECT sum(wq) AS wz FROM w)
+    SELECT term, cast(n as bigint) AS n,
+           cast((1000000 * wq) // wz as bigint) AS prob_ppm,
+           cast((1000000 * sum(wq) OVER (ORDER BY term
+                 ROWS UNBOUNDED PRECEDING)) // wz as bigint) AS cum_ppm
+    FROM w CROSS JOIN z
+    ORDER BY term
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: unigram counts raised to the
+    3/4 power (Mikolov et al. 2013), normalized, with an inclusive
+    cumulative distribution for inverse-CDF sampling.
+
+    Exactness: pow() is quantized PER TERM to integer micro-units
+    FIRST; the normalizer and the cumulative are then integer sums —
+    order-independent, so both engines agree exactly (summing raw pow()
+    doubles would diverge in the last bits across accumulation orders).
+
+    Scale: the cumulative is grouped_prefix_sum (operators/rank.py) —
+    the two-phase range-sliced prefix sum, NOT a single-partition
+    window: per-slice parallel running sums + broadcast exclusive
+    offsets, so a 10M-term vocabulary still computes on all cores."""
+    from tracy_matdb_spark.operators.rank import grouped_prefix_sum
+
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    toks = textops.toks_expr("spark")
+    c = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr(f"explode({toks}) AS term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = c.selectExpr(
+        "term",
+        "n",
+        "cast(floor(1000000.0 * pow(cast(n as double), 0.75)) as bigint) AS wq",
+    ).withColumn("__g", F.lit(1))
+    cum = grouped_prefix_sum(w, ["__g"], ["term"], "wq", out_col="cum_wq")
+    z = w.select(F.sum("wq").alias("wz"))
+    return (
+        cum.crossJoin(F.broadcast(z))
+        .selectExpr(
+            "term",
+            "cast(n as bigint) AS n",
+            "cast((1000000 * wq) div wz as bigint) AS prob_ppm",
+            "cast((1000000 * cum_wq) div wz as bigint) AS cum_ppm",
+        )
+        .orderBy("term")
     )
