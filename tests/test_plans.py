@@ -69,6 +69,8 @@ NLJ_ALLOWED = {
     "q11_important_parts",
     # one-row basket-count broadcast (the PMI normalizer N)
     "basket_pair_pmi",
+    # one-row sampling-table normalizer broadcast (sum of quantized weights)
+    "unigram_sampling_table",
 }
 
 
