@@ -541,3 +541,36 @@ def warc_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_file", "record_seq")
     )
+
+
+@register(
+    "warc_datasource_scan",
+    oracle=_warc_oracle_sql(),
+    doc="Spark 4 custom Python DataSource for WARC (sources/pyds.py): "
+    "spark.read.format('warc') over the crawl fixture — one "
+    "InputPartition per segment, executor-side parse — must produce "
+    "the identical rows the binaryFile+mapInPandas reader "
+    "(warc_ingest_extract) produces, against the same re-derived "
+    "oracle.",
+)
+def warc_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators import textops
+    from tracy_matdb_spark.sources.pyds import register_all
+
+    register_all(spark)
+    out_dir = _write_warc_fixture()
+    text = textops.html_to_text_expr("spark", "body")
+    return (
+        spark.read.format("warc")
+        .load(out_dir)
+        .selectExpr(
+            "source_file",
+            "cast(record_seq as int) AS record_seq",
+            "url",
+            "cast(http_status as int) AS http_status",
+            "cast(n_bytes as bigint) AS n_bytes",
+            f"CASE WHEN content_type LIKE 'text/html%' THEN {text} "
+            "ELSE body END AS text",
+        )
+        .orderBy("source_file", "record_seq")
+    )

@@ -124,10 +124,54 @@ class AtomsH5DataSource(DataSource):
         return _H5Reader()
 
 
+class WarcDataSource(DataSource):
+    """Common Crawl WARC segments as a registrable source: format name
+    "warc" (sources/warc.py byte parser). One InputPartition per
+    segment — the CC unit of parallelism — matching read_warc's
+    binaryFile form but composable as spark.read.format("warc")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self):
+        from tracy_matdb_spark.sources.warc import WARC_SCHEMA
+
+        return WARC_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        options = self.options
+        path = options.get("path")
+        glob_pat = options.get("glob", "*.warc*")
+
+        class _WarcReader(DataSourceReader):
+            def partitions(self) -> Sequence[InputPartition]:
+                if not path:
+                    raise ValueError("path option is required")
+                files = sorted(glob.glob(os.path.join(path, glob_pat)))
+                if not files and os.path.isfile(path):
+                    files = [path]
+                return [_FilePartition(f) for f in files]
+
+            def read(self, partition: _FilePartition) -> Iterator[tuple]:
+                from tracy_matdb_spark.sources.warc import (
+                    WARC_SCHEMA,
+                    parse_warc_bytes,
+                )
+
+                with open(partition.path, "rb") as fh:
+                    data = fh.read()
+                for rec in parse_warc_bytes(data, partition.path):
+                    yield tuple(rec[f.name] for f in WARC_SCHEMA.fields)
+
+        return _WarcReader()
+
+
 def register_all(spark) -> None:
     """Register every custom source on a session (idempotent)."""
     spark.dataSource.register(XYZDataSource)
     spark.dataSource.register(AtomsH5DataSource)
+    spark.dataSource.register(WarcDataSource)
 
 
 class _AtomsH5StreamReader(SimpleDataSourceStreamReader):
