@@ -123,3 +123,37 @@ def test_cluster_conf_scales_with_shape():
     assert small["spark.sql.shuffle.partitions"] == "80"
     # two waves at most per stage given maxPartitionBytes splits
     assert int(c["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+
+
+def test_grouped_kth_value_matches_sorted_selection(spark):
+    """grouped_kth_value must equal the k-th row of a full sort for
+    several k expressions, across groups, including k=1 and k=n."""
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.operators.rank import grouped_kth_value
+
+    df = (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 4).alias("g"),
+            ((F.col("id") * 37) % 211).alias("v"),
+            F.col("id").alias("tb"),
+        )
+    )
+    pdf = df.toPandas()
+    for k_expr, k_of_n in [
+        ("(__n + 1) div 2", lambda n: (n + 1) // 2),
+        ("1", lambda n: 1),
+        ("__n", lambda n: n),
+        ("(__n * 3) div 4", lambda n: (n * 3) // 4),
+    ]:
+        got = {
+            r["g"]: (r["v"], r["tb"])
+            for r in grouped_kth_value(
+                df, ["g"], ["v", "tb"], k_expr, out_cols=["v", "tb"]
+            ).collect()
+        }
+        for g, grp in pdf.groupby("g"):
+            s = grp.sort_values(["v", "tb"]).reset_index(drop=True)
+            k = k_of_n(len(s))
+            assert got[g] == (s.loc[k - 1, "v"], s.loc[k - 1, "tb"]), (k_expr, g)

@@ -67,6 +67,9 @@ SCALING_EXTRA = [
     "incremental_dedup_ingest",
     "semantic_dedup",  # K-centroid assignment + W-neighbor window pairs
     "bloom_dedup_filter",  # bitset build + broadcast probe join
+    "bigram_perplexity",  # model join back to doc bigrams
+    "basket_pair_pmi",  # bounded basket self-join + marginals
+    "countmin_heavy_hitters",  # sketch shuffle bounded at d*w keys
 ]
 
 

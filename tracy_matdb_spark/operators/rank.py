@@ -259,3 +259,65 @@ def grouped_prefix_sum(
         .withColumn(out_col, F.sum(val_col).over(w) + F.col("__offset"))
         .drop("__pid", "__offset")
     )
+
+
+def grouped_kth_value(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k_expr: str,
+    out_cols: list[str] | None = None,
+    n_parts: int | None = None,
+    single_scan: bool = True,
+) -> DataFrame:
+    """Exact k-th order statistic per group — distributed selection
+    WITHOUT ranking every row: only the one range slice per group that
+    contains rank k is ever window-sorted.
+
+    ``k_expr`` is a SQL expression over the per-group total ``__n``
+    (e.g. ``"(__n + 1) div 2"`` for the lower median). Returns one row
+    per group: group_cols + ``out_cols`` (default: order_cols) of the
+    selected row, plus ``__n``.
+
+    Why this beats a full grouped_value_rank for selection: both pay
+    the same range shuffle, but rank then windows EVERY slice (a full
+    parallel sort of all rows); selection reads the O(slices) offsets,
+    locates the single slice where offset < k <= offset + count, and
+    windows only that slice's rows — the sort work drops from O(n log
+    n/slices) to O(n/slices log n/slices) per group, and with
+    single_scan the other slices are never materialized twice. This is
+    the classic two-round distributed median (Munro-Paterson style
+    bucket selection) on top of the repo's slice machinery.
+
+    ``order_cols`` must make (group, *order) unique (tiebreak keys), so
+    k selects exactly one row deterministically."""
+    if out_cols is None:
+        out_cols = list(order_cols)
+    parts, offsets = _sliced_offsets(
+        df, group_cols, order_cols, F.count(F.lit(1)), n_parts,
+        single_scan=single_scan, total_col="__n",
+    )
+    # target slice per group: the one whose [offset, offset+count) span
+    # contains k. count is recoverable as next_offset - offset via the
+    # group total on the last slice; carry it directly instead.
+    target = (
+        offsets.withColumn("__k", F.expr(k_expr))
+        .withColumn(
+            "__next",
+            F.lead("__offset").over(
+                Window.partitionBy(*group_cols).orderBy("__pid")
+            ),
+        )
+        .withColumn("__hi", F.coalesce(F.col("__next"), F.col("__n")))
+        .filter((F.col("__offset") < F.col("__k")) & (F.col("__k") <= F.col("__hi")))
+        .select(*group_cols, "__pid", "__offset", "__k", "__n")
+    )
+    w = Window.partitionBy(*group_cols, "__pid").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        parts.join(F.broadcast(target), [*group_cols, "__pid"])
+        .withColumn("__rk", F.row_number().over(w) + F.col("__offset"))
+        .filter(F.col("__rk") == F.col("__k"))
+        .select(*group_cols, *out_cols, "__n")
+    )

@@ -1929,3 +1929,86 @@ def qty_price_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (syy / n - (sy / n) * (sy / n)))) as bigint) AS corr_ppm",
         "cast(floor((sxy / n - (sx / n) * (sy / n)) * 100.0) as bigint) AS cov_c",
     )
+
+
+@register(
+    "median_mad_outliers",
+    oracle="""
+    WITH r1 AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+               l_orderkey AS k1, l_linenumber AS k2,
+               row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+    med AS (SELECT g, v AS med FROM r1 WHERE rk = (n + 1) // 2),
+    d AS (SELECT r1.g, r1.v, r1.k1, r1.k2, abs(r1.v - med.med) AS dev, med.med
+          FROM r1 JOIN med USING (g)),
+    r2 AS (SELECT g, v, dev, med,
+               row_number() OVER (PARTITION BY g ORDER BY dev, k1, k2) AS rk,
+               count(*) OVER (PARTITION BY g) AS n
+           FROM d),
+    mad AS (SELECT g, dev AS mad FROM r2 WHERE rk = (n + 1) // 2)
+    SELECT d.g AS l_returnflag,
+           cast(count(*) as bigint) AS n_rows,
+           min(d.med) AS median_price,
+           min(mad.mad) AS mad_price,
+           cast(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) as bigint)
+               AS n_outliers
+    FROM d JOIN mad USING (g)
+    GROUP BY d.g
+    ORDER BY l_returnflag
+    """,
+    doc="Exact distributed median + MAD (median absolute deviation) "
+    "robust outlier count per l_returnflag — the classically awkward "
+    "distributed op, done as TWO passes of range-sliced k-th SELECTION "
+    "(operators/rank.py grouped_kth_value): locate the slice holding "
+    "rank (n+1) div 2 from the O(slices) offsets and window ONLY that "
+    "slice (Munro-Paterson-style bucket selection: sort work drops to "
+    "the one target slice per group; local wall-clock is dominated by "
+    "the two range shuffles either way, so rank and selection measure "
+    "alike at sf0.1 — the win materializes when per-slice sorts stop "
+    "being cache-resident), broadcast the 3-row median back, repeat on "
+    "absolute deviations for MAD, count rows beyond 3*MAD. No "
+    "single-task per-group sort anywhere; the oracle's naive per-group "
+    "windows are the semantics, slice selection is the scale path. "
+    "Doubles compare exactly (identical IEEE inputs both engines); "
+    "lower-median (not interpolated) keeps selection integer.",
+)
+def median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.rank import grouped_kth_value
+
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    per = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    med = grouped_kth_value(
+        per, ["g"], ["v", "k1", "k2"], "(__n + 1) div 2", out_cols=["v"]
+    ).select("g", F.col("v").alias("med"))
+    d = per.join(F.broadcast(med), "g").withColumn("dev", F.expr("abs(v - med)"))
+    mad = grouped_kth_value(
+        d.select("g", "dev", "k1", "k2"),
+        ["g"],
+        ["dev", "k1", "k2"],
+        "(__n + 1) div 2",
+        out_cols=["dev"],
+    ).select("g", F.col("dev").alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("med").alias("median_price"),
+            F.min("mad").alias("mad_price"),
+            F.sum(F.expr("CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .selectExpr(
+            "g AS l_returnflag", "n_rows", "median_price", "mad_price", "n_outliers"
+        )
+        .orderBy("l_returnflag")
+    )
