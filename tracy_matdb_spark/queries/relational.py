@@ -2012,3 +2012,44 @@ def median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+RECURSIVE_BOM_SQL = """
+    WITH RECURSIVE
+    e AS (
+        SELECT p.p_partkey AS parent, c.p_partkey AS child
+        FROM {part} p JOIN {part} c
+          ON c.p_partkey = p.p_partkey * 2 OR c.p_partkey = p.p_partkey * 2 + 1
+        WHERE p.p_partkey >= 1
+    ),
+    reach(root, node, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM {part}
+        WHERE p_partkey BETWEEN 1 AND 10
+        UNION ALL
+        SELECT r.root, e.child, r.depth + 1
+        FROM reach r JOIN e ON e.parent = r.node
+    )
+    SELECT cast(root as bigint) AS root,
+           cast(count(*) as bigint) AS n_reachable,
+           cast(max(depth) as bigint) AS max_depth
+    FROM reach GROUP BY root ORDER BY root
+"""
+
+
+@register(
+    "recursive_bom_explosion",
+    oracle=RECURSIVE_BOM_SQL.format(part="part"),
+    doc="Variable-depth graph traversal via WITH RECURSIVE (new in "
+    "Spark 4): a deterministic binary BOM over real part keys (part p "
+    "contains 2p and 2p+1 when they exist) exploded from 10 roots — "
+    "reachable-set size and depth per root. The recursive join is equi "
+    "on the edge parent (the edge table is built once, outside the "
+    "loop), so each iteration is one hash join + union — the shape a "
+    "BOM/org-chart/dependency closure takes at scale, where the "
+    "frontier shrinks as leaves drop out. Identical SQL text runs on "
+    "DuckDB as the oracle.",
+)
+def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, ("part",))["part"]
+    part.createOrReplaceTempView("__bom_part")
+    return spark.sql(RECURSIVE_BOM_SQL.format(part="__bom_part"))
