@@ -812,3 +812,44 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_s")
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint)
+               AS sum_k,
+           cast(count(CASE WHEN json_extract_string(props, '$.tag') IS NOT NULL
+                      THEN 1 END) as bigint) AS n_tagged,
+           cast(count(*) as bigint) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured extraction through the VARIANT type (new in "
+    "Spark 4): parse_json once into a variant column, then typed "
+    "variant_get path access — the open-schema successor of "
+    "get_json_object (binary-encoded, parsed once, shreddable to "
+    "columns by the writer). Same rollup as events_json_props so both "
+    "extraction stacks stay cross-checked against the one oracle; "
+    "try_variant_get's null on absent paths mirrors "
+    "json_extract_string.",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .selectExpr(
+            "event_type",
+            "variant_get(v, '$.k', 'bigint') AS k",
+            "try_variant_get(v, '$.tag', 'string') AS tag",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("tag").cast("long").alias("n_tagged"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
