@@ -2053,3 +2053,47 @@ def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, ("part",))["part"]
     part.createOrReplaceTempView("__bom_part")
     return spark.sql(RECURSIVE_BOM_SQL.format(part="__bom_part"))
+
+
+@register(
+    "pipe_syntax_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS n,
+           cast(floor(sum(l_extendedprice * (1.0 - l_discount))) as bigint)
+               AS disc_revenue_floor
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Declarative-SQL surface additions of Spark 4 in one query: a "
+    "SQL UDF (CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN expr — "
+    "the reference's transform-registry idea, §2.12, expressed as a "
+    "catalog object Catalyst INLINES into the plan, so unlike a Python "
+    "UDF it costs nothing) used from pipe-syntax SQL (FROM ... |> "
+    "WHERE ... |> AGGREGATE ... GROUP BY). The oracle is the plain "
+    "ANSI equivalent — same rows, proving the pipe form is sugar, not "
+    "semantics. floor() on the summed doubles: both engines sum in "
+    "deterministic-enough order for the integer floor at this "
+    "magnitude; the per-row product is identical IEEE.",
+)
+def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    li.createOrReplaceTempView("__pipe_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    return spark.sql(
+        """
+        FROM __pipe_lineitem
+        |> WHERE l_quantity < 25
+        |> AGGREGATE count(*) AS n,
+                     cast(floor(sum(__disc_price(l_extendedprice, l_discount)))
+                          as bigint) AS disc_revenue_floor
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, cast(n as bigint) AS n, disc_revenue_floor
+        |> ORDER BY l_returnflag
+        """
+    )
