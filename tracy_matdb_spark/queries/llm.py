@@ -1269,3 +1269,69 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment pairs (Broder): quote / subsumption detection
+# ---------------------------------------------------------------------------
+
+CONTAIN_MIN_Q = 500_000  # 0.5 quantized: half of the smaller doc quoted
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH {{ctes}},
+    cpairs AS (
+        SELECT doc_a, doc_b,
+               {{ca}} AS contain_a_q,
+               {{cb}} AS contain_b_q
+        FROM (
+            SELECT doc_a, doc_b, common, sa.nsh AS na, sb.nsh AS nb
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        )
+        WHERE {{ca}} >= {CONTAIN_MIN_Q} OR {{cb}} >= {CONTAIN_MIN_Q}
+    )
+    SELECT doc_a, doc_b, contain_a_q, contain_b_q FROM cpairs
+    ORDER BY doc_a, doc_b
+    """.format(
+        ctes=_jaccard_ctes_duckdb().split(",\n    jpairs AS")[0],
+        ca=textops.quant_ratio_expr("common", "na"),
+        cb=textops.quant_ratio_expr("common", "nb"),
+    ),
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (Broder 1997): c(A,B) = |A n B| / |A| over
+    word-3-gram shingle sets — the quote/subsumption detector symmetric
+    Jaccard misses (a tweet fully quoted inside an article has tiny
+    Jaccard but containment ~1). Same LSH-gated candidate substrate as
+    ngram_jaccard_pairs: the intersection is computed once per LSH
+    candidate pair, then divided by EACH side's size; pairs where
+    either direction >= 0.5 survive. At 100 TB the candidate gate keeps
+    the verify stage linear in candidates — identical scale shape to
+    the Jaccard verify, one extra map-side division."""
+    shingles = _shingles_df(spark, sf_dir)
+    cands = _lsh_candidate_pairs(shingles)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    common = (
+        cands.join(shingles.selectExpr("doc_id AS doc_a", "sh"), "doc_a")
+        .join(shingles.selectExpr("doc_id AS doc_b", "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = textops.quant_ratio_expr("common", "na")
+    cb = textops.quant_ratio_expr("common", "nb")
+    return (
+        common.join(sizes.selectExpr("doc_id AS doc_a", "nsh AS na"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "nsh AS nb"), "doc_b")
+        .withColumn("contain_a_q", F.expr(ca))
+        .withColumn("contain_b_q", F.expr(cb))
+        .filter(
+            (F.col("contain_a_q") >= CONTAIN_MIN_Q)
+            | (F.col("contain_b_q") >= CONTAIN_MIN_Q)
+        )
+        .select("doc_a", "doc_b", "contain_a_q", "contain_b_q")
+        .orderBy("doc_a", "doc_b")
+    )
