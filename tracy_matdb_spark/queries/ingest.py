@@ -574,3 +574,81 @@ def warc_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_file", "record_seq")
     )
+
+
+@register(
+    "csv_roundtrip",
+    oracle="""
+    SELECT source, cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS sum_chars,
+           cast(sum(length(text)) as bigint) AS sum_text_len
+    FROM documents WHERE doc_id < 100
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="documents slice -> df.write.csv (header, explicit quote/escape) "
+    "-> spark.read.csv with an explicit schema -> per-source rollup "
+    "against the ORIGINAL parquet aggregated by the oracle: any "
+    "lossiness in quoting, escaping, or newline handling of the text "
+    "column breaks parity. multiLine=true because document text "
+    "contains quoted delimiters; the explicit schema skips inference "
+    "(one scan).",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.catalog import load
+
+    out = os.path.join(FIXTURE_ROOT, "csv_docs")
+    docs = load(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") < 100)
+    docs.write.mode("overwrite").option("header", True).option("escape", '"').csv(out)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(out)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+    SELECT source, cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS sum_chars,
+           cast(sum(length(text)) as bigint) AS sum_text_len
+    FROM documents WHERE doc_id < 100
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="documents slice -> ORC -> read -> per-source rollup vs the "
+    "original parquet (same oracle as csv/jsonl_roundtrip): the third "
+    "columnar leg of the interchange matrix. ORC carries its own "
+    "schema, so no explicit read schema; predicate pushdown and column "
+    "pruning apply as with parquet.",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.catalog import load
+
+    out = os.path.join(FIXTURE_ROOT, "orc_docs")
+    docs = load(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") < 100)
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .orderBy("source")
+    )
