@@ -101,3 +101,34 @@ def test_warc_roundtrip_arbitrary_bodies(recs, gz):
         assert row["body"] == rec["body"]
         assert row["http_status"] == rec["status"]
         assert row["url"] == rec["url"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.text(alphabet="abcDEF09.-", min_size=1, max_size=20),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(
+        st.sampled_from(["a", "B9", ".", "..", "seg"]), min_size=0, max_size=4
+    ),
+    st.sampled_from(["", "?q=1&a=2", "?"]),
+    st.sampled_from(["", "#frag", "#a#b"]),
+)
+def test_url_canonicalize_is_idempotent(scheme, host, port, segs, query, frag):
+    """canon(canon(u)) == canon(u): the normalizer must be a projection.
+    Random schemes/hosts/ports/dot-segments/queries/fragments (dot-depth
+    bounded below the chain's documented 4-iteration resolution)."""
+    import duckdb
+
+    from tracy_matdb_spark.queries.webscale import _canon_url_exprs
+
+    url = f"{scheme}://{host}{port}/" + "/".join(segs) + query + frag
+    con = duckdb.connect()
+    expr = _canon_url_exprs("duckdb")
+    once = con.execute(
+        f"SELECT {expr} FROM (SELECT ? AS url)", [url]
+    ).fetchone()[0]
+    twice = con.execute(
+        f"SELECT {expr} FROM (SELECT ? AS url)", [once]
+    ).fetchone()[0]
+    assert twice == once, (url, once, twice)

@@ -454,6 +454,27 @@ WARC_FIXTURE: list[tuple[str, bool, list[dict]]] = [
             },
         ],
     ),
+    (
+        # a later re-crawl: one byte-identical re-fetch of /a plus a
+        # case/port variant whose CANONICAL url collides with it — the
+        # e2e rollup must dedup both against seg-00000's copy
+        "seg-00003.warc.gz",
+        True,
+        [
+            {
+                "url": "http://example.com/a",
+                "date": "2026-01-02T00:00:00Z",
+                "body": "<html><head><title>Alpha</title><script>var x = 1;"
+                "</script></head><body><p>Hello crawl world.</p>"
+                "<p>Second &amp; final paragraph.</p></body></html>",
+            },
+            {
+                "url": "HTTP://EXAMPLE.COM:80/a",
+                "date": "2026-01-02T00:00:01Z",
+                "body": "<html><body><p>Recrawled alpha variant.</p></body></html>",
+            },
+        ],
+    ),
 ]
 
 
@@ -467,16 +488,13 @@ def _write_warc_fixture() -> str:
     return out_dir
 
 
-def _warc_oracle_sql() -> str:
-    """VALUES oracle: the fixture's raw parsed rows are derivable at
+def _warc_raw_cte() -> str:
+    """The fixture's raw parsed rows as a VALUES CTE, derived at
     registration time by running the (pure-Python) parser on the bytes
-    the writer produces — the SQL then applies the SAME html->text
-    regex chain the Spark side uses, so the extraction logic itself is
-    what parity exercises."""
-    from tracy_matdb_spark.operators import textops
+    the writer produces — shared by every WARC oracle, so a fixture
+    change updates all of them consistently."""
     from tracy_matdb_spark.sources.warc import parse_warc_bytes, write_warc
 
-    import io as _io
     import tempfile
 
     rows = []
@@ -498,11 +516,20 @@ def _warc_oracle_sql() -> str:
         )
         for r in rows
     )
+    return f"""raw(source_file, record_seq, url, http_status, content_type,
+             body, n_bytes) AS (VALUES
+        {vals})"""
+
+
+def _warc_oracle_sql() -> str:
+    """Extraction oracle: the raw CTE + the SAME html->text regex chain
+    the Spark side uses, so the extraction logic itself is what parity
+    exercises."""
+    from tracy_matdb_spark.operators import textops
+
     text = textops.html_to_text_expr("duckdb", "body")
     return f"""
-    WITH raw(source_file, record_seq, url, http_status, content_type,
-             body, n_bytes) AS (VALUES
-        {vals})
+    WITH {_warc_raw_cte()}
     SELECT source_file, cast(record_seq as int) AS record_seq, url,
            cast(http_status as int) AS http_status,
            cast(n_bytes as bigint) AS n_bytes,
@@ -651,4 +678,92 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("sum_text_len"),
         )
         .orderBy("source")
+    )
+
+
+def _warc_e2e_oracle_sql() -> str:
+    from tracy_matdb_spark.operators import textops
+    from tracy_matdb_spark.queries.webscale import _canon_url_exprs
+
+    text = textops.html_to_text_expr("duckdb", "body")
+    toks = textops.toks_expr("duckdb", "text")
+    return f"""
+    WITH {_warc_raw_cte()},
+    ok AS (SELECT * FROM raw WHERE http_status = 200),
+    canon AS (SELECT source_file, record_seq, warc_date_ord,
+                     {_canon_url_exprs('duckdb')} AS curl,
+                     CASE WHEN content_type LIKE 'text/html%' THEN {text}
+                          ELSE body END AS text
+              FROM (SELECT source_file, record_seq, url, http_status,
+                           content_type, body,
+                           row_number() OVER (ORDER BY source_file, record_seq)
+                               AS warc_date_ord
+                    FROM ok) o),
+    scored AS (SELECT *,
+                      cast(len({toks}) as bigint) AS n_tokens,
+                      row_number() OVER (PARTITION BY curl
+                          ORDER BY source_file, record_seq) AS rn
+               FROM canon),
+    hosted AS (SELECT regexp_extract(curl, '^[a-z]+://([^/:]+)', 1) AS host,
+                      curl, rn, n_tokens
+               FROM scored)
+    SELECT host,
+           cast(count(*) as bigint) AS n_fetched,
+           cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) as bigint) AS n_unique,
+           cast(sum(CASE WHEN rn = 1 AND n_tokens >= 3 THEN n_tokens ELSE 0 END)
+                as bigint) AS kept_tokens
+    FROM hosted GROUP BY host ORDER BY host
+    """
+
+
+@register(
+    "warc_e2e_host_rollup",
+    oracle=_warc_e2e_oracle_sql(),
+    doc="The crawl pipeline end-to-end as ONE lazy plan: WARC segments "
+    "-> Content-Length parse -> status filter -> URL canonicalization "
+    "(the case/port-variant re-crawl in seg-00003 collides with "
+    "seg-00000's record and must dedup) -> C4 html->text extraction -> "
+    "token quality floor -> first-fetch-wins dedup per canonical URL "
+    "(window partitioned by curl, a high-cardinality key) -> per-host "
+    "rollup. The web-corpus twin of corpus_e2e_rollup: every stage is "
+    "the registered operator, composed.",
+)
+def warc_e2e_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tracy_matdb_spark.operators import textops
+    from tracy_matdb_spark.queries.webscale import _canon_url_exprs
+    from tracy_matdb_spark.sources.warc import read_warc
+
+    out_dir = _write_warc_fixture()
+    text = textops.html_to_text_expr("spark", "body")
+    toks = textops.toks_expr("spark", "text")
+    ok = read_warc(spark, out_dir, glob="*.warc*").filter(F.col("http_status") == 200)
+    canon = ok.selectExpr(
+        "source_file",
+        "record_seq",
+        f"{_canon_url_exprs('spark')} AS curl",
+        f"CASE WHEN content_type LIKE 'text/html%' THEN {text} ELSE body END AS text",
+    )
+    scored = canon.selectExpr(
+        "source_file", "record_seq", "curl", f"cast(size({toks}) as bigint) AS n_tokens"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("curl").orderBy("source_file", "record_seq")
+        ),
+    )
+    return (
+        scored.selectExpr(
+            "regexp_extract(curl, '^[a-z]+://([^/:]+)', 1) AS host", "rn", "n_tokens"
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetched"),
+            F.sum(F.expr("CASE WHEN rn = 1 THEN 1 ELSE 0 END")).cast("long").alias("n_unique"),
+            F.sum(F.expr("CASE WHEN rn = 1 AND n_tokens >= 3 THEN n_tokens ELSE 0 END"))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("host")
     )
