@@ -92,6 +92,17 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return arr
 
 
+def resize_nearest(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor image resize with FLOOR index mapping:
+    src_x = (X * w) // out_w, src_y = (Y * h) // out_h — the integer
+    convention an exact oracle can reproduce in SQL (no float centers,
+    no rounding ties). arr is (h, w, c); returns (out_h, out_w, c)."""
+    h, w = arr.shape[0], arr.shape[1]
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    return arr[ys][:, xs]
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: decode (stubbed) -> 8-bin histogram
     sketch + content hash. Arrow-batched; one pass over payload bytes."""

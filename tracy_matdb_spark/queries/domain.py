@@ -867,3 +867,101 @@ def snapshot_diff_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    # Closed-form oracle for floor-indexed nearest-neighbor resize of
+    # the ramp images (R = pk%200 + x, G = 10y, B = pk%97, w = 8+pk%5,
+    # h = 6) to 4x3: src_x = (X*w) div 4, src_y = 2Y, so
+    # sum = 12*(pk%200 + pk%97) + 3*sum_X((X*w) div 4) + 240.
+    oracle="""
+    WITH img AS (SELECT p_partkey AS pk, 8 + p_partkey % 5 AS w
+                 FROM part WHERE p_partkey <= 120 AND p_partkey % 2 = 0),
+    sx AS (SELECT pk, sum((x.x * w) // 4) AS sum_sx
+           FROM img CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS x) x
+           GROUP BY pk),
+    tot AS (SELECT img.pk,
+                   12 * (img.pk % 200 + img.pk % 97) + 3 * sx.sum_sx + 240
+                       AS sum_resized
+            FROM img JOIN sx USING (pk))
+    SELECT cast(pk as bigint) AS media_id,
+           cast(4 as int) AS out_w, cast(3 as int) AS out_h,
+           cast(sum_resized as bigint) AS sum_resized,
+           cast(sum_resized as double) / 36.0 AS mean_resized
+    FROM tot ORDER BY media_id
+    """,
+    doc="Multimodal RESIZE stage (the brief's decode/feature/resize/"
+    "frame-sample checklist): encode ramp PNGs -> real decode -> "
+    "floor-indexed nearest-neighbor resize to 4x3 (operators/"
+    "multimodal.py resize_nearest) -> exact pixel-sum stats, all in "
+    "Arrow-batched mapInPandas stages. The oracle recomputes the "
+    "resized sums in closed form from the floor-index identity, so the "
+    "encoder, decoder, AND the resize index mapping are all under "
+    "exact parity.",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tracy_matdb_spark.catalog import load as _load
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("sum_resized", T.LongType()),
+            T.StructField("mean_resized", T.DoubleType()),
+        ]
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        from tracy_matdb_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for pk in pdf["p_partkey"]:
+                pk = int(pk)
+                w, h = 8 + pk % 5, 6
+                x = np.arange(w)
+                y = np.arange(h)
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = (pk % 200) + x[None, :]
+                img[:, :, 1] = 10 * y[:, None]
+                img[:, :, 2] = pk % 97
+                out.append((pk, bytearray(codecs.encode_png(img, filter_mode="cycle"))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    def resize_stats(batches):
+        import numpy as np
+
+        from tracy_matdb_spark.operators import codecs
+        from tracy_matdb_spark.operators.multimodal import resize_nearest
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.payload))
+                small = resize_nearest(arr, 4, 3)
+                s = int(small.astype(np.int64).sum())
+                out.append((int(r.media_id), 4, 3, s, s / 36.0))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "out_w", "out_h", "sum_resized", "mean_resized"],
+            )
+
+    part = (
+        _load(spark, sf_dir, ("part",))["part"]
+        .filter((F.col("p_partkey") <= 120) & (F.col("p_partkey") % 2 == 0))
+    )
+    media = part.select("p_partkey").mapInPandas(encode, media_schema)
+    return media.mapInPandas(resize_stats, out_schema).orderBy("media_id")

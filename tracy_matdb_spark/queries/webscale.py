@@ -304,7 +304,13 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration (the single_scan pattern of operators/rank.py — at
     # cluster scale this is a bucketed edges table written once instead)
     eb = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst")).localCheckpoint(eager=False)
-    deg = eb.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    # degrees likewise: one aggregation, checkpointed — each iteration
+    # would otherwise re-run the groupBy over the edge table
+    deg = (
+        eb.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ITERS):
         contrib = (
