@@ -1335,3 +1335,63 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "contain_a_q", "contain_b_q")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) kNN — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+SQ_DIM = 64
+SQ_TOP = 10
+
+
+@register(
+    "knn_quantized_embeddings",
+    oracle=f"""
+    WITH pos AS (SELECT unnest(generate_series(1, {SQ_DIM})) AS p),
+    e AS (SELECT vec_id, p, embedding[p] AS v FROM embeddings CROSS JOIN pos),
+    stats AS (SELECT p, min(v) AS mn, max(v) AS mx FROM e GROUP BY p),
+    codes AS (SELECT e.vec_id, e.p,
+                     cast(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)) as bigint) AS c
+              FROM e JOIN stats s USING (p)),
+    q AS (SELECT p, c AS qc FROM codes WHERE vec_id = 0),
+    dist AS (SELECT codes.vec_id,
+                    sum((codes.c - q.qc) * (codes.c - q.qc)) AS d2
+             FROM codes JOIN q USING (p)
+             WHERE codes.vec_id <> 0
+             GROUP BY codes.vec_id)
+    SELECT vec_id, cast(d2 as bigint) AS d2
+    FROM dist ORDER BY d2, vec_id LIMIT {SQ_TOP}
+    """,
+)
+def knn_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized kNN: per-dimension min/max train -> uint8 codes
+    -> exact integer L2^2 on codes -> top-{SQ_TOP}. The ANN memory-bound
+    scale path (FAISS SQ8): the float corpus (4 bytes/dim) shrinks 4x
+    and the distance loop is integer arithmetic — and because codes are
+    integers, the whole pipeline is EXACTLY oracle-checkable, unlike
+    float-distance ANN where ties and ulps differ.
+
+    Shape: the stats table is O(dim) rows — broadcast; codes are one
+    explode + keyed join; distances are one groupBy(vec_id) with
+    map-side partial sums; top-N is TakeOrderedAndProject. At 100 TB
+    the codes table is the materialized index (written bucketed by an
+    IVF cell, see knn_ivf_embeddings) and the query probes it."""
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("p0", "v"),
+    ).selectExpr("vec_id", "p0 + 1 AS p", "cast(v as double) AS v")
+    stats = e.groupBy("p").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    codes = e.join(F.broadcast(stats), "p").selectExpr(
+        "vec_id", "p", "cast(floor((v - mn) * 255.0 / (mx - mn)) as bigint) AS c"
+    )
+    q = codes.filter(F.col("vec_id") == 0).selectExpr("p", "c AS qc")
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "p")
+        .groupBy("vec_id")
+        .agg(F.sum(F.expr("(c - qc) * (c - qc)")).cast("long").alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(SQ_TOP)
+    )
