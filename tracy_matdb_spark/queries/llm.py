@@ -1349,7 +1349,8 @@ SQ_TOP = 10
     "knn_quantized_embeddings",
     oracle=f"""
     WITH pos AS (SELECT unnest(generate_series(1, {SQ_DIM})) AS p),
-    e AS (SELECT vec_id, p, embedding[p] AS v FROM embeddings CROSS JOIN pos),
+    e AS (SELECT vec_id, p, cast(embedding[p] as double) AS v
+         FROM embeddings CROSS JOIN pos),
     stats AS (SELECT p, min(v) AS mn, max(v) AS mx FROM e GROUP BY p),
     codes AS (SELECT e.vec_id, e.p,
                      cast(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)) as bigint) AS c
