@@ -1396,3 +1396,54 @@ def knn_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2", "vec_id")
         .limit(SQ_TOP)
     )
+
+
+@register(
+    "knn_quantization_recall",
+    oracle=f"""
+    WITH pos AS (SELECT unnest(generate_series(1, {SQ_DIM})) AS p),
+    e AS (SELECT vec_id, p, cast(embedding[p] as double) AS v
+          FROM embeddings CROSS JOIN pos),
+    stats AS (SELECT p, min(v) AS mn, max(v) AS mx FROM e GROUP BY p),
+    codes AS (SELECT e.vec_id, e.p,
+                     cast(floor((e.v - s.mn) * 255.0 / (s.mx - s.mn)) as bigint) AS c
+              FROM e JOIN stats s USING (p)),
+    qc AS (SELECT p, c AS qcode FROM codes WHERE vec_id = 0),
+    quant AS (SELECT codes.vec_id
+              FROM codes JOIN qc USING (p)
+              WHERE codes.vec_id <> 0
+              GROUP BY codes.vec_id
+              ORDER BY sum((codes.c - qc.qcode) * (codes.c - qc.qcode)), codes.vec_id
+              LIMIT {SQ_TOP}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (SELECT vec_id
+              FROM embeddings CROSS JOIN q
+              WHERE vec_id <> 0
+              ORDER BY cast(floor(({{dot}} / ({{na}} * {{nq}}))
+                       * cast(1000000 as double)) as bigint) DESC, vec_id
+              LIMIT {SQ_TOP})
+    SELECT cast((SELECT count(*) FROM quant JOIN exact USING (vec_id)) as bigint)
+               AS n_overlap,
+           cast({SQ_TOP} as bigint) AS k
+    """.format(
+        dot="{dot}", na="{na}", nq="{nq}"
+    ).format(
+        dot=_dot_expr("duckdb", "embedding", "qv"),
+        na=_norm_expr("duckdb", "embedding"),
+        nq=_norm_expr("duckdb", "qv"),
+    ),
+)
+def knn_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{SQ_TOP} of int8-quantized kNN against exact float cosine
+    — the evaluation every ANN deployment runs before trading accuracy
+    for memory. Both retrievals are the REGISTERED queries' plans
+    (knn_quantized_embeddings, knn_embeddings), composed and joined;
+    output is the overlap count, deterministic because both top-k lists
+    are (quantized-int, ppm-floored-float) deterministic with vec_id
+    tiebreaks."""
+    quant = knn_quantized_embeddings(spark, sf_dir).select("vec_id")
+    exact = knn_embeddings(spark, sf_dir).select("vec_id")
+    return quant.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.lit(SQ_TOP).cast("long").alias("k"),
+    )
