@@ -63,6 +63,8 @@ NLJ_ALLOWED = {
     "knn_ivf_embeddings",
     # SemDeDup centroid assignment: same bounded K-centroid broadcast as IVF
     "semantic_dedup",
+    # composes knn_embeddings, inheriting its 1-row query-vector broadcast
+    "knn_quantization_recall",
     # one-row global-average broadcast (scalar subquery), bounded by construction
     "q22_idle_rich_customers",
     # one-row national-total threshold broadcast (Q11's scalar HAVING)
