@@ -104,6 +104,10 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "contended": contended,
+                # raw 1-min load average at finish: sub-threshold co-tenant
+                # noise (load ~4 on this shared box) still inflates short
+                # stage timings ~40%, so the judge can normalize with this
+                "load1": round(os.getloadavg()[0], 2),
             }
         )
     )
