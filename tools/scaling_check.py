@@ -70,6 +70,8 @@ SCALING_EXTRA = [
     "bigram_perplexity",  # model join back to doc bigrams
     "basket_pair_pmi",  # bounded basket self-join + marginals
     "countmin_heavy_hitters",  # sketch shuffle bounded at d*w keys
+    "median_mad_outliers",  # two range-sliced selection passes
+    "unigram_sampling_table",  # range-sliced prefix sum over the vocab
 ]
 
 
