@@ -853,3 +853,74 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ATTR_WINDOW_S = 7 * 86400  # 7-day lookback
+
+
+@register(
+    "purchase_touch_attribution",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, event_type,
+                       cast(epoch(ts) as bigint) AS es,
+                       cast(epoch(ts) as bigint) * 10000000 + event_id AS ek,
+                       event_type IN ('click', 'view', 'signup') AS is_touch
+                FROM events),
+    attr AS (SELECT user_id, event_id, event_type,
+                    arg_min(CASE WHEN is_touch THEN event_type END,
+                            CASE WHEN is_touch THEN ek END)
+                        OVER w AS first_touch,
+                    arg_max(CASE WHEN is_touch THEN event_type END,
+                            CASE WHEN is_touch THEN ek END)
+                        OVER w AS last_touch
+             FROM ev
+             WINDOW w AS (PARTITION BY user_id ORDER BY es
+                          RANGE BETWEEN {ATTR_WINDOW_S} PRECEDING AND CURRENT ROW))
+    SELECT coalesce(first_touch, 'none') AS first_touch,
+           coalesce(last_touch, 'none') AS last_touch,
+           cast(count(*) as bigint) AS n_purchases
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Marketing-style conversion attribution: each purchase credits "
+    "the FIRST and LAST touch (click/view/signup) in the user's "
+    "preceding 7-day window, rolled up to a (first, last) matrix. "
+    "min_by/arg_min over a RANGE-framed window partitioned by user_id "
+    "(high-cardinality key, never a global window) with a unique "
+    "(epoch, event_id) ordering key so ties cannot differ between "
+    "engines; a same-second touch counts (RANGE includes the current "
+    "instant). One user-keyed shuffle + a bounded-cell rollup.",
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "cast(unix_timestamp(ts) as bigint) AS es",
+        "cast(unix_timestamp(ts) as bigint) * 10000000 + event_id AS ek",
+        "event_type IN ('click', 'view', 'signup') AS is_touch",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-ATTR_WINDOW_S, 0)
+    )
+    attr = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("min_by(CASE WHEN is_touch THEN event_type END, CASE WHEN is_touch THEN ek END)")
+        .over(w)
+        .alias("first_touch"),
+        F.expr("max_by(CASE WHEN is_touch THEN event_type END, CASE WHEN is_touch THEN ek END)")
+        .over(w)
+        .alias("last_touch"),
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .orderBy("first_touch", "last_touch")
+    )
