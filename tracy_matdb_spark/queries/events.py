@@ -924,3 +924,108 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
         .orderBy("first_touch", "last_touch")
     )
+
+
+@register(
+    "weekly_churn",
+    oracle="""
+    WITH uw AS (SELECT DISTINCT user_id,
+                       cast(floor(epoch(ts) / 604800) as bigint) AS wk
+                FROM events),
+    nxt AS (SELECT user_id, wk,
+                   lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+            FROM uw),
+    last_wk AS (SELECT max(wk) AS mx FROM uw)
+    SELECT wk,
+           cast(count(*) as bigint) AS n_active,
+           cast(sum(CASE WHEN next_wk IS NULL OR next_wk > wk + 1
+                    THEN 1 ELSE 0 END) as bigint) AS n_churned
+    FROM nxt CROSS JOIN last_wk
+    WHERE wk < mx
+    GROUP BY wk ORDER BY wk
+    """,
+    doc="Weekly churn: users active in epoch-week W with no activity in "
+    "W+1 (the final observed week is excluded — churn there is "
+    "right-censored). distinct (user, week) -> per-user lead() window "
+    "(user-keyed, never global) -> per-week rollup. One shuffle on "
+    "user_id, one bounded aggregation; the week-floor arithmetic is "
+    "identical integer math in both engines.",
+)
+def weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    uw = ev.selectExpr(
+        "user_id", "cast(floor(unix_timestamp(ts) / 604800) as bigint) AS wk"
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    nxt = uw.withColumn("next_wk", F.lead("wk").over(w))
+    last_wk = uw.agg(F.max("wk").alias("mx"))
+    return (
+        nxt.crossJoin(F.broadcast(last_wk))
+        .filter(F.col("wk") < F.col("mx"))
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(
+                F.expr("CASE WHEN next_wk IS NULL OR next_wk > wk + 1 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_churned"),
+        )
+        .orderBy("wk")
+    )
+
+
+@register(
+    "capped_running_balance",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               list(delta ORDER BY ek) AS deltas
+        FROM (SELECT user_id,
+                     cast(epoch(ts) as bigint) * 10000000 + event_id AS ek,
+                     CASE WHEN event_type = 'purchase'
+                          THEN -cast(round(value * 100) as bigint)
+                          ELSE cast(round(value * 100) as bigint) END AS delta
+              FROM events) d
+        GROUP BY user_id),
+    folded AS (
+        SELECT user_id,
+               list_reduce(list_prepend(cast(0 as bigint), deltas),
+                           (acc, x) -> greatest(acc + x, 0)) AS balance_c,
+               len(deltas) AS n_events
+        FROM ordered)
+    SELECT user_id, cast(balance_c as bigint) AS balance_c,
+           cast(n_events as bigint) AS n_events
+    FROM folded ORDER BY user_id
+    """,
+    doc="Clamped running balance per user (credits accrue, purchases "
+    "deduct, balance floors at zero) — the classic op a plain window "
+    "CANNOT express (the clamp makes every step depend on the folded "
+    "prior state, not a distributive aggregate). Done JVM-side: "
+    "collect each user's deltas in (epoch, event_id) order, then "
+    "aggregate()/list_reduce() folds with greatest(acc + x, 0) — "
+    "integer cents, so the fold is exact in both engines. Per-user "
+    "arrays are bounded by per-user activity (at 100 TB: bound the "
+    "fold window by sessionizing first, or run applyInPandasWithState "
+    "streaming — events_stateful_totals shows that form).",
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).selectExpr(
+        "user_id",
+        "cast(unix_timestamp(ts) as bigint) * 10000000 + event_id AS ek",
+        "CASE WHEN event_type = 'purchase' THEN -cast(round(value * 100) as bigint) "
+        "ELSE cast(round(value * 100) as bigint) END AS delta",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("sort_array(collect_list(struct(ek, delta)))").alias("ordered"),
+        )
+        .selectExpr(
+            "user_id",
+            "aggregate(ordered, cast(0 as bigint), "
+            "(acc, x) -> greatest(acc + x.delta, cast(0 as bigint))) AS balance_c",
+            "cast(size(ordered) as bigint) AS n_events",
+        )
+        .orderBy("user_id")
+    )
