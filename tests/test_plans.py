@@ -73,6 +73,8 @@ NLJ_ALLOWED = {
     "basket_pair_pmi",
     # one-row sampling-table normalizer broadcast (sum of quantized weights)
     "unigram_sampling_table",
+    # one-row max-observed-week broadcast (right-censoring cutoff)
+    "weekly_churn",
 }
 
 

@@ -359,29 +359,30 @@ def _canon_url_exprs(dialect: str, url: str = "url") -> str:
     # Dialect mechanics: Spark SQL string literals process backslash
     # escapes (regex \. is written '\\.') and regexp_replace is global
     # with $1 backreferences; DuckDB literals are raw (regex \. is
-    # written '\.'), regexp_replace replaces only the FIRST match
-    # unless given the 'g' option, and backreferences are \1.
+    # written '\.'), and regexp_replace replaces only the FIRST match
+    # unless given the 'g' option.
     spark = dialect == "spark"
     bs = "\\\\" if spark else "\\"  # a regex backslash in the SQL literal
-    ref = "$1" if spark else "\\1"
 
     def rep(expr: str, pat: str, repl: str) -> str:
         g = "" if spark else ", 'g'"
         return f"regexp_replace({expr}, '{pat}', '{repl}'{g})"
 
-    e = url
-    e = rep(e, "#.*$", "")  # 1
-    # 2: lowercase everything before the path start (scheme://host[:port])
-    lower_auth = f"lower(regexp_extract({e}, '^[^/]*//[^/?]*', 0))"
-    rest = rep(e, "^[^/]*//[^/?]*", "")
-    e = f"concat({lower_auth}, {rest})"
-    e = rep(e, ":80(/|$)", ref)  # 3
-    e = rep(e, ":443(/|$)", ref)
-    for _ in range(4):  # 4+5, bounded
-        e = rep(e, f"/{bs}./", "/")
-        e = rep(e, f"/[^/?]+/{bs}.{bs}.(/|$)", "/")
-    e = rep(e, f"{bs}?$", "")  # 6
-    return e
+    # The authority and the path are canonicalized SEPARATELY and only
+    # re-concatenated at the end: the dot-segment rules must never see
+    # the authority, or a root-level '/..' swallows the host (hypothesis
+    # found 'http://0/../B9' -> '/0/../' matching the parent-dot rule —
+    # the idempotence property test pins this).
+    base = rep(url, "#.*$", "")  # 1
+    auth = f"lower(regexp_extract({base}, '^[^/]*//[^/?]*', 0))"  # 2
+    auth = rep(auth, ":80$", "")  # 3 (auth contains no '/', so anchor $)
+    auth = rep(auth, ":443$", "")
+    rest = rep(base, "^[^/]*//[^/?]*", "")
+    for _ in range(4):  # 4+5, bounded depth, path-only
+        rest = rep(rest, f"/{bs}./", "/")
+        rest = rep(rest, f"/[^/?]+/{bs}.{bs}.(/|$)", "/")
+    rest = rep(rest, f"{bs}?$", "")  # 6
+    return f"concat({auth}, {rest})"
 
 
 @register(
