@@ -378,11 +378,17 @@ def _canon_url_exprs(dialect: str, url: str = "url") -> str:
     auth = rep(auth, ":80$", "")  # 3 (auth contains no '/', so anchor $)
     auth = rep(auth, ":443$", "")
     rest = rep(base, "^[^/]*//[^/?]*", "")
+    # split PATH from QUERY before segment resolution: a trailing '..'
+    # directly followed by '?' must still resolve (hypothesis found
+    # '/a/..?' resolving differently across passes when the '?' was
+    # stripped between them)
+    path = rep(rest, f"{bs}?.*$", "")
+    qs = f"regexp_extract({rest}, '[?].*$', 0)"
     for _ in range(4):  # 4+5, bounded depth, path-only
-        rest = rep(rest, f"/{bs}./", "/")
-        rest = rep(rest, f"/[^/?]+/{bs}.{bs}.(/|$)", "/")
-    rest = rep(rest, f"{bs}?$", "")  # 6
-    return f"concat({auth}, {rest})"
+        path = rep(path, f"/{bs}./", "/")
+        path = rep(path, f"/[^/]+/{bs}.{bs}.(/|$)", "/")
+    qs = rep(qs, f"^{bs}?$", "")  # 6: drop an empty query entirely
+    return f"concat({auth}, {path}, {qs})"
 
 
 @register(
