@@ -153,17 +153,23 @@ _names = st.text(
     min_size=1,
     max_size=12,
 )
+# NUL-free text: null-padded fixed-width strings (v1/v2) cannot carry
+# '\x00' by format definition — the writer now raises on it (see
+# _reject_nul); test_nul_strings pins both that and the v0 VL roundtrip
+_text = st.text(
+    alphabet=st.characters(exclude_characters="\x00"), max_size=20
+)
 _scalars = st.one_of(
     st.booleans(),
     st.integers(min_value=-(2**62), max_value=2**62),
     st.floats(allow_nan=False, width=64),
-    st.text(max_size=20),
+    _text,
 )
 _arrays = st.one_of(
     st.lists(st.floats(allow_nan=False, width=64), min_size=1, max_size=8),
     st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=8),
     st.lists(st.booleans(), min_size=1, max_size=8),
-    st.lists(st.text(max_size=6), min_size=1, max_size=6),
+    st.lists(_text, min_size=1, max_size=6),
 )
 _trees = st.recursive(
     st.dictionaries(_names, st.one_of(_scalars, _arrays), max_size=5),
@@ -176,6 +182,19 @@ _trees = st.recursive(
 @given(tree=_trees, dialect=st.sampled_from(DIALECTS))
 def test_property_random_tree_roundtrip(tree, dialect):
     assert read_tree_bytes(write_tree_bytes(tree, dialect=dialect)) == tree
+
+
+def test_nul_strings():
+    """'\\x00' in strings: representable ONLY by variable-length strings
+    (v0, explicit stored lengths). Fixed-width null-padded strings (v2)
+    cannot distinguish a trailing NUL from padding — the writer must
+    refuse rather than silently truncate (hypothesis found the silent
+    case: {'0': ['\\x00']} round-tripped to {'0': ['']})."""
+    t = {"d": ["\x00", "a\x00b", ""], "s": "x\x00"}
+    assert read_tree_bytes(write_tree_bytes(t, dialect="v0")) == t
+    for bad in ({"d": ["\x00"]}, {"s": "x\x00"}):
+        with pytest.raises(ValueError, match="NUL"):
+            write_tree_bytes(bad, dialect="v2")
 
 
 # --- robustness: corrupt/truncated input fails cleanly ----------------------

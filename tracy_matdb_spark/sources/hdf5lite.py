@@ -196,8 +196,30 @@ def _classify(tree: dict[str, Any]):
         elif isinstance(v, (str, bool, np.bool_, int, float, np.integer, np.floating)):
             attrs.append((k, v))
         else:
-            dsets.append((k, np.asarray(v)))
+            # string lists must become OBJECT arrays: numpy's fixed-width
+            # U dtype is itself NUL-padded and silently strips trailing
+            # '\x00' on item access (np.array(['\x00'])[0] == ''), which
+            # would corrupt values before the codec ever sees them
+            if isinstance(v, (list, tuple)) and any(isinstance(x, str) for x in v):
+                dsets.append((k, np.array(list(v), dtype=object)))
+            else:
+                dsets.append((k, np.asarray(v)))
     return groups, attrs, dsets
+
+
+def _reject_nul(strs) -> None:
+    """Null-PADDED fixed-width strings (strpad=0) cannot represent a
+    string containing '\\x00': trailing NULs are indistinguishable from
+    padding on read (h5py has the identical limitation). Fail fast
+    instead of silently truncating; dialect 'v0' (variable-length, with
+    explicit stored lengths) round-trips NULs exactly."""
+    for s in strs:
+        if "\x00" in s:
+            raise ValueError(
+                "hdf5lite: embedded NUL in a string is not representable "
+                "in null-padded fixed-width strings (dialect v1/v2); use "
+                "dialect 'v0' (variable-length strings)"
+            )
 
 
 def _encode_array(arr: np.ndarray, dialect: str, vl):
@@ -212,6 +234,7 @@ def _encode_array(arr: np.ndarray, dialect: str, vl):
         strs = [s if isinstance(s, str) else str(s) for s in arr.ravel().tolist()]
         if dialect == "v0":
             return DT_VLSTR, b"".join(vl(s) for s in strs), arr.shape
+        _reject_nul(strs)
         enc = [s.encode("utf-8") for s in strs]
         width = max((len(e) for e in enc), default=0) or 1
         return _dt_fixed_str(width), b"".join(e.ljust(width, b"\0") for e in enc), arr.shape
@@ -229,6 +252,7 @@ def _encode_attr(value: Any, dialect: str, vl):
     if isinstance(value, str):
         if dialect == "v0":
             return DT_VLSTR, vl(value)
+        _reject_nul([value])
         enc = value.encode("utf-8")
         return _dt_fixed_str(len(enc)), enc or b"\0"
     raise TypeError(f"hdf5lite cannot encode attribute {type(value)!r}")
