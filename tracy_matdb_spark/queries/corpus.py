@@ -362,6 +362,74 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 8  # output shards for the balanced-shard assignment
+
+
+@register(
+    "shard_token_budget",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      cast(len({textops.toks_expr('duckdb')}) as bigint) AS n_tokens
+               FROM documents WHERE n_chars > 0),
+    r AS (SELECT doc_id, n_tokens,
+                 row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+          FROM d),
+    s AS (SELECT n_tokens,
+                 CASE WHEN (rk // {N_SHARDS}) % 2 = 0 THEN rk % {N_SHARDS}
+                      ELSE {N_SHARDS} - 1 - (rk % {N_SHARDS}) END AS shard_id
+          FROM r)
+    SELECT cast(shard_id as bigint) AS shard_id,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_tokens) as bigint) AS tokens_total,
+           cast(max(n_tokens) as bigint) AS max_doc_tokens
+    FROM s GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def shard_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding: assign every document to one of
+    {N_SHARDS} training shards by SNAKE order over the global
+    token-count rank (rank docs largest-first; deal them out
+    boustrophedon — 0..N-1 then N-1..0), the classic deterministic
+    approximation of longest-processing-time balancing. Per-shard token
+    totals then differ by at most one document's tokens per dealing
+    pass, so shard skew is bounded without any greedy driver loop.
+
+    Scale shape: the global largest-first rank is the two-phase
+    range-sliced rank (operators/rank.py grouped_value_rank under a
+    constant group: repartitionByRange slices + parallel per-slice
+    windows + O(slices) broadcast offsets) — NEVER a bare
+    row_number() OVER (ORDER BY ...) single-task sort; the snake
+    arithmetic is a map-only expression on the rank and the rollup is
+    one keyed aggregation with map-side combine. This is the write-side
+    twin of pack_sequences: packing fills fixed budgets in corpus
+    order, sharding balances totals across a fixed shard count."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    d = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("doc_id", f"cast(size({toks}) as bigint) AS n_tokens")
+        .withColumn("__g", F.lit(0))
+        .withColumn("__negt", -F.col("n_tokens"))
+    )
+    ranked = grouped_value_rank(
+        d, ["__g"], ["__negt", "doc_id"], out_col="__rk", single_scan=True
+    ).withColumn("__rk", F.col("__rk") - 1)
+    snake = ranked.selectExpr(
+        "n_tokens",
+        f"CASE WHEN (__rk div {N_SHARDS}) % 2 = 0 THEN __rk % {N_SHARDS} "
+        f"ELSE {N_SHARDS} - 1 - (__rk % {N_SHARDS}) END AS shard_id",
+    )
+    return (
+        snake.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination, TF-IDF, domain-mixture weights
 # ---------------------------------------------------------------------------

@@ -573,6 +573,88 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes_duckdb()},
+    e2 AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e2.dst, reach.r FROM reach JOIN e2 ON e2.src = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    q AS (SELECT doc_id, cast(len({textops.toks_expr('duckdb')}) as bigint) AS n_tokens
+          FROM documents),
+    m AS (SELECT comp.cluster_id, comp.doc_id, q.n_tokens
+          FROM comp JOIN q ON q.doc_id = comp.doc_id),
+    best AS (SELECT cluster_id, max(n_tokens) AS keep_tokens,
+                    cast(count(*) as bigint) AS n_members
+             FROM m GROUP BY cluster_id)
+    SELECT best.cluster_id,
+           min(m.doc_id) AS keep_doc,
+           best.keep_tokens,
+           best.n_members,
+           best.n_members - 1 AS n_dropped
+    FROM m JOIN best ON m.cluster_id = best.cluster_id
+               AND m.n_tokens = best.keep_tokens
+    GROUP BY best.cluster_id, best.keep_tokens, best.n_members
+    ORDER BY best.cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention — the stage AFTER clustering that
+    near_dup_clusters stops short of: within each near-dup cluster keep
+    the best document (max token count, ties to min doc_id) instead of
+    the arbitrary min-id canonical. This is how production corpora
+    retain the longest/cleanest copy of a duplicated page (the FineWeb /
+    Dolma convention) rather than whichever crawled first.
+
+    Plan shape: clusters come from the same LSH -> exact-Jaccard ->
+    min-label-propagation pipeline (linear rounds, no quadratic stage);
+    quality is a map-only token count; representative selection is two
+    keyed aggregations (per-cluster max, then min-id among the maxima)
+    — deterministic argmax with no window over an unbounded partition,
+    and every join is a hash equi join on cluster_id. At 100 TB the
+    quality column rides the same shuffle as the membership, so keep
+    selection costs one extra map-side-combined aggregation."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    comp = connected_components(
+        docs.select("doc_id"),
+        _jaccard_pairs_df(spark, sf_dir),
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).selectExpr("id AS doc_id", "component AS cluster_id")
+    q = docs.selectExpr(
+        "doc_id",
+        f"cast(size({textops.toks_expr('spark')}) as bigint) AS n_tokens",
+    )
+    m = comp.join(q, "doc_id")
+    best = m.groupBy("cluster_id").agg(
+        F.max("n_tokens").alias("keep_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return (
+        m.join(best, "cluster_id")
+        .filter(F.col("n_tokens") == F.col("keep_tokens"))
+        .groupBy("cluster_id", "keep_tokens", "n_members")
+        .agg(F.min("doc_id").alias("keep_doc"))
+        .select(
+            "cluster_id",
+            "keep_doc",
+            "keep_tokens",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity: brute-force kNN + exact near-dup + LSH scale path
 # ---------------------------------------------------------------------------

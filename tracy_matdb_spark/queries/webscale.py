@@ -337,6 +337,103 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+TRI_SUPPORT = 2  # co-purchase support threshold for a part-part edge
+
+
+@register(
+    "triangle_part_graph",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM items a JOIN items b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY u, v HAVING count(*) >= {TRI_SUPPORT}),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+                 CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t,
+                 CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS dt
+          FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+    tri AS (SELECT ab.s AS a, ab.t AS b, ac.t AS c
+            FROM o ab JOIN o ac
+              ON ab.s = ac.s AND (ab.dt, ab.t) < (ac.dt, ac.t)
+            JOIN o bc ON bc.s = ab.t AND bc.t = ac.t)
+    SELECT node AS part, cast(count(*) as bigint) AS n_triangles
+    FROM (SELECT a AS node FROM tri UNION ALL
+          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    ORDER BY n_triangles DESC, part
+    LIMIT 20
+    """,
+)
+def triangle_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the part co-purchase graph
+    (edges: part pairs bought together in >= {TRI_SUPPORT} orders),
+    top 20 — the clustering/community primitive (triangle counts feed
+    local clustering coefficients and cohesion metrics).
+
+    The algorithm is the degree-ordered orientation used by every
+    distributed triangle counter (Cohen's MapReduce form / GraphX):
+    orient each undirected edge from the (degree, id)-smaller endpoint
+    to the larger, build wedges only FROM each edge's low end, and
+    close them with one more hash join. Orientation bounds the wedge
+    fan-out per node by its oriented out-degree — O(m^1.5) total wedges
+    in the worst case instead of sum(deg^2) — which is exactly the skew
+    guard a power-law co-purchase graph needs at 100 TB. Every stage
+    is a hash equi join or keyed aggregation; the (degree, id) compare
+    is a codegen'd struct comparison, deterministic because part ids
+    are unique."""
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    e0 = (
+        items.alias("a")
+        .join(
+            items.selectExpr("l_orderkey AS ok_b", "l_partkey AS v"),
+            (F.col("l_orderkey") == F.col("ok_b")) & (F.col("l_partkey") < F.col("v")),
+        )
+        .select(F.col("l_partkey").alias("u"), "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= TRI_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        e0.selectExpr("u AS node")
+        .unionByName(e0.selectExpr("v AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    o = (
+        e0.join(deg.selectExpr("node AS u", "d AS du"), "u")
+        .join(deg.selectExpr("node AS v", "d AS dv"), "v")
+        .selectExpr(
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN u ELSE v END AS s",
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN v ELSE u END AS t",
+            "CASE WHEN struct(du, u) < struct(dv, v) THEN dv ELSE du END AS dt",
+        )
+    )
+    ab = o.selectExpr("s", "t AS b", "dt AS db")
+    ac = o.selectExpr("s", "t AS c", "dt AS dc")
+    wedge = ab.join(ac, "s").filter(F.expr("struct(db, b) < struct(dc, c)"))
+    tri = wedge.join(
+        o.selectExpr("s AS b", "t AS c"), ["b", "c"]
+    ).selectExpr("s AS a", "b", "c")
+    return (
+        tri.selectExpr("a AS part")
+        .unionByName(tri.selectExpr("b AS part"))
+        .unionByName(tri.selectExpr("c AS part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (the crawl dedup-key normalizer)
 # ---------------------------------------------------------------------------
 
