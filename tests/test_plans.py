@@ -75,6 +75,9 @@ NLJ_ALLOWED = {
     "unigram_sampling_table",
     # one-row max-observed-week broadcast (right-censoring cutoff)
     "weekly_churn",
+    # one-row totals broadcast (Catalyst folds the constant join key to a
+    # trivially-true condition; the build side is a single aggregate row)
+    "skew_profile_users",
 }
 
 

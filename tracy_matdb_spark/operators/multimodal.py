@@ -129,6 +129,78 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+PHASH_W = 16  # synthetic image edge; aHash downsamples to 8x8
+PHASH_MOD = 251  # pixel construction modulus (prime, < 256)
+
+
+def phash_pixel(i: int, x: int, y: int) -> int:
+    """Closed-form pixel value of synthetic image i at (x, y): a per-base
+    gradient ramp mod {PHASH_MOD}; odd ids perturb one pixel so each
+    (2k, 2k+1) pair is a near-duplicate, not an exact one. The ORACLE
+    recomputes pixels from this formula directly (no PNG round-trip), so
+    the parity check covers encode_png -> decode_image end-to-end."""
+    base = i // 2
+    v = (13 * base * base + (3 + base % 7) * x + (5 + base % 11) * y) % PHASH_MOD
+    if i % 2 == 1 and x == 0 and y == 0:
+        v = (v + 1) % PHASH_MOD
+    return v
+
+
+def synth_images(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic PNG image table: consecutive id pairs are near-dups
+    by construction (see phash_pixel). Payloads are REAL PNGs encoded by
+    operators/codecs.py — the decode in phash_features exercises the
+    actual codec path."""
+    from tracy_matdb_spark.operators import codecs
+
+    rows = []
+    for i in range(n):
+        img = np.empty((PHASH_W, PHASH_W, 3), dtype=np.uint8)
+        for y in range(PHASH_W):
+            for x in range(PHASH_W):
+                img[y, x, :] = phash_pixel(i, x, y)
+        rows.append((i, "image", bytearray(codecs.encode_png(img)), (PHASH_W, PHASH_W, 1)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """64-bit average hash: integer-mean the channels, nearest-neighbor
+    downsample to 8x8 (floor index map — resize_nearest), threshold at
+    the FLOOR of the mean of the 64 samples (strict >). All-integer, so
+    bit-exact across implementations."""
+    gray = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+    small = resize_nearest(gray[:, :, None], 8, 8)[:, :, 0]
+    mean = int(small.sum()) // 64
+    bits = 0
+    for yy in range(8):
+        for xx in range(8):
+            if int(small[yy, xx]) > mean:
+                bits |= 1 << (yy * 8 + xx)
+    return bits
+
+
+def phash_features(media: DataFrame) -> DataFrame:
+    """mapInPandas: decode the PNG payload (real codec) -> 64-bit aHash.
+    Arrow-batched; the hash is returned as a signed long (bit 63 may set
+    the sign — downstream band/xor arithmetic is bit-pattern safe)."""
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("phash", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tracy_matdb_spark.operators import codecs
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.payload))
+                h = ahash64(arr)
+                out.append({"media_id": r.media_id, "phash": h - (1 << 64) if h >= 1 << 63 else h})
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.mapInPandas(run, out_schema)
+
+
 def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
     """Video frame sampling plan: explode frame indices, keep every Nth —
     the decode of each kept frame would run in the same mapInPandas stage

@@ -436,6 +436,102 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(decode, stats_schema).orderBy("media_id")
 
 
+PHASH_N = 60  # synthetic image count (consecutive id pairs are near-dups)
+PHASH_HAM_T = 8  # max Hamming distance for a verified near-dup pair
+PHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit hash
+
+
+def _phash_pairs_oracle_sql(n: int = PHASH_N, ham_t: int = PHASH_HAM_T) -> str:
+    """Expected near-dup pairs, derived INDEPENDENTLY of the production
+    path: pixels come straight from the closed-form phash_pixel formula
+    (no PNG encode/decode — so codec bugs surface as a mismatch), the
+    aHash/banding/Hamming logic is plain-Python loops here vs
+    numpy+JVM-SQL in the operator. Only the pixel formula itself is
+    shared — it is the fixture definition, not machinery under test."""
+    from tracy_matdb_spark.operators.multimodal import phash_pixel
+
+    hashes = []
+    for i in range(n):
+        small = [phash_pixel(i, 2 * xx, 2 * yy) for yy in range(8) for xx in range(8)]
+        mean = sum(small) // 64
+        hashes.append(sum(1 << idx for idx, v in enumerate(small) if v > mean))
+    rows = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            same_band = any(
+                (hashes[a] >> (16 * j)) & 0xFFFF == (hashes[b] >> (16 * j)) & 0xFFFF
+                for j in range(PHASH_BANDS)
+            )
+            if not same_band:
+                continue
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= ham_t:
+                rows.append(f"({a}, {b}, {d})")
+    return (
+        "SELECT cast(media_a as bigint) AS media_a, cast(media_b as bigint) AS media_b, "
+        "cast(hamming as bigint) AS hamming "
+        f"FROM (VALUES {', '.join(rows)}) t(media_a, media_b, hamming) "
+        "ORDER BY media_a, media_b"
+    )
+
+
+@register(
+    "image_phash_near_dup",
+    oracle=_phash_pairs_oracle_sql(),
+    doc="Perceptual-hash (aHash) image near-dup via banded LSH join over "
+    "real PNG decode (north star: multimodal dedup)",
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection: decode each PNG payload with the
+    pure-Python codec, compute a 64-bit average hash (integer-exact:
+    floor-mean threshold over an 8x8 floor-map downsample), then find
+    pairs within Hamming distance {PHASH_HAM_T} WITHOUT an all-pairs
+    stage: the hash splits into {PHASH_BANDS} 16-bit bands and
+    candidate pairs must share one exact band — guaranteed recall for
+    distance <= 3 (pigeonhole), probabilistic above (standard LSH
+    recall trade-off; the oracle applies the identical banding, so the
+    check is exact over the same candidate set) — and the exact
+    Hamming check runs on candidates only via bit_count(xor) in
+    codegen.
+
+    Scale: the decode+hash is one Arrow-batched mapInPandas pass; the
+    band join shuffles on (band_idx, band_value) — 2^16 buckets per
+    band keep collisions sparse exactly like simhash_near_dup's
+    banding; dedup of candidate pairs and the verify are keyed
+    aggregations/joins. This is the image twin of the text MinHash-LSH
+    pipeline, sharing its no-quadratic-stage discipline."""
+    from tracy_matdb_spark.operators.multimodal import phash_features, synth_images
+
+    feats = phash_features(synth_images(spark, n=PHASH_N)).localCheckpoint(eager=False)
+    bands = feats.select(
+        "media_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(f"(phash >> {16 * j}) & 65535").alias("bv"),
+                )
+                for j in range(PHASH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("media_id", "band.j", "band.bv")
+    cands = (
+        bands.selectExpr("media_id AS media_a", "j", "bv")
+        .join(bands.selectExpr("media_id AS media_b", "j", "bv"), ["j", "bv"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b")
+        .distinct()
+    )
+    return (
+        cands.join(feats.selectExpr("media_id AS media_a", "phash AS ha"), "media_a")
+        .join(feats.selectExpr("media_id AS media_b", "phash AS hb"), "media_b")
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    )
+
+
 @register(
     "group_content_hash",
     oracle="""

@@ -1029,3 +1029,61 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew profiler (the salting-factor advisor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_profile_users",
+    oracle="""
+    WITH per_key AS (SELECT user_id, cast(count(*) as bigint) AS n_rows
+                     FROM events GROUP BY user_id),
+    tot AS (SELECT cast(sum(n_rows) as bigint) AS total,
+                   cast(count(*) as bigint) AS n_keys
+            FROM per_key)
+    SELECT per_key.user_id,
+           per_key.n_rows,
+           (per_key.n_rows * tot.n_keys * 1000000) // tot.total AS skew_ratio_q,
+           (per_key.n_rows * tot.n_keys + tot.total - 1) // tot.total AS salt_factor,
+           (per_key.n_rows * tot.n_keys * 2) > (tot.total * 3) AS is_hot
+    FROM per_key CROSS JOIN tot
+    ORDER BY per_key.n_rows DESC, per_key.user_id
+    """,
+)
+def skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew profiler for a join/agg key: per-key row counts vs
+    the mean, as the millionth-quantized skew ratio, the SALT FACTOR a
+    salted repartition would need to level that key (ceil(count/mean) —
+    feed it to operators/skew.py's salted paths), and an is_hot flag at
+    1.5x mean. This is the diagnosis step BEFORE choosing salting or
+    AQE skew-join: run it on the candidate key, read the top ratios.
+
+    Shape: one keyed aggregation (map-side combined) to per-key counts
+    — O(keys) rows — then a single-row totals aggregate joined back on
+    a constant key as a broadcast hash join (no nested-loop stage, no
+    driver collect). All arithmetic is integer, so the profile is
+    bit-stable under any partitioning at any scale."""
+    ev = load_events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    tot = (
+        per_key.agg(
+            F.sum("n_rows").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+        .withColumn("__k", F.lit(1))
+    )
+    return (
+        per_key.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .selectExpr(
+            "user_id",
+            "n_rows",
+            "(n_rows * n_keys * 1000000) div total AS skew_ratio_q",
+            "(n_rows * n_keys + total - 1) div total AS salt_factor",
+            "(n_rows * n_keys * 2) > (total * 3) AS is_hot",
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+    )

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from tracy_matdb_spark.catalog import load
 from tracy_matdb_spark.operators import textops
+from tracy_matdb_spark.operators.rank import grouped_value_rank
 from tracy_matdb_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -535,4 +536,66 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
         .orderBy("curl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl frontier politeness scheduling
+# ---------------------------------------------------------------------------
+
+CRAWL_BUCKET_S = 10  # schedule histogram bucket width (seconds)
+
+
+@register(
+    "crawl_frontier_schedule",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, doc_id % 7 AS host_id,
+                      1 + (doc_id % 7) % 3 AS delay_s
+               FROM documents),
+    sched AS (SELECT host_id, delay_s,
+                     (row_number() OVER (PARTITION BY host_id ORDER BY doc_id) - 1)
+                       * delay_s AS fetch_time_s
+              FROM f)
+    SELECT cast(fetch_time_s // {CRAWL_BUCKET_S} as bigint) AS bucket,
+           cast(count(*) as bigint) AS n_fetches,
+           cast(count(DISTINCT host_id) as bigint) AS n_hosts
+    FROM sched GROUP BY bucket ORDER BY bucket
+    """,
+)
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling of a crawl frontier: per-host FIFO order *
+    per-host crawl delay gives each URL its earliest fetch time; the
+    output is the schedule's {CRAWL_BUCKET_S}-second load histogram
+    (fetches per bucket, distinct hosts active) — what a crawler's
+    capacity planner reads to size its fetcher pool. Hosts and delays
+    are synthesized deterministically from doc_id (7 hosts, delays
+    1-3 s), like url_canonicalize's synthetic URLs.
+
+    The per-host FIFO position is the LOW-CARDINALITY-group rank
+    problem (7 hosts -> a naive per-host window sorts each whole host
+    in one task, and real crawls are zipf-hot on big domains), so the
+    position comes from the two-phase range-sliced rank
+    (operators/rank.py grouped_value_rank) — parallel per-slice windows
+    + O(slices) broadcast offsets; the histogram is one keyed
+    aggregation with map-side combine."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    f = docs.selectExpr(
+        "doc_id",
+        "doc_id % 7 AS host_id",
+        "1 + (doc_id % 7) % 3 AS delay_s",
+    )
+    ranked = grouped_value_rank(
+        f, ["host_id"], ["doc_id"], out_col="__pos", single_scan=True
+    )
+    return (
+        ranked.selectExpr(
+            "host_id",
+            f"((__pos - 1) * delay_s) div {CRAWL_BUCKET_S} AS bucket",
+        )
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.countDistinct("host_id").cast("long").alias("n_hosts"),
+        )
+        .orderBy("bucket")
     )
