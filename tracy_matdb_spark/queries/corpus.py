@@ -1112,3 +1112,81 @@ def corpus_e2e_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (the pre-tokenization cleanup stage)
+# ---------------------------------------------------------------------------
+
+_NBSP, _ENQUAD, _ZWSP = " ", " ", "​"
+_LDQ, _RDQ, _EMD = "“", "”", "—"
+
+
+def _tn_messy() -> str:
+    """Deterministic unicode mess injected from doc_id (same expression
+    text in both dialects): a leading NBSP / EN QUAD / ZWSP by doc_id%4,
+    word separators swapped to NBSP or TAB by doc_id%3, and a curly-
+    quoted, em-dashed suffix on doc_id%5 == 0."""
+    return (
+        f"concat(CASE WHEN doc_id % 4 = 0 THEN '{_NBSP}' "
+        f"WHEN doc_id % 4 = 1 THEN '{_ENQUAD}' "
+        f"WHEN doc_id % 4 = 2 THEN '{_ZWSP}' ELSE '' END, "
+        f"replace(text, ' ', CASE WHEN doc_id % 3 = 1 THEN '{_NBSP}' "
+        f"WHEN doc_id % 3 = 2 THEN '\t' ELSE ' ' END), "
+        f"CASE WHEN doc_id % 5 = 0 THEN '{_LDQ}q{_RDQ}{_EMD}' ELSE '' END)"
+    )
+
+
+def _tn_norm(expr: str, dialect: str) -> str:
+    """The normalizer chain: ZWSP removed, NBSP/EN QUAD/TAB to space,
+    curly quotes and em dash to ASCII, space runs collapsed, trim.
+    regexp_replace is global in Spark, needs 'g' in DuckDB; the char
+    classes carry real multi-byte codepoints through both regex engines."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    e = f"regexp_replace({expr}, '[{_ZWSP}]', ''{g})"
+    e = f"regexp_replace({e}, '[{_NBSP}{_ENQUAD}\t]', ' '{g})"
+    e = (
+        f"replace(replace(replace({e}, '{_LDQ}', '\"'), "
+        f"'{_RDQ}', '\"'), '{_EMD}', '-')"
+    )
+    return f"trim(regexp_replace({e}, '  +', ' '{g}))"
+
+
+@register(
+    "text_normalize",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_tn_messy()} AS mt FROM documents),
+    n AS (SELECT doc_id, mt, {_tn_norm("mt", "duckdb")} AS nt FROM m)
+    SELECT doc_id, (mt <> nt) AS changed,
+           cast(length(mt) - length(nt) as bigint) AS chars_removed,
+           md5(nt) AS norm_md5
+    FROM n ORDER BY doc_id
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization ahead of tokenization: zero-width chars
+    removed, NBSP/EN-QUAD/tabs to plain space, curly quotes and em
+    dashes to ASCII, space runs collapsed, trimmed — the C4/CCNet-style
+    cleanup every web corpus runs before counting a single token. The
+    synthetic corpus is clean ASCII, so deterministic mess is injected
+    first from doc_id (same construction in the oracle), exactly like
+    url_canonicalize's synthetic URLs: the normalizer chain is the
+    thing under test, over real multi-byte codepoints in both engines.
+
+    Map-only (regexp/replace chain pushed against the scan, no shuffle
+    before the output sort); at 100 TB this fuses into one
+    whole-stage-codegen projection. Character counts use length() over
+    CODEPOINTS (identical in both engines for UTF-8), so chars_removed
+    is byte-order independent."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    m = docs.selectExpr("doc_id", f"{_tn_messy()} AS mt")
+    return (
+        m.selectExpr("doc_id", "mt", f"{_tn_norm('mt', 'spark')} AS nt")
+        .selectExpr(
+            "doc_id",
+            "(mt <> nt) AS changed",
+            "cast(length(mt) - length(nt) as bigint) AS chars_removed",
+            "md5(nt) AS norm_md5",
+        )
+        .orderBy("doc_id")
+    )

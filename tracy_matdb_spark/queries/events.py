@@ -1087,3 +1087,65 @@ def skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_rows").desc(), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation merge (materialized-view maintenance)
+# ---------------------------------------------------------------------------
+
+DELTA_DAY = 19752  # 2024-01-30: the "incoming batch" day; history is before
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum({ROUND2}) as bigint) AS sum_cents,
+           cast(sum({ROUND2}) // count(*) as bigint) AS avg_cents
+    FROM (SELECT event_type, value AS v FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance by ALGEBRAIC partial re-aggregation:
+    per-(event_type, day) partial states (count, sum) are 'stored' for
+    history (day < {DELTA_DAY}), the incoming day's partials are computed
+    separately, and the final per-type rollup MERGES partials (sum of
+    counts, sum of sums) — never rescanning history rows. The oracle is
+    the flat full recompute, so the green check is precisely the
+    incremental-maintenance correctness property (merge(partials) ==
+    recompute(all)) that lets a 100 TB pipeline refresh a rollup from
+    one day's delta: O(delta + |state|) instead of O(history).
+
+    Both stages are keyed hash aggregations with map-side combine; the
+    stored-state side is lazily checkpointed to make the 'read saved
+    state, don't recompute it' shape explicit in the plan. avg derives
+    from merged sums (integer division) — the standard algebraic
+    decomposition of non-distributive aggregates."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type",
+        "(ts_ns div 1000) div 86400000000 AS day",
+        "value AS v",
+    )
+    partial = lambda df: df.groupBy("event_type", "day").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.expr(ROUND2)).alias("ps"),
+    )
+    state = partial(ev.filter(F.col("day") < DELTA_DAY)).localCheckpoint(eager=False)
+    delta = partial(ev.filter(F.col("day") >= DELTA_DAY))
+    return (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pc").cast("long").alias("n_events"),
+            F.sum("ps").cast("long").alias("sum_cents"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_events",
+            "sum_cents",
+            "sum_cents div n_events AS avg_cents",
+        )
+        .orderBy("event_type")
+    )

@@ -2097,3 +2097,91 @@ def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated universe sampling (approximate query processing)
+# ---------------------------------------------------------------------------
+
+UNIV_MOD = 10  # keep 1/10 of the orderkey universe
+
+
+@register(
+    "universe_sample_join",
+    oracle=f"""
+    WITH keep AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE ('0x' || substr(md5(concat_ws('|', 'univ',
+                   cast(o_orderkey as varchar))), 1, 15))::bigint % {UNIV_MOD} = 0
+    ),
+    est AS (
+        SELECT o_orderstatus AS status,
+               round(sum(l_extendedprice * (1 - l_discount)) * {UNIV_MOD}, 2) AS est_revenue,
+               cast(count(*) as bigint) AS n_sampled
+        FROM keep JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY status
+    ),
+    exact AS (
+        SELECT o_orderstatus AS status,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS exact_revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY status
+    )
+    SELECT est.status, est.n_sampled, est.est_revenue, exact.exact_revenue,
+           cast(floor(est.est_revenue * cast(1000 as double)
+                      / exact.exact_revenue) as bigint) AS ratio_ppt
+    FROM est JOIN exact ON est.status = exact.status
+    ORDER BY est.status
+    """,
+)
+def universe_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated (universe) sampling across a join — the AQP trick of
+    BlinkDB/Quickr/VerdictDB: sample BOTH join sides by the same hash
+    predicate on the JOIN KEY (here: keep orderkeys whose 60-bit md5
+    hash lands in 1/{UNIV_MOD} of the universe), so sampled rows still
+    find their join partners and the join of samples IS a 1/{UNIV_MOD}
+    sample of the join — independent Bernoulli sampling of each side
+    would yield 1/{UNIV_MOD}^2 of pairs and destroy the estimate. The
+    estimator scales revenue by {UNIV_MOD}; the output reports it
+    against the exact answer with a parts-per-thousand ratio.
+
+    Scale: the hash predicate is a pushable scan filter on each side —
+    at 100 TB the sample join touches 10% of orders and (via the join)
+    ~10% of lineitem, with no coordination, no stored sample, and any
+    orderkey-grain aggregate stays unbiased. Only the orders side needs
+    the explicit predicate here because lineitem joins through the
+    sampled keys; the exact branch reuses the same scans."""
+    t = load(spark, sf_dir, ("orders", "lineitem"))
+    from tracy_matdb_spark.functions.prng import hash60
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    li = t["lineitem"].select("l_orderkey", rev)
+    keep = t["orders"].filter(
+        hash60(F.lit("univ"), F.col("o_orderkey")) % UNIV_MOD == 0
+    ).select("o_orderkey", "o_orderstatus")
+    est = (
+        keep.join(li, keep["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.sum("rev") * UNIV_MOD, 2).alias("est_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        )
+    )
+    exact = (
+        t["orders"].select("o_orderkey", "o_orderstatus")
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.round(F.sum("rev"), 2).alias("exact_revenue"))
+    )
+    return (
+        est.join(exact, "status")
+        .selectExpr(
+            "status",
+            "n_sampled",
+            "est_revenue",
+            "exact_revenue",
+            "cast(floor(est_revenue * cast(1000 as double) / exact_revenue) as bigint)"
+            " AS ratio_ppt",
+        )
+        .orderBy("status")
+    )
