@@ -72,6 +72,10 @@ SCALING_EXTRA = [
     "countmin_heavy_hitters",  # sketch shuffle bounded at d*w keys
     "median_mad_outliers",  # two range-sliced selection passes
     "unigram_sampling_table",  # range-sliced prefix sum over the vocab
+    "triangle_part_graph",  # pair agg + wedge join (degree-oriented)
+    "dedup_keep_best",  # LSH pairs -> components -> argmax retention
+    "shard_token_budget",  # global range-sliced rank under the sharder
+    "universe_sample_join",  # sampled + exact join branches
 ]
 
 

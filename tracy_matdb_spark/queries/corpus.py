@@ -1190,3 +1190,95 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 passage ranking (the retrieval scorer over the inverted index)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("scan", "join", "merge")  # fixed 3-term query
+BM25_K1 = "cast(1.2 as double)"
+BM25_B_DL = "cast(0.75 as double)"  # b, applied to dl*N/total_tokens
+
+
+def _bm25_sql(dialect: str, n: str = "N", tot: str = "tot") -> str:
+    """Okapi BM25 (Lucene idf form) with every input an exact integer
+    (tf, df, dl, N, total tokens) so both engines run the identical
+    double-precision expression tree: no avgdl pre-division — the
+    length normalizer is b * dl * N / tot, algebraically equal to
+    b * dl / avgdl but computed integer-first. `n`/`tot` are the corpus
+    scalars: column refs in the oracle, folded integer literals in the
+    Spark plan."""
+    idf = f"ln((cast({n} - df as double) + 0.5) / (cast(df as double) + 0.5) + 1.0)"
+    denom = (
+        f"cast(tf as double) + {BM25_K1} * "
+        f"(1.0 - {BM25_B_DL} + {BM25_B_DL} * cast(dl as double) * "
+        f"cast({n} as double) / cast({tot} as double))"
+    )
+    return f"{idf} * cast(tf as double) * ({BM25_K1} + 1.0) / ({denom})"
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {textops.toks_expr('duckdb')} AS toks
+               FROM documents WHERE n_chars > 0),
+    dl AS (SELECT doc_id, cast(len(toks) as bigint) AS dl FROM d),
+    n AS (SELECT cast(count(*) as bigint) AS N,
+                 cast(sum(len(toks)) as bigint) AS tot FROM d),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    qt AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf FROM t
+           WHERE term IN ({', '.join(repr(t) for t in BM25_QUERY)})
+           GROUP BY doc_id, term),
+    df AS (SELECT term, cast(count(DISTINCT doc_id) as bigint) AS df
+           FROM t WHERE term IN ({', '.join(repr(t) for t in BM25_QUERY)})
+           GROUP BY term),
+    scored AS (SELECT qt.doc_id,
+                      round(sum({_bm25_sql('duckdb')}), 6) AS bm25
+               FROM qt JOIN df ON qt.term = df.term
+               JOIN dl ON dl.doc_id = qt.doc_id
+               CROSS JOIN n
+               GROUP BY qt.doc_id)
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus for a fixed 3-term query —
+    the ranking function a distributed search/RAG index serves, on top
+    of the same (term, doc, tf) substrate as inverted_index_postings.
+
+    Scale shape: tokens explode once; tf and df are keyed aggregations
+    RESTRICTED to the query terms before any join (the scan-side IN
+    filter makes the scored row count O(docs containing query terms),
+    not O(corpus)); df is a 3-row broadcast; corpus scalars N / total
+    tokens fold in as literals (one bounded aggregate job, the
+    tfidf_top_terms convention). The score expression uses integer
+    inputs only (tf, df, dl, N, tot) under identical double ops, so
+    round(.., 6) hashes identically in both engines. Top-15 runs as
+    TakeOrdered, no global sort."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"].filter(F.col("n_chars") > 0)
+    d = docs.selectExpr("doc_id", f"{toks} AS toks")
+    scalars = d.selectExpr("count(*) AS N", "sum(size(toks)) AS tot").first()
+    n_docs, tot = int(scalars["N"]), int(scalars["tot"])
+    inlist = ", ".join(repr(t) for t in BM25_QUERY)
+    terms = d.selectExpr(
+        "doc_id", "cast(size(toks) as bigint) AS dl", "explode(toks) AS term"
+    ).filter(F.expr(f"term IN ({inlist})"))
+    qt = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = (
+        terms.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    score = _bm25_sql("spark", n=str(n_docs), tot=str(tot))
+    return (
+        qt.join(F.broadcast(df_), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.expr(score)), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )

@@ -599,3 +599,81 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) routing — consistent shard affinity
+# ---------------------------------------------------------------------------
+
+HRW_NODES = ("n0", "n1", "n2", "n3", "n4")
+HRW_REMOVED = "n2"
+
+
+def _hrw_hash(dialect: str, node: str) -> str:
+    """60-bit md5 weight of (node, doc_id) — same literal arithmetic in
+    both dialects (the hash60 convention of functions/prng.py)."""
+    cast = "varchar" if dialect == "duckdb" else "string"
+    return (
+        f"('0x' || substr(md5(concat_ws('|', 'hrw', '{node}', "
+        f"cast(doc_id as {cast}))), 1, 15))::bigint"
+        if dialect == "duckdb"
+        else f"cast(conv(substr(md5(concat_ws('|', 'hrw', '{node}', "
+        f"cast(doc_id as {cast}))), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def _hrw_owner(dialect: str, nodes: tuple[str, ...]) -> str:
+    """argmax-by-hash as an explicit CASE chain over the node weights
+    (h_i >= all later h_j picks the first maximal node — md5 ties are
+    practically impossible and the >= rule is deterministic anyway)."""
+    hs = {n: _hrw_hash(dialect, n) for n in nodes}
+    arms = []
+    for i, n in enumerate(nodes[:-1]):
+        conds = " AND ".join(f"({hs[n]}) >= ({hs[m]})" for m in nodes[i + 1 :])
+        arms.append(f"WHEN {conds} THEN '{n}'")
+    return f"CASE {' '.join(arms)} ELSE '{nodes[-1]}' END"
+
+
+@register(
+    "rendezvous_routing",
+    oracle=f"""
+    WITH o AS (SELECT doc_id,
+                      {_hrw_owner("duckdb", HRW_NODES)} AS owner_before,
+                      {_hrw_owner("duckdb", tuple(n for n in HRW_NODES if n != HRW_REMOVED))} AS owner_after
+               FROM documents)
+    SELECT owner_before, owner_after,
+           cast(count(*) as bigint) AS n_docs,
+           (owner_before <> owner_after) AS moved
+    FROM o GROUP BY owner_before, owner_after
+    ORDER BY owner_before, owner_after
+    """,
+)
+def rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: every document's
+    owner is the node with the max md5 weight of (node, key) — the
+    consistent-routing scheme behind cache/shard affinity. The output
+    crosses each doc's owner under 5 nodes with its owner after node
+    {HRW_REMOVED!r} is removed: HRW's minimal-disruption property means
+    the ONLY rows with moved=true have owner_before = {HRW_REMOVED!r}
+    (a green oracle check proves it — keys never move between two
+    surviving nodes), and the displaced keys spread across survivors
+    by hash weight, not to one successor like naive mod-N rehashing.
+
+    Map-only: the owner is one codegen'd CASE chain of md5 compares
+    per row (O(nodes) hashes, no join, no shuffle before the bounded
+    rollup) — at 100 TB the router is a projection, and the rollup is
+    O(nodes^2) rows."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    survivors = tuple(n for n in HRW_NODES if n != HRW_REMOVED)
+    return (
+        docs.selectExpr(
+            "doc_id",
+            f"{_hrw_owner('spark', HRW_NODES)} AS owner_before",
+            f"{_hrw_owner('spark', survivors)} AS owner_after",
+        )
+        .groupBy("owner_before", "owner_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("moved", F.col("owner_before") != F.col("owner_after"))
+        .select("owner_before", "owner_after", "n_docs", "moved")
+        .orderBy("owner_before", "owner_after")
+    )
