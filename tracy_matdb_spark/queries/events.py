@@ -1149,3 +1149,102 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout with CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+AB_CUT_DAY = 19737  # 2024-01-15: pre-period before, post-period after
+
+
+def _ab_user_sql_duckdb() -> str:
+    """Per-user pre/post value sums (cents) + deterministic arm
+    assignment by 60-bit md5 of the user id (the hash60 convention);
+    the Spark twin builds the same expressions inline over ts_ns."""
+    h = "('0x' || substr(md5(concat_ws('|', 'ab', cast(user_id as varchar))), 1, 15))::bigint"
+    day = "epoch_us(ts) // 86400000000"
+    return (
+        f"SELECT user_id, {h} % 2 AS arm, "
+        f"cast(coalesce(sum(CASE WHEN {day} < {AB_CUT_DAY} THEN {ROUND2} END), 0) as bigint) AS x, "
+        f"cast(coalesce(sum(CASE WHEN {day} >= {AB_CUT_DAY} THEN {ROUND2} END), 0) as bigint) AS y "
+        f"FROM {{src}} GROUP BY user_id"
+    )
+
+
+@register(
+    "ab_cuped_readout",
+    oracle=f"""
+    WITH u AS ({_ab_user_sql_duckdb().format(src="(SELECT user_id, ts, value AS v FROM events)")}),
+    m AS (SELECT cast(count(*) as bigint) AS n, cast(sum(x) as bigint) AS sx,
+                 cast(sum(y) as bigint) AS sy, cast(sum(x * x) as bigint) AS sxx,
+                 cast(sum(x * y) as bigint) AS sxy
+          FROM u),
+    adj AS (SELECT u.arm, u.y, u.x,
+                   (cast(m.n as double) * m.sxy - cast(m.sx as double) * m.sy)
+                     / (cast(m.n as double) * m.sxx - cast(m.sx as double) * m.sx) AS theta,
+                   cast(m.sx as double) / m.n AS mean_x
+            FROM u CROSS JOIN m)
+    SELECT arm,
+           cast(count(*) as bigint) AS n_users,
+           round(avg(cast(y as double)), 6) AS mean_y,
+           round(avg(cast(y as double) - theta * (cast(x as double) - mean_x)), 6) AS mean_y_cuped
+    FROM adj GROUP BY arm ORDER BY arm
+    """,
+)
+def ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et al.
+    2013): users hash deterministically into two arms, the post-period
+    per-user value is adjusted by theta * (pre-period - mean) where
+    theta = cov(pre, post)/var(pre) from the POOLED population — the
+    standard trick that cuts metric variance using pre-experiment data
+    without biasing the treatment contrast (theta and mean_x are
+    arm-independent).
+
+    Scale shape: per-user pre/post sums are one keyed aggregation over
+    the events (integer cents); theta's moment sums (n, sx, sy, sxx,
+    sxy) are a second bounded aggregate folded back as literals in the
+    Spark plan (the bm25 convention — no row-wise normalizer join); the
+    arm rollup is O(2) rows. All doubles derive from exact integer
+    moments through the same expression tree in both engines."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "user_id", "ts_ns", "value AS v"
+    )
+    u = ev.selectExpr(
+        "user_id",
+        "v",
+        f"(ts_ns div 1000) div 86400000000 AS day",
+    ).groupBy("user_id").agg(
+        F.expr(f"coalesce(sum(CASE WHEN day < {AB_CUT_DAY} THEN {ROUND2} END), 0)")
+        .cast("long").alias("x"),
+        F.expr(f"coalesce(sum(CASE WHEN day >= {AB_CUT_DAY} THEN {ROUND2} END), 0)")
+        .cast("long").alias("y"),
+    ).selectExpr(
+        "user_id",
+        "cast(conv(substr(md5(concat_ws('|', 'ab', cast(user_id as string))), 1, 15), 16, 10) as bigint) % 2 AS arm",
+        "x",
+        "y",
+    )
+    u = u.localCheckpoint(eager=False)  # moments + readout read one pass
+    m = u.selectExpr(
+        "count(*) AS n", "sum(x) AS sx", "sum(y) AS sy",
+        "sum(x * x) AS sxx", "sum(x * y) AS sxy",
+    ).first()
+    n, sx, sy, sxx, sxy = (int(m[k]) for k in ("n", "sx", "sy", "sxx", "sxy"))
+    theta = f"((cast({n} as double) * {sxy} - cast({sx} as double) * {sy}) / (cast({n} as double) * {sxx} - cast({sx} as double) * {sx}))"
+    mean_x = f"(cast({sx} as double) / {n})"
+    return (
+        u.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("mean_y"),
+            F.round(
+                F.avg(
+                    F.col("y").cast("double")
+                    - F.expr(theta) * (F.col("x").cast("double") - F.expr(mean_x))
+                ),
+                6,
+            ).alias("mean_y_cuped"),
+        )
+        .orderBy("arm")
+    )

@@ -2185,3 +2185,96 @@ def universe_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy audits: k-anonymity + differential-privacy noisy counts
+# ---------------------------------------------------------------------------
+
+KANON_K = 8  # minimum group size for a releasable quasi-identifier cell
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           cast(count(*) as bigint) AS n_rows,
+           (count(*) < {KANON_K}) AS suppress
+    FROM customer
+    GROUP BY nation, segment
+    ORDER BY nation, segment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (nation, segment):
+    every cell smaller than k={KANON_K} is flagged for suppression or
+    generalization before a data release — the standard privacy gate a
+    training-data pipeline runs on user-derived metadata columns.
+    One keyed aggregation with map-side combine; the audit output is
+    O(QI-cardinality) rows regardless of data size."""
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn("suppress", F.col("n_rows") < KANON_K)
+        .orderBy("nation", "segment")
+    )
+
+
+DP_EPS_INV = "cast(1.0 as double)"  # Laplace scale b = sensitivity/epsilon = 1/1.0
+
+
+def _dp_noise(dialect: str) -> str:
+    """Laplace(b) noise by inverse-CDF over a COUNTER-BASED uniform:
+    u = hash60('dp', nation)/2^60 - 0.5; noise = -b*sgn(u)*ln(1-2|u|).
+    Seeded-PRNG noise is exactly how distributed DP releases are made
+    reproducible (and re-releasable) in production; the same literal
+    arithmetic runs in both engines, so the release is verifiable."""
+    cast = "varchar" if dialect == "duckdb" else "string"
+    h = (
+        f"('0x' || substr(md5(concat_ws('|', 'dp', cast(nation as {cast}))), 1, 15))::bigint"
+        if dialect == "duckdb"
+        else f"cast(conv(substr(md5(concat_ws('|', 'dp', cast(nation as {cast}))), 1, 15), 16, 10) as bigint)"
+    )
+    u = f"(cast({h} as double) / cast(1152921504606846976 as double) - 0.5)"
+    return (
+        f"(-{DP_EPS_INV} * sign({u}) * ln(1.0 - 2.0 * abs({u})))"
+    )
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (SELECT c_nationkey AS nation, cast(count(*) as bigint) AS true_n
+               FROM customer GROUP BY nation)
+    SELECT nation, true_n,
+           round(cast(true_n as double) + {_dp_noise("duckdb")}, 6) AS noisy_n
+    FROM g ORDER BY nation
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: per-nation customer
+    counts plus Laplace(1/eps) noise (eps=1, sensitivity 1) drawn by
+    inverse CDF from a counter-based uniform keyed on the cell — the
+    reproducible-noise construction distributed DP systems use so a
+    release can be regenerated and audited without storing noise.
+    (true_n appears alongside here because this is the correctness
+    fixture; a real release drops it.)
+
+    One keyed aggregation; the noise is a map-only expression over the
+    O(cells) rollup — DP release cost is independent of data size."""
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    g = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return (
+        g.selectExpr(
+            "nation",
+            "true_n",
+            f"round(cast(true_n as double) + {_dp_noise('spark')}, 6) AS noisy_n",
+        )
+        .orderBy("nation")
+    )
