@@ -407,6 +407,11 @@ def triangle_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= TRI_SUPPORT)
         .select("u", "v")
+        # e0 feeds BOTH the degree aggregate and the orientation join:
+        # checkpoint lazily or the co-purchase self-join re-derives per
+        # reference (the plan audit showed 45 joins / 184 exchanges
+        # from the un-checkpointed form — the textbook DAG explosion)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e0.selectExpr("u AS node")
@@ -422,6 +427,9 @@ def triangle_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN struct(du, u) < struct(dv, v) THEN v ELSE u END AS t",
             "CASE WHEN struct(du, u) < struct(dv, v) THEN dv ELSE du END AS dt",
         )
+        # the oriented edge table is read THREE times (both wedge legs
+        # + the closing edge): one materialized copy, not three derivations
+        .localCheckpoint(eager=False)
     )
     ab = o.selectExpr("s", "t AS b", "dt AS db")
     ac = o.selectExpr("s", "t AS c", "dt AS dc")
