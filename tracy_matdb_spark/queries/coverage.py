@@ -79,7 +79,7 @@ TEXT_FIXTURE: list[tuple[str, list[dict]]] = [
 SPECIES_TYPES = {"Ag": 0, "Pd": 1, "Cu": 2, "Ni": 3, "Pt": 4}
 TYPE_SPECIES = {v: k for k, v in SPECIES_TYPES.items()}
 
-FIXTURE_ROOT = "/tmp/tracy_matdb_fixtures"
+from tracy_matdb_spark.fixtures import FIXTURE_ROOT  # noqa: F401  (pid-suffixed, see fixtures.py)
 
 
 def _write_text_fixture(fmt: str) -> str:

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from tracy_matdb_spark.queries import register
 
-FIXTURE_ROOT = "/tmp/tracy_matdb_fixtures"
+from tracy_matdb_spark.fixtures import FIXTURE_ROOT  # noqa: F401  (pid-suffixed, see fixtures.py)
 
 # ---------------------------------------------------------------------------
 # VASP fixtures: (name, record) with fractional positions and Voigt stress
