@@ -15,7 +15,7 @@ and it stays exactly oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tracy_matdb_spark.catalog import load
@@ -1281,4 +1281,125 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.expr(score)), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: training-data export manifest (the curation chain end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_export_manifest",
+    headline=True,
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, trim(text) AS t, {textops.toks_expr('duckdb')} AS toks
+               FROM documents WHERE n_chars > 0),
+    q AS (SELECT doc_id, source, t, toks,
+                 cast(len(toks) as bigint) AS n_tok,
+                 cast({textops.count_in_expr('duckdb', 'toks', textops.STOPWORDS)} as bigint) AS n_stop
+          FROM d),
+    keepq AS (SELECT * FROM q
+              WHERE n_tok >= 10 AND n_tok <= 500
+                AND {textops.quant_ratio_expr('n_stop', 'n_tok')} < 500000),
+    ded AS (SELECT *, min(doc_id) OVER (
+                PARTITION BY md5(lower(regexp_replace(t, '\\s+', ' ', 'g')))) AS keep_id
+            FROM keepq),
+    keptd AS (SELECT doc_id, source, toks, n_tok FROM ded
+              WHERE doc_id = keep_id AND source <> '{EVAL_SOURCE}'),
+    evg AS (SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')) AS ng
+            FROM d CROSS JOIN (SELECT unnest(generate_series(1,
+                (SELECT max(len(toks)) FROM d))) AS i) g
+            WHERE source = '{EVAL_SOURCE}' AND i + {DECON_N - 1} <= len(toks)),
+    sh AS (SELECT DISTINCT doc_id,
+                  md5(array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ')) AS ng
+           FROM keptd CROSS JOIN (SELECT unnest(generate_series(1,
+               (SELECT max(len(toks)) FROM d))) AS i) g
+           WHERE i + {DECON_N - 1} <= len(toks)),
+    contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN evg USING (ng)),
+    surv AS (SELECT doc_id, source, n_tok FROM keptd
+             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    r AS (SELECT source, n_tok,
+                 row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rk
+          FROM surv),
+    s AS (SELECT source, n_tok,
+                 CASE WHEN (rk // {N_SHARDS}) % 2 = 0 THEN rk % {N_SHARDS}
+                      ELSE {N_SHARDS} - 1 - (rk % {N_SHARDS}) END AS shard_id
+          FROM r)
+    SELECT cast(shard_id as bigint) AS shard_id, source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_tok) as bigint) AS n_tokens
+    FROM s GROUP BY shard_id, source
+    ORDER BY shard_id, source
+    """,
+)
+def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain END-TO-END as one lazy plan: quality gate
+    (token count + stopword ratio) -> exact dedup keep-min ->
+    benchmark-slice exclusion + n-gram decontamination against the
+    eval source -> snake-balanced shard assignment -> per-(shard,
+    source) export manifest. This is the manifest a training job reads;
+    every stage is the registered single-purpose operator's exact logic
+    (text_quality / dedup_exact / decontam_ngram_overlap /
+    shard_token_budget), so the capstone verifies their COMPOSITION —
+    filters feeding joins feeding the global rank — not new semantics.
+
+    Scale: tokenization materializes once per doc; the dedup keep-min
+    is a window over the md5 fingerprint (high cardinality — parallel);
+    decontamination is a hashed n-gram semi-join (eval side tiny and
+    broadcastable at real scale); the shard rank is the two-phase
+    range-sliced rank; the manifest is one keyed rollup. Shuffles:
+    fingerprint, n-gram hash, range slice, rollup — all keyed, no
+    quadratic stage."""
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    d = docs.filter(F.col("n_chars") > 0).selectExpr(
+        "doc_id", "source", "trim(text) AS t", f"{toks} AS toks"
+    ).localCheckpoint(eager=False)  # tok layer feeds quality + both shingle sides
+    q = d.selectExpr(
+        "doc_id", "source", "t", "toks",
+        "cast(size(toks) as bigint) AS n_tok",
+        f"cast({textops.count_in_expr('spark', 'toks', textops.STOPWORDS)} as bigint) AS n_stop",
+    )
+    keepq = q.filter(
+        (F.col("n_tok") >= 10) & (F.col("n_tok") <= 500)
+        & (F.expr(textops.quant_ratio_expr("n_stop", "n_tok")) < 500000)
+    )
+    fp = "md5(lower(regexp_replace(t, '\\\\s+', ' ')))"
+    w = Window.partitionBy(F.expr(fp))
+    keptd = (
+        keepq.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter((F.col("doc_id") == F.col("keep_id")) & (F.col("source") != EVAL_SOURCE))
+        .select("doc_id", "source", "toks", "n_tok")
+    )
+    def shingles(df):
+        return (
+            df.select(
+                "doc_id",
+                F.explode(F.expr(f"sequence(1, size(toks) - {DECON_N - 1})")).alias("i"),
+                "toks",
+            )
+            .selectExpr("doc_id", f"md5(array_join(slice(toks, i, {DECON_N}), ' ')) AS ng")
+            .distinct()
+        )
+    evg = shingles(d.filter(F.col("source") == EVAL_SOURCE)).select("ng").distinct()
+    contaminated = shingles(keptd).join(evg, "ng").select("doc_id").distinct()
+    surv = keptd.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_tok"
+    ).withColumn("__g", F.lit(0)).withColumn("__negt", -F.col("n_tok"))
+    ranked = grouped_value_rank(
+        surv, ["__g"], ["__negt", "doc_id"], out_col="__rk", single_scan=True
+    ).withColumn("__rk", F.col("__rk") - 1)
+    return (
+        ranked.selectExpr(
+            "source", "n_tok",
+            f"CASE WHEN (__rk div {N_SHARDS}) % 2 = 0 THEN __rk % {N_SHARDS} "
+            f"ELSE {N_SHARDS} - 1 - (__rk % {N_SHARDS}) END AS shard_id",
+        )
+        .groupBy(F.col("shard_id").cast("long").alias("shard_id"), "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard_id", "source")
     )

@@ -1248,3 +1248,52 @@ def ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+REVOKED_MOD = 7  # user_id % 7 == 3 simulates a deletion (GDPR erasure) batch
+
+
+@register(
+    "retraction_agg_merge",
+    oracle=f"""
+    SELECT event_type,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum({ROUND2}) as bigint) AS sum_cents
+    FROM (SELECT event_type, value AS v FROM events WHERE user_id % {REVOKED_MOD} <> 3)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def retraction_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE side of incremental view maintenance: a stored rollup
+    must honor an erasure request (users with user_id % {REVOKED_MOD}
+    == 3) WITHOUT rescanning history — subtract the revoked slice's
+    partials from the stored partials (counts and sums are
+    self-inverse under subtraction; that is what makes them
+    retractable aggregates, unlike min/max which need a rescan or an
+    auxiliary structure). The oracle recomputes flat over the
+    surviving rows, so the green check is merge(state, -delta) ==
+    recompute(remaining) — the GDPR-erasure property a 100 TB rollup
+    needs, at O(delta + |state|) cost.
+
+    Both sides are keyed hash aggregations with map-side combine; the
+    stored state is lazily checkpointed as in incremental_agg_merge."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type", "user_id", "value AS v"
+    )
+    partial = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("pc"), F.sum(F.expr(ROUND2)).alias("ps")
+    )
+    state = partial(ev).localCheckpoint(eager=False)
+    revoked = partial(ev.filter(F.col("user_id") % REVOKED_MOD == 3)).selectExpr(
+        "event_type", "-pc AS pc", "-ps AS ps"
+    )
+    return (
+        state.unionByName(revoked)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pc").cast("long").alias("n_events"),
+            F.sum("ps").cast("long").alias("sum_cents"),
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("event_type")
+    )
