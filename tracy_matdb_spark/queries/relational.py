@@ -2349,3 +2349,76 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k_clean", "k_dirty", "dist")
         .orderBy("k_clean", "k_dirty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics (order-statistic clipping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_stats",
+    oracle="""
+    WITH per AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                        l_orderkey AS k1, l_linenumber AS k2
+                 FROM lineitem),
+    r AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v, k1, k2) AS rk,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM per),
+    cuts AS (SELECT g,
+                    min(CASE WHEN rk = (n * 5 + 99) // 100 THEN v END) AS lo,
+                    min(CASE WHEN rk = (n * 95 + 99) // 100 THEN v END) AS hi
+             FROM r GROUP BY g)
+    SELECT per.g AS l_returnflag,
+           cast(count(*) as bigint) AS n_rows,
+           cuts.lo AS p05, cuts.hi AS p95,
+           cast(floor(avg(CASE WHEN per.v < cuts.lo THEN cuts.lo
+                               WHEN per.v > cuts.hi THEN cuts.hi
+                               ELSE per.v END) * cast(100 as double)) as bigint)
+               AS winsorized_mean_c
+    FROM per JOIN cuts ON per.g = cuts.g
+    GROUP BY per.g, cuts.lo, cuts.hi
+    ORDER BY l_returnflag
+    """,
+    doc="Winsorized mean per return flag: exact p05/p95 order statistics "
+    "by range-sliced k-th selection (operators/rank.py grouped_kth_value "
+    "— only the slice containing rank ceil(q*n) is ever window-sorted), "
+    "3-row cut table broadcast back, values clipped in a codegen'd CASE, "
+    "one keyed aggregation. The robust-mean cleanup stage for metrics "
+    "polluted by heavy tails — no per-group global sort at any scale; "
+    "ceil-rank (n*q + 99) div 100 keeps selection integer-exact in both "
+    "engines.",
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.operators.rank import grouped_kth_value
+
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    per = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    lo = grouped_kth_value(
+        per, ["g"], ["v", "k1", "k2"], "(__n * 5 + 99) div 100", out_cols=["v"]
+    ).select("g", F.col("v").alias("lo"))
+    hi = grouped_kth_value(
+        per, ["g"], ["v", "k1", "k2"], "(__n * 95 + 99) div 100", out_cols=["v"]
+    ).select("g", F.col("v").alias("hi"))
+    return (
+        per.join(F.broadcast(lo), "g")
+        .join(F.broadcast(hi), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("lo").alias("p05"),
+            F.min("hi").alias("p95"),
+            F.expr(
+                "cast(floor(avg(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi "
+                "ELSE v END) * cast(100 as double)) as bigint)"
+            ).alias("winsorized_mean_c"),
+        )
+        .selectExpr("g AS l_returnflag", "n_rows", "p05", "p95", "winsorized_mean_c")
+        .orderBy("l_returnflag")
+    )

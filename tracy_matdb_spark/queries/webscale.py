@@ -691,3 +691,84 @@ def rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("owner_before", "owner_after", "n_docs", "moved")
         .orderBy("owner_before", "owner_after")
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest-prefix-match routing (hierarchical rule join)
+# ---------------------------------------------------------------------------
+
+LPM_RULES = (
+    "/a0", "/a0/b1", "/a0/b1/c2", "/a1", "/a1/b0",
+    "/a2", "/a2/b4", "/a2/b4/c6", "/a1/b3/c5",
+)
+
+
+def _lpm_paths(dialect: str) -> tuple[str, str, str]:
+    """Depth-1/2/3 prefixes of the synthetic URL path, derived from
+    doc_id (same construction both dialects)."""
+    cast = "varchar" if dialect == "duckdb" else "string"
+    p1 = f"concat('/a', cast(doc_id % 3 as {cast}))"
+    p2 = f"concat({p1}, '/b', cast(doc_id % 5 as {cast}))"
+    p3 = f"concat({p2}, '/c', cast(doc_id % 7 as {cast}))"
+    return p1, p2, p3
+
+
+@register(
+    "longest_prefix_route",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_lpm_paths("duckdb")[0]} AS p1,
+                      {_lpm_paths("duckdb")[1]} AS p2,
+                      {_lpm_paths("duckdb")[2]} AS p3
+               FROM documents),
+    cand AS (SELECT doc_id, p1 AS pfx, 1 AS plen FROM u
+             UNION ALL SELECT doc_id, p2, 2 FROM u
+             UNION ALL SELECT doc_id, p3, 3 FROM u),
+    rules AS (SELECT * FROM (VALUES
+        {', '.join(f"('{r}')" for r in LPM_RULES)}) t(rule)),
+    hits AS (SELECT cand.doc_id, rules.rule, cand.plen
+             FROM cand JOIN rules ON cand.pfx = rules.rule),
+    m AS (SELECT doc_id, max(plen) AS ml FROM hits GROUP BY doc_id),
+    pick AS (SELECT hits.doc_id, hits.rule
+             FROM hits JOIN m ON hits.doc_id = m.doc_id AND hits.plen = m.ml)
+    SELECT rule, cast(count(*) as bigint) AS n_docs,
+           cast(min(doc_id) as bigint) AS first_doc
+    FROM pick GROUP BY rule ORDER BY rule
+    """,
+)
+def longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match routing: each URL path (synthesized from
+    doc_id, depth 3) routes to the LONGEST matching rule in a prefix
+    table — the hierarchical-match shape of CIDR tables, path-based
+    ACLs, and crawl scoping rules. Spark has no native LPM join; the
+    scalable expression is: explode each key into its O(depth)
+    ancestor prefixes, hash-join the (tiny, broadcast) rule table on
+    EXACT prefix, keep the max-depth hit per key — turning a
+    hierarchical containment match into an equi join with bounded
+    fan-out (depth, not rule count), the same trick the range join
+    uses (bucket, then exact).
+
+    Per-doc max is a keyed aggregation (max depth) joined back to the
+    single hit at that depth — at most one rule per depth exists, so
+    the pick is deterministic without a window."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    p1, p2, p3 = _lpm_paths("spark")
+    u = docs.selectExpr("doc_id", f"{p1} AS p1", f"{p2} AS p2", f"{p3} AS p3")
+    cand = (
+        u.selectExpr("doc_id", "p1 AS pfx", "1 AS plen")
+        .unionByName(u.selectExpr("doc_id", "p2 AS pfx", "2 AS plen"))
+        .unionByName(u.selectExpr("doc_id", "p3 AS pfx", "3 AS plen"))
+    )
+    rules = spark.createDataFrame([(r,) for r in LPM_RULES], "rule string")
+    hits = cand.join(
+        F.broadcast(rules), cand["pfx"] == rules["rule"]
+    ).select("doc_id", "rule", "plen").localCheckpoint(eager=False)
+    m = hits.groupBy("doc_id").agg(F.max("plen").alias("ml"))
+    pick = hits.join(m, "doc_id").filter(F.col("plen") == F.col("ml"))
+    return (
+        pick.groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("rule")
+    )
