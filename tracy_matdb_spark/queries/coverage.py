@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -1071,3 +1072,79 @@ def xyz_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_all(spark)
     out_dir = _write_text_fixture("xyz")
     return _roundtrip_projection(spark.read.format("xyz").load(out_dir))
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python UDTF (lateral-joinable table function)
+# ---------------------------------------------------------------------------
+
+UDTF_DOC_CAP = 40  # bound the lateral slice: the UDTF is API coverage,
+# not a hot path (run-length encoding is pure SQL at scale — the oracle)
+
+
+@register(
+    "udtf_token_runs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents
+               WHERE n_chars > 0 AND doc_id < {UDTF_DOC_CAP}),
+    t AS (SELECT doc_id, tok, cast(i as bigint) AS pos
+          FROM d, LATERAL (SELECT unnest(toks) AS tok,
+                                  generate_subscripts(toks, 1) AS i)),
+    isl AS (SELECT doc_id, tok, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id, tok
+                                            ORDER BY pos) AS grp
+            FROM t),
+    runs AS (SELECT doc_id, tok,
+                    min(pos) AS run_start, cast(count(*) as bigint) AS run_len
+             FROM isl GROUP BY doc_id, tok, grp)
+    SELECT doc_id, cast(run_start as int) AS run_start, tok AS token,
+           cast(run_len as int) AS run_len
+    FROM runs
+    WHERE run_len >= 2 OR run_start = 1
+    ORDER BY doc_id, run_start
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native Python UDTF (pyspark.sql.functions.udtf) under a
+    SQL LATERAL join: run-length encoding of each document's token
+    stream, keeping multi-token runs plus the leading run — the
+    repetition-detection primitive, here expressed as a TABLE FUNCTION
+    the way a user would ship a custom parser (class with eval()
+    yielding rows, registered via spark.udtf.register, invoked as
+    `FROM docs, LATERAL token_runs(text)`).
+
+    This is deliberate API-surface coverage of the UDTF slow path on a
+    BOUNDED slice (doc_id < {UDTF_DOC_CAP}): row-at-a-time Python is
+    never the 100 TB shape — the oracle IS the scale path (the same
+    RLE as a gaps-and-islands window over exploded tokens, all
+    codegen); the repo's production repetition metrics
+    (repetition_ratio) already use that form. The UDTF tokenizer
+    mirrors toks_expr ('\\s+' split on trimmed text) so both sides see
+    identical tokens."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_start: int, token: string, run_len: int")
+    class TokenRuns:
+        def eval(self, text: str):
+            toks = re.split(r"\s+", text.strip()) if text and text.strip() else []
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2 or i == 0:
+                    yield i + 1, toks[i], j - i
+                i = j
+
+    spark.udtf.register("token_runs", TokenRuns)
+    docs = load(spark, sf_dir, ("documents",))["documents"].filter(
+        (F.col("n_chars") > 0) & (F.col("doc_id") < UDTF_DOC_CAP)
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, r.run_start, r.token, r.run_len "
+        "FROM __udtf_docs, LATERAL token_runs(text) r "
+        "ORDER BY doc_id, run_start"
+    )
