@@ -1148,3 +1148,51 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM __udtf_docs, LATERAL token_runs(text) r "
         "ORDER BY doc_id, run_start"
     )
+
+
+@register(
+    "partitioned_write_prune",
+    oracle="""
+    SELECT source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(n_chars) as bigint) AS sum_chars
+    FROM documents
+    WHERE source IN ('src1', 'src2')
+    GROUP BY source ORDER BY source
+    """,
+    doc="Hive-style partitioned write + partition pruning: documents "
+    "written partitionBy(source), read back with a source filter. The "
+    "filter must prune to the two matching partition DIRECTORIES "
+    "(asserted: the scan's input files all live under source=src1/src2 "
+    "— directory-level pruning, not row-group skipping), which is the "
+    "layout contract that lets a 100 TB table answer per-source "
+    "queries by listing two directories. Dynamic partition overwrite "
+    "writes only the partitions present in the batch.",
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(FIXTURE_ROOT, "part_docs", tag)
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    (
+        docs.select("doc_id", "n_chars", "source")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(root)
+    )
+    back = spark.read.parquet(root).filter(F.col("source").isin("src1", "src2"))
+    # partition pruning is part of the CONTRACT under test: every file
+    # the pruned scan reads must live in one of the two partition dirs
+    files = back.select(F.input_file_name().alias("f")).distinct().collect()
+    bad = [r["f"] for r in files if "/source=src1/" not in r["f"] and "/source=src2/" not in r["f"]]
+    if bad:
+        raise AssertionError(f"partition pruning failed; scanned {bad[:3]}")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )

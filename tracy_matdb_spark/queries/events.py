@@ -1297,3 +1297,76 @@ def retraction_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > 0)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union (coverage merge) per user
+# ---------------------------------------------------------------------------
+
+IVL_LEN_US = 900_000_000  # each event opens a 15-minute activity interval
+
+
+@register(
+    "interval_union_per_user",
+    oracle=f"""
+    WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {IVL_LEN_US} AS e
+                FROM events),
+    o AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+          FROM iv),
+    isl AS (SELECT user_id, s, e,
+                   sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS grp
+            FROM o),
+    merged AS (SELECT user_id, min(s) AS ms, max(e) AS me
+               FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           cast(count(*) as bigint) AS n_intervals,
+           cast(sum(me - ms) // 1000000 as bigint) AS covered_s
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def interval_union_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: every event opens a 15-minute activity
+    interval; overlapping intervals merge, and the output is each
+    user's merged-interval count and total covered seconds — the
+    'total active time' metric (and the general union-of-intervals
+    primitive behind SLA uptime and sensor-coverage queries).
+
+    The merge is the gaps-and-islands pattern with a RUNNING MAX of
+    interval ends (an interval starts a new island only if it begins
+    after every earlier end — plain ORDER BY s is wrong when a long
+    interval swallows later short ones). Windows partition by user —
+    parallel across users at any scale; two keyed aggregations close
+    the rollup."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "user_id",
+        "ts_ns div 1000 AS s",
+        f"ts_ns div 1000 + {IVL_LEN_US} AS e",
+    )
+    byse = Window.partitionBy("user_id").orderBy("s", "e")
+    o = ev.withColumn(
+        "prev_max",
+        F.max("e").over(byse.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = o.withColumn(
+        "grp",
+        F.sum(
+            F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1)
+            .otherwise(0)
+        ).over(byse.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("user_id", "grp").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.expr("cast(sum(me - ms) div 1000000 as bigint)").alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )

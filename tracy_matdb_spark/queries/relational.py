@@ -2422,3 +2422,91 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("g AS l_returnflag", "n_rows", "p05", "p95", "winsorized_mean_c")
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_safe_priority_join",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pk
+               FROM orders WHERE o_orderkey % 10 = 1),
+    b AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pk,
+                 cast(count(*) as bigint) AS n_orders
+          FROM orders GROUP BY pk)
+    SELECT a.o_orderkey, coalesce(a.pk, '<null>') AS priority_key, b.n_orders
+    FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk
+    ORDER BY a.o_orderkey
+    """,
+    doc="Null-safe equality join (Spark `<=>`, SQL IS NOT DISTINCT "
+    "FROM): a nullable clerk key (one clerk nulled out via NULLIF) "
+    "joins a per-clerk rollup so NULL keys MATCH each other instead of "
+    "silently dropping — the semantics gotcha in every dedup/rollup "
+    "join over nullable dimensions. Crucially `<=>` is still an EQUI "
+    "join to Catalyst: the plan stays a hash join on the null-safe "
+    "key (no fallback to nested-loop), which is exactly why it is the "
+    "right spelling at scale vs an OR-of-IS-NULLs condition that "
+    "degenerates to BNL.",
+)
+def null_safe_priority_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    a = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", F.expr("nullif(o_orderpriority, '3-MEDIUM')").alias("pk")
+    )
+    b = (
+        o.select(F.expr("nullif(o_orderpriority, '3-MEDIUM')").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return (
+        a.join(b, a["pk"].eqNullSafe(b["pk"]))
+        .select(
+            "o_orderkey",
+            F.coalesce(a["pk"], F.lit("<null>")).alias("priority_key"),
+            "n_orders",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           cast(count(*) as bigint) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) as bigint)
+               AS grouping_id
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    ORDER BY grouping_id, status, priority
+    """,
+    doc="Explicit GROUPING SETS (the general form under ROLLUP/CUBE): "
+    "three aggregation grains in ONE shuffle pass — Spark expands the "
+    "sets map-side and aggregates once, vs three scans if written as a "
+    "UNION ALL of rollups; grouping() flags disambiguate real NULLs "
+    "from subtotal rows. Complements orders_rollup (ROLLUP) and "
+    "lineitem_cube (CUBE).",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    o.createOrReplaceTempView("__gs_orders")
+    return o.sparkSession.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               cast(count(*) as bigint) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) as bigint)
+                   AS grouping_id
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY grouping_id, status, priority
+        """
+    )
