@@ -78,6 +78,8 @@ NLJ_ALLOWED = {
     # one-row totals broadcast (Catalyst folds the constant join key to a
     # trivially-true condition; the build side is a single aggregate row)
     "skew_profile_users",
+    # 1-row point-estimate x 1-row CI join (both bounded aggregates)
+    "bootstrap_ci_revenue",
 }
 
 

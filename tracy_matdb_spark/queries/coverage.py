@@ -1196,3 +1196,52 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (the Deequ/dbt-style dataset card)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+def _profile_block(dialect: str, col: str, table: str = "orders") -> str:
+    """One column's profile row: every engine-portable stat is reduced
+    to strings/ints (min/max rendered as varchar so heterogeneous
+    column types stack in one result)."""
+    cast = "varchar" if dialect == "duckdb" else "string"
+    return (
+        f"SELECT '{col}' AS col_name, "
+        f"cast(count(*) as bigint) AS n_rows, "
+        f"cast(count({col}) as bigint) AS n_nonnull, "
+        f"cast(count(DISTINCT {col}) as bigint) AS n_distinct, "
+        f"cast(min({col}) as {cast}) AS min_s, "
+        f"cast(max({col}) as {cast}) AS max_s "
+        f"FROM {table}"
+    )
+
+
+@register(
+    "table_profile_orders",
+    oracle=" UNION ALL ".join(_profile_block("duckdb", c) for c in _PROFILE_COLS)
+    + " ORDER BY col_name",
+    doc="Dataset-card column profiler (the Deequ/dbt-docs shape): one "
+    "row per column with row/non-null/distinct counts and stringified "
+    "min/max. Each block is an independent aggregate over the same "
+    "scan; Spark shares the scan across the UNION ALL branches and "
+    "each count(DISTINCT) is a two-stage partial aggregate — the "
+    "profile of a 100 TB table is a handful of full scans with "
+    "map-side reduction and KB-sized results. The exact distinct "
+    "count is the fidelity choice here; events_distinct_users_approx "
+    "is the sketch path when exactness is not worth the shuffle.",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    o.createOrReplaceTempView("__profile_orders")
+    sql = " UNION ALL ".join(
+        _profile_block("spark", c, table="__profile_orders") for c in _PROFILE_COLS
+    ) + " ORDER BY col_name"
+    return o.sparkSession.sql(sql)

@@ -564,3 +564,92 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (the distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicas
+
+# Inverse-CDF thresholds for Poisson(1): P(X <= k), k = 0..5. A row's
+# replica weight is the smallest k whose cumulative probability exceeds
+# the row's deterministic uniform — identical double literals in both
+# engines, so weights are bit-identical.
+_POIS1_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+)
+
+
+def _pois1_expr(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {arms} ELSE 6 END)"
+
+
+def _boot_u(dialect: str) -> str:
+    """Deterministic uniform per (orderkey, replica) — counter-based,
+    so any executor recomputes the same weight for the same row."""
+    cast = "varchar" if dialect == "duckdb" else "string"
+    h = (
+        f"('0x' || substr(md5(concat_ws('|', 'boot', cast(o_orderkey as {cast}), "
+        f"cast(b as {cast}))), 1, 15))::bigint"
+        if dialect == "duckdb"
+        else f"cast(conv(substr(md5(concat_ws('|', 'boot', cast(o_orderkey as {cast}), "
+        f"cast(b as {cast}))), 1, 15), 16, 10) as bigint)"
+    )
+    return f"(cast({h} as double) / cast(1152921504606846976 as double))"
+
+
+@register(
+    "bootstrap_ci_revenue",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b),
+    w AS (SELECT o_orderkey, o_totalprice, b,
+                 {_pois1_expr(_boot_u("duckdb"))} AS wt
+          FROM orders CROSS JOIN reps),
+    means AS (SELECT b,
+                     sum(wt * o_totalprice) / sum(wt) AS m
+              FROM w GROUP BY b HAVING sum(wt) > 0),
+    sorted AS (SELECT list_sort(list(m)) AS ms FROM means)
+    SELECT round((SELECT avg(o_totalprice) FROM orders), 6) AS point_mean,
+           round(ms[2], 6)  AS ci_lo,
+           round(ms[{BOOT_B - 1}], 6) AS ci_hi
+    FROM sorted
+    """,
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the distributed bootstrap: each row enters
+    replica b with weight ~ Poisson(1), drawn from a counter-based
+    uniform keyed on (row, replica) — no resampling pass, no shared
+    state, embarrassingly parallel) for a 95%-ish CI on mean order
+    price: {BOOT_B} replica means, CI = 2nd and {BOOT_B - 1}th order
+    statistics. This is how a 100 TB pipeline attaches uncertainty to
+    a metric in ONE scan: the replica axis explodes x{BOOT_B} map-side
+    and reduces by replica with map-side combine; the final CI sorts
+    {BOOT_B} numbers inside one aggregate row (array_sort over a
+    collected list — a bounded O(B) object, never a data-scale sort).
+
+    Classical n-out-of-n bootstrap needs the whole sample per replica;
+    Poisson(1) weights give the same first-order distribution and
+    decompose over partitions — the standard trade (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams')."""
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    reps = F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b")
+    w = o.select("o_orderkey", "o_totalprice", reps).selectExpr(
+        "o_totalprice", "b", f"{_pois1_expr(_boot_u('spark'))} AS wt"
+    )
+    means = (
+        w.groupBy("b")
+        .agg(F.expr("sum(wt * o_totalprice) / sum(wt)").alias("m"))
+        .filter(F.expr("m IS NOT NULL"))
+    )
+    point = o.agg(F.round(F.avg("o_totalprice"), 6).alias("point_mean"))
+    ci = means.agg(F.expr("array_sort(collect_list(m))").alias("ms")).selectExpr(
+        f"round(ms[1], 6) AS ci_lo", f"round(ms[{BOOT_B - 2}], 6) AS ci_hi"
+    )
+    return point.withColumn("__k", F.lit(1)).join(
+        F.broadcast(ci.withColumn("__k", F.lit(1))), "__k"
+    ).select("point_mean", "ci_lo", "ci_hi")
