@@ -76,6 +76,7 @@ SCALING_EXTRA = [
     "dedup_keep_best",  # LSH pairs -> components -> argmax retention
     "shard_token_budget",  # global range-sliced rank under the sharder
     "universe_sample_join",  # sampled + exact join branches
+    "entity_resolution_pairs",  # blocking join: the block-skew hazard class
 ]
 
 
