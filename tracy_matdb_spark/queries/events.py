@@ -1370,3 +1370,153 @@ def interval_union_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid-neighbor join (proximity pairs without a cross join)
+# ---------------------------------------------------------------------------
+
+GRID_CELL = 1000  # cell edge in micro-degree units (integer grid)
+GRID_R2 = 640_000  # squared distance threshold (800 units)
+
+
+def _geo_cols(dialect: str) -> tuple[str, str]:
+    """Deterministic integer coordinates per user (micro-degree-ish
+    units, 0..9999): same md5 arithmetic both engines."""
+    cast = "varchar" if dialect == "duckdb" else "string"
+    def h(salt: str) -> str:
+        if dialect == "duckdb":
+            return (f"('0x' || substr(md5(concat_ws('|', '{salt}', "
+                    f"cast(user_id as {cast}))), 1, 15))::bigint")
+        return (f"cast(conv(substr(md5(concat_ws('|', '{salt}', "
+                f"cast(user_id as {cast}))), 1, 15), 16, 10) as bigint)")
+    return f"({h('gx')} % 10000)", f"({h('gy')} % 10000)"
+
+
+@register(
+    "spatial_grid_pairs",
+    oracle=f"""
+    WITH pts AS (SELECT DISTINCT user_id, {_geo_cols("duckdb")[0]} AS x,
+                        {_geo_cols("duckdb")[1]} AS y
+                 FROM events),
+    cells AS (SELECT user_id, x, y, x // {GRID_CELL} AS cx, y // {GRID_CELL} AS cy
+              FROM pts),
+    a AS (SELECT user_id AS ua, x AS xa, y AS ya,
+                 (cx + dx.d) AS ncx, (cy + dy.d) AS ncy
+          FROM cells
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+    cand AS (SELECT a.ua, c.user_id AS ub, a.xa, a.ya, c.x AS xb, c.y AS yb
+             FROM a JOIN cells c ON c.cx = a.ncx AND c.cy = a.ncy
+             WHERE a.ua < c.user_id)
+    SELECT ua, ub,
+           cast((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) as bigint) AS dist2
+    FROM cand
+    WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= {GRID_R2}
+    ORDER BY ua, ub
+    """,
+)
+def spatial_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join without a cross join — the spatial-join
+    shape (geohash/H3 bucketing): bucket integer points into
+    {GRID_CELL}-unit grid cells, expand each point to its 3x3 cell
+    NEIGHBORHOOD (bounded x9 fan-out, the spatial analogue of the LSH
+    band explode), hash-join on the cell, and run the exact distance
+    predicate only on co-bucketed candidates. The cell edge >= the
+    radius guarantees no missed pair (any pair within r spans adjacent
+    cells at most).
+
+    Integer coordinates and squared distances keep both engines
+    bit-identical; one shuffle keyed on the cell id, candidate count
+    bounded by local density x 9 — never O(n^2). At 100 TB this is the
+    standard points-within-radius plan; skewed hot cells would take
+    the salted path (operators/skew.py)."""
+    ev = load_events(spark, sf_dir)
+    gx, gy = _geo_cols("spark")
+    pts = ev.selectExpr("user_id", f"{gx} AS x", f"{gy} AS y").distinct()
+    cells = pts.selectExpr(
+        "user_id", "x", "y",
+        f"x div {GRID_CELL} AS cx", f"y div {GRID_CELL} AS cy",
+    ).localCheckpoint(eager=False)  # probe + build sides read one copy
+    # 3x3 neighborhood by exploding a literal offset array: a pure
+    # projection (x9 fan-out), no nested-loop join in the plan at all
+    a = (
+        cells.select(
+            F.col("user_id").alias("ua"), F.col("x").alias("xa"),
+            F.col("y").alias("ya"), "cx", "cy",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        )
+        .select("ua", "xa", "ya", "cx", "cy", "dx",
+                F.explode(F.expr("array(-1, 0, 1)")).alias("dy"))
+        .selectExpr("ua", "xa", "ya", "cx + dx AS ncx", "cy + dy AS ncy")
+    )
+    cand = a.join(
+        cells.selectExpr("user_id AS ub", "x AS xb", "y AS yb",
+                         "cx AS ncx", "cy AS ncy"),
+        ["ncx", "ncy"],
+    ).filter(F.col("ua") < F.col("ub"))
+    return (
+        cand.selectExpr(
+            "ua", "ub",
+            "cast((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) as bigint) AS dist2",
+        )
+        .filter(F.col("dist2") <= GRID_R2)
+        .orderBy("ua", "ub")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded EWMA smoothing (finite-window exponential weights)
+# ---------------------------------------------------------------------------
+
+EWMA_K = 5  # window depth; alpha = 1/2 so weights are exact dyadics
+
+
+@register(
+    "ewma_user_values",
+    oracle=f"""
+    WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS t, {ROUND2} AS vc
+               FROM (SELECT user_id, event_id, ts, value AS v FROM events)),
+    l AS (SELECT user_id, event_id, t, vc,
+                 {", ".join(f"lag(vc, {j}) OVER (PARTITION BY user_id ORDER BY t, event_id) AS v{j}" for j in range(1, EWMA_K))}
+          FROM s)
+    SELECT user_id, event_id,
+           cast((vc * 16 {" ".join(f"+ coalesce(v{j}, 0) * {16 >> j}" for j in range(1, EWMA_K))}) //
+                (16 {" ".join(f"+ (CASE WHEN v{j} IS NULL THEN 0 ELSE {16 >> j} END)" for j in range(1, EWMA_K))})
+                as bigint) AS ewma_c
+    FROM l ORDER BY user_id, event_id
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA (alpha = 1/2, depth {EWMA_K}) of each user's
+    event values: weights 16/8/4/2/1 over the last {EWMA_K}
+    observations, renormalized at sequence starts where fewer exist.
+    True infinite-horizon EWMA is a sequential recurrence (not
+    expressible as one window function); the bounded form converges to
+    it within 2^-{EWMA_K} and is a PARALLEL per-user window of
+    {EWMA_K - 1} lags — the standard trade for distributed smoothing.
+    All-integer dyadic weights make both engines bit-identical.
+
+    Windows partition by user_id — fully parallel across users; no
+    global sort, no recursion, one shuffle."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "user_id", "event_id", "ts_ns div 1000 AS t", "value AS v"
+    ).selectExpr("user_id", "event_id", "t", f"{ROUND2} AS vc")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    out = ev
+    for j in range(1, EWMA_K):
+        out = out.withColumn(f"v{j}", F.lag("vc", j).over(w))
+    num = "vc * 16 " + " ".join(
+        f"+ coalesce(v{j}, 0) * {16 >> j}" for j in range(1, EWMA_K)
+    )
+    den = "16 " + " ".join(
+        f"+ (CASE WHEN v{j} IS NULL THEN 0 ELSE {16 >> j} END)"
+        for j in range(1, EWMA_K)
+    )
+    return (
+        out.selectExpr(
+            "user_id", "event_id",
+            f"cast(({num}) div ({den}) as bigint) AS ewma_c",
+        )
+        .orderBy("user_id", "event_id")
+    )
