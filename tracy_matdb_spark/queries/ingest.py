@@ -767,3 +767,73 @@ def warc_e2e_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record accounting (PERMISSIVE CSV ingest)
+# ---------------------------------------------------------------------------
+
+CSV_BAD_N = 120  # fixture rows; every 7th is deliberately malformed
+
+
+@register(
+    "csv_malformed_audit",
+    # hand-computed fixture arithmetic: rows 0..119; every 7th row
+    # (18 rows: 0,7,...,119) is malformed (too few columns -> the int
+    # column holds text). good = 120 - 18 = 102; sum of doc_id over
+    # multiples of 7 < 120 excluded from good-sum arithmetic.
+    oracle=f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {CSV_BAD_N - 1})) AS i),
+    cls AS (SELECT i, (i % 7 = 0) AS bad FROM ids)
+    SELECT cast(sum(CASE WHEN bad THEN 0 ELSE 1 END) as bigint) AS n_good,
+           cast(sum(CASE WHEN bad THEN 1 ELSE 0 END) as bigint) AS n_corrupt,
+           cast(sum(CASE WHEN bad THEN 0 ELSE i * 10 END) as bigint) AS sum_val_good
+    FROM cls
+    """,
+    doc="PERMISSIVE CSV ingest with corrupt-record accounting: a fixture "
+    "where every 7th line is malformed (wrong arity/type) is read with "
+    "an explicit schema + columnNameOfCorruptRecord; the audit counts "
+    "clean vs quarantined rows and aggregates only the clean ones — "
+    "the ingest-robustness contract for dirty 100 TB feeds (PERMISSIVE "
+    "quarantines instead of failing the job or silently nulling; the "
+    "corrupt rows stay queryable for triage). Oracle is independent "
+    "fixture arithmetic.",
+)
+def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(FIXTURE_ROOT, "csv_bad", tag)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "feed.csv")
+    with open(path, "w") as fh:
+        for i in range(CSV_BAD_N):
+            if i % 7 == 0:
+                fh.write(f"row{i},oops\n")  # wrong arity: int column gets text
+            else:
+                fh.write(f"row{i},{i * 10},tag{i % 5}\n")
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("val", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        # Spark requires caching/materializing before filtering on the
+        # corrupt column alone (SPARK-21610); checkpoint keeps it lazy
+        .localCheckpoint(eager=False)
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("val")).otherwise(0))
+        .cast("long").alias("sum_val_good"),
+    )

@@ -2510,3 +2510,71 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grouping_id, status, priority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency repair by majority vote
+# ---------------------------------------------------------------------------
+
+
+def _fd_dirty_nation_duckdb() -> str:
+    """customer rows with nation corrupted on every 11th row (shifted by
+    +1 mod 25) — a deterministic violation of the FD custkey-group ->
+    nation used to demonstrate majority repair. The 'entity' is
+    custkey div 4 (4 rows per entity), so most entities keep 3 clean
+    votes against 1 corrupt one. The Spark twin builds the identical
+    expressions inline (selectExpr) in fd_majority_repair."""
+    return (
+        "SELECT c_custkey, c_custkey // 4 AS ent, "
+        "CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25 "
+        "ELSE c_nationkey END AS nk "
+        "FROM customer"
+    )
+
+
+@register(
+    "fd_majority_repair",
+    oracle=f"""
+    WITH dirty AS ({_fd_dirty_nation_duckdb()}),
+    votes AS (SELECT ent, nk, cast(count(*) as bigint) AS n
+              FROM dirty GROUP BY ent, nk),
+    best AS (SELECT ent, max(n) AS mx FROM votes GROUP BY ent),
+    rep AS (SELECT votes.ent, min(votes.nk) AS repaired_nk
+            FROM votes JOIN best ON votes.ent = best.ent AND votes.n = best.mx
+            GROUP BY votes.ent)
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(sum(CASE WHEN dirty.nk <> rep.repaired_nk THEN 1 ELSE 0 END) as bigint)
+               AS n_repaired,
+           cast(sum(rep.repaired_nk) as bigint) AS sum_repaired_nk
+    FROM dirty JOIN rep ON dirty.ent = rep.ent
+    """,
+    doc="Functional-dependency repair by majority vote (HoloClean-lite): "
+    "the FD entity -> nation is violated by deterministic corruption; "
+    "each entity's nation is repaired to its modal value (ties to min) "
+    "and the audit counts changed cells. Two keyed aggregations (votes, "
+    "per-entity max) + one join back — the data-cleaning primitive that "
+    "runs before entity resolution, linear at any scale with map-side "
+    "combine on both aggregates.",
+)
+def fd_majority_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    dirty = c.selectExpr(
+        "c_custkey",
+        "c_custkey div 4 AS ent",
+        "CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25 "
+        "ELSE c_nationkey END AS nk",
+    ).localCheckpoint(eager=False)
+    votes = dirty.groupBy("ent", "nk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    best = votes.groupBy("ent").agg(F.max("n").alias("mx"))
+    rep = (
+        votes.join(best, "ent")
+        .filter(F.col("n") == F.col("mx"))
+        .groupBy("ent")
+        .agg(F.min("nk").alias("repaired_nk"))
+    )
+    return dirty.join(rep, "ent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("nk") != F.col("repaired_nk"), 1).otherwise(0))
+        .cast("long").alias("n_repaired"),
+        F.sum("repaired_nk").cast("long").alias("sum_repaired_nk"),
+    )
