@@ -202,3 +202,67 @@ def test_json_props_extraction_stays_jvm_side(spark):
     plan = _plan(spark, "events_json_props")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape regression budgets for the headline set
+# ---------------------------------------------------------------------------
+
+# Max (joins, exchanges) each headline query may plan (pre-AQE counts,
+# matching tools/plan_audit.py). Budgets are the CURRENT shape plus zero
+# slack — the point is to catch silent DAG explosions like the
+# un-checkpointed triangle query (45 joins / 184 exchanges from 6 / 13)
+# the moment a refactor re-derives a shared subtree per reference.
+# A legitimate plan change updates the budget IN THE SAME COMMIT.
+PLAN_BUDGET = {
+    "corpus_e2e_rollup": (0, 3),
+    "exact_substring_spans": (1, 4),
+    "pagerank_bipartite": (3, 7),
+    "split_assign_orders": (1, 4),
+    "distortion_generate": (0, 2),
+    "enumerated_point_group": (0, 4),
+    "events_tumbling_1h": (0, 2),
+    "dedup_exact": (0, 2),
+    "text_quality": (0, 1),
+    "minhash_lsh_pairs": (1, 3),
+    "knn_embeddings": (1, 0),
+    "q1_pricing_summary": (0, 2),
+    "q3_shipping_priority": (2, 1),
+    "q5_local_supplier_volume": (5, 2),
+    "orders_rolling_7d_revenue": (0, 2),
+    "orders_price_deciles": (1, 5),
+    "revenue_gini_by_status": (1, 5),
+    "corpus_export_manifest": (1, 5),
+    "triangle_part_graph": (6, 13),
+}
+
+
+def _count_joins_exchanges(plan: str) -> tuple[int, int]:
+    import re
+
+    joins = sum(
+        len(re.findall(rf"\(\d+\) {kind}\b", plan))
+        for kind in (
+            "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin", "CartesianProduct",
+        )
+    )
+    exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    return joins, exchanges
+
+
+def test_headline_plan_budgets(spark):
+    over = {}
+    for name, (max_j, max_x) in PLAN_BUDGET.items():
+        if name not in REGISTRY:
+            over[name] = "not registered"
+            continue
+        j, x = _count_joins_exchanges(_plan(spark, name))
+        if j > max_j or x > max_x:
+            over[name] = f"joins {j} > {max_j} or exchanges {x} > {max_x}"
+    assert not over, f"plan-shape regressions: {over}"
+
+
+def test_budget_covers_every_headline():
+    missing = [n for n, q in REGISTRY.items() if q.headline and n not in PLAN_BUDGET]
+    assert not missing, f"headline queries without a plan budget: {missing}"
