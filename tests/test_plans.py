@@ -80,6 +80,8 @@ NLJ_ALLOWED = {
     "skew_profile_users",
     # 1-row point-estimate x 1-row CI join (both bounded aggregates)
     "bootstrap_ci_revenue",
+    # 1-row leakage-count broadcast joined onto the 2-row split rollup
+    "entity_consistent_split",
 }
 
 

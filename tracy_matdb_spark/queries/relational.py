@@ -2578,3 +2578,74 @@ def fd_majority_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_repaired"),
         F.sum("repaired_nk").cast("long").alias("sum_repaired_nk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-consistent split (leakage-free train/test across tables)
+# ---------------------------------------------------------------------------
+
+
+def _esplit_expr(dialect: str) -> str:
+    """Split arm from the ENTITY key (customer), not the row key: 80/20
+    by 60-bit md5 — identical literal arithmetic both engines."""
+    cast = "varchar" if dialect == "duckdb" else "string"
+    h = (
+        f"('0x' || substr(md5(concat_ws('|', 'esplit', cast(o_custkey as {cast}))), 1, 15))::bigint"
+        if dialect == "duckdb"
+        else f"cast(conv(substr(md5(concat_ws('|', 'esplit', cast(o_custkey as {cast}))), 1, 15), 16, 10) as bigint)"
+    )
+    return f"CASE WHEN {h} % 10 < 8 THEN 'train' ELSE 'test' END"
+
+
+@register(
+    "entity_consistent_split",
+    oracle=f"""
+    WITH o AS (SELECT o_orderkey, o_custkey, {_esplit_expr("duckdb")} AS split
+               FROM orders),
+    li AS (SELECT l_orderkey FROM lineitem),
+    leak AS (SELECT count(*) AS n_leaky FROM (
+        SELECT o_custkey FROM o GROUP BY o_custkey
+        HAVING count(DISTINCT split) > 1))
+    SELECT o.split,
+           cast(count(DISTINCT o.o_custkey) as bigint) AS n_customers,
+           cast(count(DISTINCT o.o_orderkey) as bigint) AS n_orders,
+           cast(count(li.l_orderkey) as bigint) AS n_lineitems,
+           cast((SELECT n_leaky FROM leak) as bigint) AS n_leaky_customers
+    FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.split ORDER BY o.split
+    """,
+    doc="Leakage-free train/test split: the arm is hashed from the "
+    "ENTITY (customer), so every order and lineitem of a customer "
+    "lands in one split — row-level hashing would leak entity signal "
+    "across splits, the classic ML-eval bug. Lineitems inherit the arm "
+    "through the orderkey join (one co-partitioned shuffle); the "
+    "n_leaky_customers column computes the violation count inside the "
+    "query (its oracle-checked value of 0 IS the invariant). Same "
+    "counter-based-hash reproducibility contract as split_assign_orders.",
+)
+def entity_consistent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].selectExpr(
+        "o_orderkey", "o_custkey", f"{_esplit_expr('spark')} AS split"
+    ).localCheckpoint(eager=False)  # rollup + leak probe read one copy
+    leak = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky"))
+    )
+    li = t["lineitem"].select("l_orderkey")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("split")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count("l_orderkey").cast("long").alias("n_lineitems"),
+        )
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(leak.withColumn("__k", F.lit(1))), "__k")
+        .select("split", "n_customers", "n_orders", "n_lineitems",
+                F.col("n_leaky").alias("n_leaky_customers"))
+        .orderBy("split")
+    )
