@@ -2649,3 +2649,81 @@ def entity_consistent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_leaky").alias("n_leaky_customers"))
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling (recommender candidate generation)
+# ---------------------------------------------------------------------------
+
+NEG_PER_USER = 8  # candidate negatives drawn per customer
+
+
+def _neg_cand(dialect: str, maxpart: str) -> str:
+    """Candidate part for (customer, draw j): 60-bit md5 mod the part
+    count — deterministic, identical both engines."""
+    cast = "varchar" if dialect == "duckdb" else "string"
+    h = (
+        f"('0x' || substr(md5(concat_ws('|', 'neg', cast(o_custkey as {cast}), "
+        f"cast(j as {cast}))), 1, 15))::bigint"
+        if dialect == "duckdb"
+        else f"cast(conv(substr(md5(concat_ws('|', 'neg', cast(o_custkey as {cast}), "
+        f"cast(j as {cast}))), 1, 15), 16, 10) as bigint)"
+    )
+    return f"({h} % {maxpart})"
+
+
+@register(
+    "negative_samples_recsys",
+    oracle=f"""
+    WITH pos AS (SELECT DISTINCT o_custkey, l_partkey
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    users AS (SELECT DISTINCT o_custkey FROM orders),
+    np AS (SELECT count(*) AS maxpart FROM part),
+    cand AS (SELECT o_custkey, j,
+                    {_neg_cand("duckdb", "(SELECT maxpart FROM np)")} AS cand_part
+             FROM users CROSS JOIN (SELECT unnest(generate_series(0, {NEG_PER_USER - 1})) AS j)),
+    neg AS (SELECT cand.o_custkey, cand.cand_part
+            FROM cand LEFT JOIN pos
+              ON pos.o_custkey = cand.o_custkey AND pos.l_partkey = cand.cand_part
+            WHERE pos.o_custkey IS NULL)
+    SELECT o_custkey AS custkey,
+           cast(count(*) as bigint) AS n_negatives,
+           cast(sum(cand_part) as bigint) AS sum_neg_parts
+    FROM neg GROUP BY custkey ORDER BY custkey
+    """,
+    doc="Negative sampling for recommender training: {NEG_PER_USER} "
+    "deterministic candidate parts per customer (counter-based hash — "
+    "reproducible epochs, no RNG state), filtered against the TRUE "
+    "positive set by an anti-join so no observed (customer, part) pair "
+    "leaks into the negatives. Shape: bounded x{NEG_PER_USER} explode "
+    "+ one hash anti-join on the pair key — linear at any scale, and "
+    "the per-user negative count doubles as a collision/positive-hit "
+    "audit. The candidate modulus folds from a bounded count scalar.",
+)
+def negative_samples_recsys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("orders", "lineitem", "part"))
+    maxpart = t["part"].count()
+    pos = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    users = t["orders"].select("o_custkey").distinct()
+    cand = users.select(
+        "o_custkey",
+        F.explode(F.expr(f"sequence(0, {NEG_PER_USER - 1})")).alias("j"),
+    ).selectExpr("o_custkey", f"{_neg_cand('spark', str(maxpart))} AS cand_part")
+    neg = cand.join(
+        pos.selectExpr("o_custkey", "l_partkey AS cand_part"),
+        ["o_custkey", "cand_part"],
+        "left_anti",
+    )
+    return (
+        neg.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_negatives"),
+            F.sum("cand_part").cast("long").alias("sum_neg_parts"),
+        )
+        .orderBy("custkey")
+    )
