@@ -82,6 +82,8 @@ NLJ_ALLOWED = {
     "bootstrap_ci_revenue",
     # 1-row leakage-count broadcast joined onto the 2-row split rollup
     "entity_consistent_split",
+    # broadcast K-row centroid table per assignment round (IVF pattern)
+    "kmeans_fixed_point",
 }
 
 
@@ -112,6 +114,9 @@ WINDOW_ALLOWED = {
     # rank window runs AFTER a TakeOrderedAndProject limit(CM_TOP): its
     # input is <= 15 rows by construction (queries/sketches.py)
     "countmin_heavy_hitters",
+    # CUSUM runs over the per-(type, day) ROLLUP — O(types x days) rows,
+    # the same bounded-aggregate class as events_daily_anomaly
+    "cusum_event_drift",
 }
 
 

@@ -1520,3 +1520,70 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection over the daily event-rate rollup
+# ---------------------------------------------------------------------------
+
+CUSUM_T_Q = 3_000_000  # flag threshold: |cusum| > 3.0 (quantized ppm)
+
+
+@register(
+    "cusum_event_drift",
+    oracle=f"""
+    WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          cast(count(*) as bigint) AS n
+                   FROM events GROUP BY event_type, day),
+    stats AS (SELECT event_type, cast(sum(n) as bigint) AS tot,
+                     cast(count(*) as bigint) AS nd
+              FROM daily GROUP BY event_type),
+    dev AS (SELECT d.event_type, d.day,
+                   (d.n * s.nd - s.tot) * 1000000 // s.tot AS dev_q
+            FROM daily d JOIN stats s ON d.event_type = s.event_type),
+    cs AS (SELECT event_type, day, dev_q,
+                  cast(sum(dev_q) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) as bigint) AS cusum_q
+           FROM dev)
+    SELECT event_type, cast(day as bigint) AS day, cusum_q,
+           (abs(cusum_q) > {CUSUM_T_Q}) AS drift_flag
+    FROM cs ORDER BY event_type, day
+    """,
+)
+def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on daily event rates: per type, the running
+    sum of quantized deviations from that type's own mean daily count —
+    the classic change-point monitor for pipeline health (a sustained
+    rate shift accumulates where day-level anomaly checks see noise).
+    Deviations are ppm-quantized integers ((n*days - total)*1e6 div
+    total), so the cumulative sum is exact in both engines.
+
+    The running sum is a window over the per-(type, day) ROLLUP —
+    O(types x days) rows, the bounded-aggregate window class
+    (events_daily_anomaly precedent), never a row-level scan; the two
+    aggregations beneath it are keyed with map-side combine."""
+    ev = load_events(spark, sf_dir).selectExpr(
+        "event_type", "(ts_ns div 1000) div 86400000000 AS day"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tot"), F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    dev = daily.join(stats, "event_type").selectExpr(
+        "event_type", "day", "(n * nd - tot) * 1000000 div tot AS dev_q"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dev.withColumn("cusum_q", F.sum("dev_q").over(w).cast("long"))
+        .selectExpr(
+            "event_type", "cast(day as bigint) AS day", "cusum_q",
+            f"(abs(cusum_q) > {CUSUM_T_Q}) AS drift_flag",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1529,3 +1529,117 @@ def knn_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
         F.lit(SQ_TOP).cast("long").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point k-means (iterative ML beyond PageRank: assign/update rounds)
+# ---------------------------------------------------------------------------
+
+KM_K = 4  # centroids (seed: vec_id 1..K)
+# argmin combine: dist * 16 + cid (dist <= 64 * (2e6)^2 * 16 < 2^63);
+# min() picks lowest distance, ties to the SMALLEST centroid id.
+
+
+def _km_q(dialect: str, col: str) -> str:
+    """Quantize a float embedding to micro-unit bigints."""
+    if dialect == "spark":
+        return f"transform({col}, x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+    return f"list_transform({col}, x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+
+
+def _km_dist(dialect: str, a: str, b: str) -> str:
+    """Integer squared euclidean distance between quantized arrays."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (p, q) -> (p - q) * (p - q)), "
+            f"cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)"
+    )
+
+
+def _km_oracle_sql() -> str:
+    d0 = _km_dist("duckdb", "v.qv", "c.qc")
+    return f"""
+    WITH base AS (SELECT vec_id, {_km_q('duckdb', 'embedding')} AS qv FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, qv AS qc FROM base WHERE vec_id BETWEEN 1 AND {KM_K}),
+    a1 AS (SELECT v.vec_id, cast(min({d0} * 16 + c.cid) % 16 as bigint) AS cid
+           FROM base v CROSS JOIN c0 c GROUP BY v.vec_id),
+    m1 AS (SELECT a1.cid, p.pos, cast(floor(avg(p.val)) as bigint) AS cval
+           FROM a1 JOIN base v ON v.vec_id = a1.vec_id
+           CROSS JOIN LATERAL (SELECT unnest(v.qv) AS val,
+                                      generate_subscripts(v.qv, 1) AS pos) p
+           GROUP BY a1.cid, p.pos),
+    c1 AS (SELECT cid, list(cval ORDER BY pos) AS qc FROM m1 GROUP BY cid),
+    a2 AS (SELECT v.vec_id, cast(min({d0} * 16 + c.cid) % 16 as bigint) AS cid,
+                  cast(min({d0} * 16 + c.cid) // 16 as bigint) AS dist
+           FROM base v CROSS JOIN c1 c GROUP BY v.vec_id)
+    SELECT cid, cast(count(*) as bigint) AS n_assigned,
+           cast(sum(vec_id) as bigint) AS sum_vec_ids,
+           cast(sum(dist) as bigint) AS inertia_q
+    FROM a2 GROUP BY cid ORDER BY cid
+    """
+
+
+@register(
+    "kmeans_fixed_point",
+    oracle=_km_oracle_sql(),
+    doc="Two rounds of Lloyd's k-means (K={KM_K}, seed centroids = vec "
+    "ids 1..K) in INTEGER fixed point: embeddings quantize to micro-unit "
+    "bigints, assignment is an integer-argmin (dist*16+cid combine, "
+    "ties to min cid) over a broadcast K-row centroid table, the update "
+    "step is a per-(centroid, position) floor-mean rebuilt into arrays, "
+    "and the final rollup reports cluster sizes + integer inertia — "
+    "bit-identical in both engines, so the classic iterative-ML loop "
+    "(assign -> update -> assign) hash-verifies end-to-end the way "
+    "pagerank_bipartite does. Scale shape: each assignment is one "
+    "narrow broadcast-K pass (allowlisted bounded BNL, the IVF "
+    "pattern); the update shuffles (cid, pos) keyed rows with map-side "
+    "combine — K*dim output rows; no quadratic stage.",
+)
+def kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.selectExpr(
+        "vec_id", f"{_km_q('spark', 'embedding')} AS qv"
+    ).localCheckpoint(eager=False)  # three passes read one quantized copy
+    dist = _km_dist("spark", "qv", "qc")
+    c0 = base.filter(F.col("vec_id").between(1, KM_K)).selectExpr(
+        "vec_id AS cid", "qv AS qc"
+    )
+
+    def assign(cents):
+        return (
+            base.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(F.min(F.expr(f"{dist} * 16 + cid")).alias("__m"))
+            .selectExpr(
+                "vec_id",
+                "cast(__m % 16 as bigint) AS cid",
+                "cast(__m div 16 as bigint) AS dist",
+            )
+        )
+
+    a1 = assign(c0)
+    m1 = (
+        a1.join(base, "vec_id")
+        .select("cid", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.expr("cast(floor(avg(val)) as bigint)").alias("cval"))
+    )
+    c1 = m1.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cval))), s -> s.cval) AS qc"
+        )
+    )
+    a2 = assign(c1)
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+            F.sum("dist").cast("long").alias("inertia_q"),
+        )
+        .orderBy("cid")
+    )
