@@ -121,8 +121,57 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def genrate() -> None:
+    """Generator-throughput mode (BASELINE.md §3: 'rows/s for the
+    generator operators at 10^4-10^6 configs'): time distortion /
+    substitution / vacancy at ~1e6 / ~1e5 / exact-C(n,2) output rows and
+    print ONE JSON line with rows/s per generator. Output is counted,
+    not collected; the distortion path is the pure codegen explode, so
+    this measures the engine, not the driver."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.operators.generators import (
+        _seeds_df,
+        distortion_transform,
+        substitution_transform,
+        vacancy_transform,
+    )
+
+    spark = get_session("genrate")
+    seeds = _seeds_df(spark)
+    out: dict[str, dict] = {}
+
+    def run(name, df):
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = _t.time()
+        n = df.count()
+        dt = _t.time() - t0
+        out[name] = {"rows": n, "sec": round(dt, 3), "rows_per_sec": int(n / dt)}
+
+    # ~1e6 distorted cells (3 seeds x nconfigs)
+    run("distortion_1e6", distortion_transform(seeds, nconfigs=333_334, ran_seed=42))
+    # ~1e5 exact-stoichiometry relabelings over synthetic 16-atom seeds
+    sub_seeds = spark.range(500).selectExpr(
+        "concat('s', id) AS seed_id", "cast(16 as int) AS n_atoms"
+    )
+    run("substitution_1e5", substitution_transform(sub_seeds, nconfigs=200))
+    # C(40,2)=780 pairs/seed x 1282 seeds ~ 1e6 vacancy configs
+    vac_seeds = spark.range(1282).selectExpr(
+        "concat('v', id) AS seed_id", "cast(40 as int) AS n_atoms"
+    )
+    run("vacancy_1e6", vacancy_transform(vac_seeds))
+    print(json.dumps({"metric": "generator_rows_per_sec", "generators": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv[1:]:
+    if "--genrate" in sys.argv[1:]:
+        genrate()
+    elif "--scaling" in sys.argv[1:]:
         # Scaling-regression mode: sf0.01 vs sf0.1 ratios per query
         # (see tools/scaling_check.py). Writes SCALING.json.
         from tools.scaling_check import main as scaling_main
