@@ -1403,3 +1403,71 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (batch-effect correction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_normalize_sources",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, cast(n_chars as bigint) AS v
+               FROM documents WHERE n_chars > 0),
+    s AS (SELECT doc_id, source, v,
+                 row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+                 count(*) OVER (PARTITION BY source) AS ns
+          FROM d),
+    g AS (SELECT v AS gv, row_number() OVER (ORDER BY v, doc_id) AS gr FROM d),
+    n AS (SELECT cast(count(*) as bigint) AS nn FROM d),
+    pos AS (SELECT doc_id, source, v,
+                   CASE WHEN ns > 1 THEN (r - 1) * 1000000 // (ns - 1) ELSE 0 END AS p
+            FROM s)
+    SELECT pos.doc_id, pos.source, pos.v AS orig,
+           g.gv AS normalized
+    FROM pos CROSS JOIN n
+    JOIN g ON g.gr = 1 + (pos.p * (n.nn - 1)) // 1000000
+    ORDER BY pos.doc_id
+    """,
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document metric (n_chars) across
+    sources: each document's value maps to the GLOBAL value at its
+    within-source quantile position — the batch-effect correction that
+    makes per-source length/quality distributions comparable before
+    mixing (the bioinformatics quantile-normalize, applied to corpus
+    stats). Positions are ppm-quantized integers, so the rank lookup is
+    exact in both engines.
+
+    Scale shape: the within-source rank is the two-phase range-sliced
+    rank (low source cardinality — a naive per-source window is the
+    single-task hazard); the global sorted table is the same primitive
+    under a constant group; the quantile lookup is a hash equi join on
+    the computed global rank (no interpolation, floor semantics); N
+    folds from a bounded count. Three range shuffles + one join — no
+    global single-task sort anywhere."""
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    d = docs.filter(F.col("n_chars") > 0).selectExpr(
+        "doc_id", "source", "cast(n_chars as bigint) AS v"
+    )
+    s = grouped_value_rank(
+        d, ["source"], ["v", "doc_id"], out_col="__r", single_scan=True,
+        total_col="__ns",
+    )
+    g = grouped_value_rank(
+        d.withColumn("__g", F.lit(0)), ["__g"], ["v", "doc_id"], out_col="gr",
+        single_scan=True,
+    ).selectExpr("v AS gv", "gr")
+    nn = d.count()
+    pos = s.selectExpr(
+        "doc_id", "source", "v",
+        "CASE WHEN __ns > 1 THEN (__r - 1) * 1000000 div (__ns - 1) ELSE 0 END AS p",
+    )
+    return (
+        pos.withColumn("__t", F.expr(f"1 + (p * ({nn} - 1)) div 1000000"))
+        .join(g, F.col("__t") == g["gr"])
+        .select("doc_id", "source", F.col("v").alias("orig"),
+                F.col("gv").alias("normalized"))
+        .orderBy("doc_id")
+    )
