@@ -1643,3 +1643,42 @@ def kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "source_duplication_stats",
+    oracle="""
+    WITH fp AS (SELECT source,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+                FROM documents),
+    per AS (SELECT source, cast(count(*) as bigint) AS n_docs,
+                   cast(count(DISTINCT f) as bigint) AS n_unique
+            FROM fp GROUP BY source)
+    SELECT source, n_docs, n_unique,
+           (n_docs - n_unique) * 1000000 // n_docs AS dup_ratio_q
+    FROM per ORDER BY source
+    """,
+    doc="Per-source duplication profile: exact-dup ratio (ppm) from "
+    "normalized content fingerprints — the first diagnostic a corpus "
+    "curator reads per feed (a high-dup source gets downweighted or "
+    "re-crawled). One two-phase distinct aggregate keyed on (source, "
+    "fingerprint) with map-side combine; output is O(sources).",
+)
+def source_duplication_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.select(
+        "source",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias("f"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("f").cast("long").alias("n_unique"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_unique",
+            "(n_docs - n_unique) * 1000000 div n_docs AS dup_ratio_q",
+        )
+        .orderBy("source")
+    )

@@ -2727,3 +2727,55 @@ def negative_samples_recsys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH rev AS (SELECT s_nationkey AS nation, l_suppkey,
+                        cast(sum(cast(floor(l_extendedprice * (1 - l_discount)
+                             * cast(100 as double)) as bigint)) as bigint) AS r
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                 GROUP BY nation, l_suppkey),
+    tot AS (SELECT nation, cast(sum(r) as bigint) AS t,
+                   cast(count(*) as bigint) AS n_suppliers
+            FROM rev GROUP BY nation)
+    SELECT rev.nation, tot.n_suppliers,
+           cast(sum((rev.r * 10000 // tot.t) * (rev.r * 10000 // tot.t)) as bigint)
+               AS hhi_bp2
+    FROM rev JOIN tot ON rev.nation = tot.nation
+    GROUP BY rev.nation, tot.n_suppliers
+    ORDER BY rev.nation
+    """,
+    doc="Herfindahl-Hirschman concentration of supplier revenue per "
+    "nation (sum of squared basis-point shares, integer-exact): the "
+    "standard market-concentration metric, here the supply-risk view — "
+    "a nation near 10000^2 depends on one supplier. Two keyed "
+    "aggregations + one equi join; the quantize-then-square order is "
+    "pinned identically in both engines so the metric hashes exactly.",
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .join(t["supplier"], t["lineitem"]["l_suppkey"] == t["supplier"]["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount) * cast(100 as double)) as bigint)"
+                )
+            ).cast("long").alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    return (
+        rev.join(tot, "nation")
+        .selectExpr("nation", "n_suppliers", "(r * 10000 div t) AS share_bp")
+        .groupBy("nation", "n_suppliers")
+        .agg(F.sum(F.expr("share_bp * share_bp")).cast("long").alias("hhi_bp2"))
+        .orderBy("nation")
+    )
