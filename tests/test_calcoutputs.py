@@ -73,3 +73,40 @@ def test_xdatcar_frames():
 def test_det3_fallback_volume():
     cell = [[2.0, 0.0, 0.0], [1.0, 3.0, 0.0], [0.0, 0.5, 4.0]]
     assert CO._det3(cell) == 24.0
+
+
+QE_RUN = {
+    "name": "q",
+    "species": ["Ag", "Pd"],
+    "cell": [[8.0, 0.0, 0.0], [0.0, 8.0, 0.0], [0.0, 0.0, 8.0]],
+    "positions": [[0.0, 0.0, 0.0], [4.0, 4.0, 4.0]],
+    "forces": [[0.25, -0.125, 0.0], [0.0625, 0.0, -0.75]],
+    "stress": [[0.5, 0.0, 0.0], [0.0, 0.25, 0.0], [0.0, 0.0, 0.125]],
+    "energy": -15.625,
+    "scf_error": 2**-30,
+}
+
+
+def test_pwscf_roundtrip():
+    """pw.x XML extract semantics (Qe.extract/_read, qe.py:306-446)."""
+    r = CO.parse_pwscf_xml(CO.format_pwscf_xml(QE_RUN), "pwscf_q.xml")[0]
+    assert r["n"] == 2
+    assert r["species"] == ["Ag", "Pd"]
+    assert r["ref_energy"] == -15.625
+    assert r["positions"] == QE_RUN["positions"]  # cartesian, NOT last-only
+    assert r["volume"] == 512.0
+    assert r["scf_error"] == 2**-30
+    assert r["converged"] is True
+    assert r["ref_force"] == QE_RUN["forces"]
+    # virial = stress * (V^(1/3)/bohr)^3 * V (qe.py:333-340)
+    scale = CO._qe_stress_scale(512.0)
+    assert r["ref_virial"][0][0] == (0.5 * scale) * 512.0
+    assert r["ref_virial"][1][2] == 0.0
+
+
+def test_pwscf_unconverged_flagged_not_dropped():
+    rec = dict(QE_RUN, scf_error=0.03125)
+    r = CO.parse_pwscf_xml(CO.format_pwscf_xml(rec), "p.xml")[0]
+    assert r["converged"] is False
+    assert r["scf_error"] == 0.03125
+    assert r["ref_energy"] == -15.625  # asis semantics: data still extracted

@@ -150,6 +150,111 @@ def outcar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantum Espresso pw.x XML fixtures (dyadic rationals -> %.10g round-trips
+# exactly; virial arithmetic shared with the parser via _qe_stress_scale)
+# ---------------------------------------------------------------------------
+
+QE_RUNS: list[dict] = [
+    {
+        "name": "run_a",
+        "species": ["Ag", "Pd"],
+        # pw.x cell rows a1..a3 (Bohr); positions cartesian
+        "cell": [[8.0, 0.0, 0.0], [0.0, 8.0, 0.0], [0.0, 0.0, 8.0]],
+        "positions": [[0.0, 0.0, 0.0], [4.0, 4.0, 4.0]],
+        "forces": [[0.25, -0.125, 0.0], [0.0625, 0.0, -0.75]],
+        "stress": [[0.5, 0.0625, 0.0], [0.0625, 0.25, -0.125], [0.0, -0.125, 0.125]],
+        "energy": -15.625,
+        "scf_error": 2**-30,  # < QE_CONV_THR -> converged
+    },
+    {
+        "name": "run_b",
+        "species": ["Cu"],
+        "cell": [[4.0, 0.0, 0.0], [0.0, 4.0, 0.0], [0.0, 0.0, 4.0]],
+        "positions": [[1.0, 2.0, 3.0]],
+        "forces": [[0.0, 0.5, -0.5]],
+        "stress": [[0.25, 0.0, 0.0], [0.0, 0.25, 0.0], [0.0, 0.0, 0.25]],
+        "energy": 1.375,
+        "scf_error": 0.03125,  # >= QE_CONV_THR -> not converged
+    },
+]
+
+
+def _write_qe_fixture() -> str:
+    from tracy_matdb_spark.sources.calcoutputs import format_pwscf_xml
+
+    out_dir = os.path.join(FIXTURE_ROOT, "pwscf")
+    os.makedirs(out_dir, exist_ok=True)
+    for run in QE_RUNS:
+        with open(os.path.join(out_dir, f"pwscf_{run['name']}.xml"), "w") as f:
+            f.write(format_pwscf_xml(run))
+    return out_dir
+
+
+def _qe_oracle_sql() -> str:
+    from tracy_matdb_spark.sources.calcoutputs import (
+        QE_CONV_THR,
+        _qe_stress_scale,
+    )
+
+    rows = []
+    for run in QE_RUNS:
+        cell = run["cell"]
+        volume = (
+            cell[0][0] * (cell[1][1] * cell[2][2] - cell[1][2] * cell[2][1])
+            - cell[0][1] * (cell[1][0] * cell[2][2] - cell[1][2] * cell[2][0])
+            + cell[0][2] * (cell[1][0] * cell[2][1] - cell[1][1] * cell[2][0])
+        )
+        scale = _qe_stress_scale(volume)
+        force_sum = sum(v for row in run["forces"] for v in row)
+        virial_sum = sum((s * scale) * volume for row in run["stress"] for s in row)
+        pos_sum = sum(v for row in run["positions"] for v in row)
+        conv = run["scf_error"] < QE_CONV_THR
+        rows.append(
+            f"('{run['name']}', {len(run['species'])}, {run['energy']!r}, "
+            f"{volume!r}, {str(conv).lower()}, {run['scf_error']!r}, "
+            f"{force_sum!r}, {virial_sum!r}, {pos_sum!r})"
+        )
+    return f"""
+    SELECT run, n, cast(ref_energy as double) AS ref_energy,
+           cast(volume as double) AS volume, converged,
+           cast(scf_error as double) AS scf_error,
+           cast(force_sum as double) AS force_sum,
+           cast(virial_sum as double) AS virial_sum,
+           cast(pos_sum as double) AS pos_sum
+    FROM (VALUES {', '.join(rows)})
+         t(run, n, ref_energy, volume, converged, scf_error, force_sum,
+           virial_sum, pos_sum)
+    ORDER BY run
+    """
+
+
+@register(
+    "qe_extract",
+    oracle=_qe_oracle_sql(),
+    doc="Quantum Espresso pw.x XML extraction: etot/forces/stress -> "
+    "ref_energy/ref_force/ref_virial with S = stress*(V^(1/3)/bohr)^3 "
+    "and virial = S*V, scf_error kept as a column (Qe.extract/_read, "
+    "matdb/calculators/qe.py:306-446)",
+)
+def qe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.sources.calcoutputs import read_pwscf
+
+    out_dir = _write_qe_fixture()
+    df = read_pwscf(spark, out_dir)
+    return df.select(
+        F.regexp_extract("source_file", r"(run_[ab])", 1).alias("run"),
+        "n",
+        "ref_energy",
+        "volume",
+        "converged",
+        "scf_error",
+        F.expr("aggregate(flatten(ref_force), cast(0 as double), (a, x) -> a + x)").alias("force_sum"),
+        F.expr("aggregate(flatten(ref_virial), cast(0 as double), (a, x) -> a + x)").alias("virial_sum"),
+        F.expr("aggregate(flatten(positions), cast(0 as double), (a, x) -> a + x)").alias("pos_sum"),
+    ).orderBy("run")
+
+
+# ---------------------------------------------------------------------------
 # XDATCAR trajectory parse + subsample
 # ---------------------------------------------------------------------------
 

@@ -167,6 +167,152 @@ def format_vasprun(rec: dict) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Quantum Espresso pw.x XML (data-file-schema dialect)
+# ---------------------------------------------------------------------------
+
+#: Bohr radius in Angstrom — the constant the reference uses to build its
+#: stress unit conversion (matdb/calculators/qe.py:334 `rl = (vol**(1./3.))
+#: / 0.529177208`). Public CODATA value as written in the reference.
+BOHR_ANGSTROM = 0.529177208
+
+QE_EXTRACT_SCHEMA = T.StructType(
+    list(EXTRACT_SCHEMA.fields) + [T.StructField("scf_error", T.DoubleType())]
+)
+
+#: QE conv_thr default (pw.x documentation): scf_error below this counts
+#: as converged. The reference stores the raw scf_error float in its
+#: `converged` slot (qe.py:335 `self.converged = output["convergence"]`);
+#: here `converged` is a proper boolean and the raw float is kept as its
+#: own `scf_error` column so callers can re-threshold.
+QE_CONV_THR = 1e-6
+
+
+def _qe_stress_scale(volume: float) -> float:
+    """The reference's stress unit factor (qe.py:333-337): with
+    rl = volume^(1/3) / bohr, S = stress_raw * rl^3. Kept as one shared
+    expression so parser and test oracle are bit-identical."""
+    return ((volume ** (1.0 / 3.0)) / BOHR_ANGSTROM) ** 3
+
+
+def parse_pwscf_xml(content: str, source: str = "") -> list[dict]:
+    """Parse one pw.x XML output (the `{out_file}.xml` /
+    data-file-schema document the reference reads in
+    `Qe._read`, matdb/calculators/qe.py:419-446):
+
+    - output/convergence_info/scf_conv/scf_error  (last occurrence)
+    - output/atomic_structure/atomic_positions/atom  (cartesian, one per
+      atom; the reference's loop keeps only the LAST atom — qe.py:433-435
+      assigns instead of appending — that bug is not reproduced here)
+    - output/atomic_structure/cell/*  (a1..a3 rows)
+    - output/total_energy/etot  (last occurrence)
+    - output/forces  (whitespace matrix, n x 3)
+    - output/stress  (9 floats -> 3x3)
+
+    Semantics matched to `Qe.extract` (qe.py:306-346): with
+    scale = (V^(1/3)/bohr)^3, S = stress*scale and
+    ref_virial = S * V; ref_energy = etot; unconverged runs are
+    flagged (converged = scf_error < QE_CONV_THR), not dropped."""
+    root = ET.fromstring(content)
+    err_nodes = root.findall("output/convergence_info/scf_conv/scf_error")
+    scf_error = float(err_nodes[-1].text) if err_nodes else None
+    atoms = root.findall("output/atomic_structure/atomic_positions/atom")
+    species = [a.attrib.get("name", "") for a in atoms]
+    positions = [[float(x) for x in a.text.split()] for a in atoms]
+    cell = [
+        [float(x) for x in v.text.split()]
+        for v in root.findall("output/atomic_structure/cell/*")
+    ]
+    etot_nodes = root.findall("output/total_energy/etot")
+    energy = float(etot_nodes[-1].text) if etot_nodes else None
+    force_nodes = root.findall("output/forces")
+    forces = (
+        [
+            [float(x) for x in line.split()]
+            for line in force_nodes[-1].text.strip().split("\n")
+        ]
+        if force_nodes
+        else None
+    )
+    stress_nodes = root.findall("output/stress")
+    volume = _det3(cell) if cell else None
+    virial = None
+    if stress_nodes and volume is not None:
+        flat = [float(x) for x in stress_nodes[-1].text.strip().split()]
+        stress3 = [flat[0:3], flat[3:6], flat[6:9]]
+        scale = _qe_stress_scale(volume)
+        s_scaled = [[s * scale for s in row] for row in stress3]
+        virial = [[v * volume for v in row] for row in s_scaled]
+    return [
+        {
+            "source_file": source,
+            "n": len(species),
+            "species": species,
+            "cell": cell,
+            "positions": positions,
+            "ref_force": forces,
+            "ref_virial": virial,
+            "ref_energy": energy,
+            "volume": volume,
+            "converged": (scf_error is not None and scf_error < QE_CONV_THR),
+            "scf_error": scf_error,
+        }
+    ]
+
+
+def format_pwscf_xml(rec: dict) -> str:
+    """Render a minimal pw.x output XML for a record — fixture generator
+    following the same fabricate-completed-runs strategy as
+    format_vasprun (the reference's QE test fixture is likewise a
+    canned tree, tests/AgPd/matdb_qe.yml + tests/qe/)."""
+
+    def mat(rows):
+        return "\n".join("   " + " ".join(f"{x:.10g}" for x in row) for row in rows)
+
+    atoms = "\n".join(
+        f'    <atom name="{s}" index="{i + 1}">'
+        + " ".join(f"{x:.10g}" for x in pos)
+        + "</atom>"
+        for i, (s, pos) in enumerate(zip(rec["species"], rec["positions"]))
+    )
+    cell = "\n".join(
+        f"    <a{k + 1}>" + " ".join(f"{x:.10g}" for x in row) + f"</a{k + 1}>"
+        for k, row in enumerate(rec["cell"])
+    )
+    stress_flat = " ".join(f"{x:.10g}" for row in rec["stress"] for x in row)
+    return f"""<?xml version="1.0" encoding="UTF-8"?>
+<qes:espresso xmlns:qes="http://www.quantum-espresso.org/ns/qes/qes-1.0">
+ <general_info>
+  <creator NAME="PWSCF" VERSION="6.4.1"/>
+ </general_info>
+ <output>
+  <convergence_info>
+   <scf_conv>
+    <scf_error>{rec['scf_error']!r}</scf_error>
+   </scf_conv>
+  </convergence_info>
+  <atomic_structure nat="{len(rec['species'])}">
+   <atomic_positions>
+{atoms}
+   </atomic_positions>
+   <cell>
+{cell}
+   </cell>
+  </atomic_structure>
+  <total_energy>
+   <etot>{rec['energy']:.10g}</etot>
+  </total_energy>
+  <forces rank="2" dims="{len(rec['forces'])} 3">
+{mat(rec['forces'])}
+  </forces>
+  <stress rank="2" dims="3 3">
+   {stress_flat}
+  </stress>
+ </output>
+</qes:espresso>
+"""
+
+
+# ---------------------------------------------------------------------------
 # OUTCAR
 # ---------------------------------------------------------------------------
 
@@ -359,6 +505,14 @@ def read_vasprun(spark: SparkSession, path: str, glob: str = "*.xml") -> DataFra
 
 def read_outcar(spark: SparkSession, path: str, glob: str = "OUTCAR*") -> DataFrame:
     return _read(spark, path, glob, parse_outcar, EXTRACT_SCHEMA)
+
+
+def read_pwscf(spark: SparkSession, path: str, glob: str = "*.xml") -> DataFrame:
+    """Quantum Espresso pw.x XML extraction (Qe.extract / Qe._read,
+    matdb/calculators/qe.py:306-446) as a distributed binaryFile +
+    mapInPandas scan — same one-file-one-run parallelism as
+    read_vasprun."""
+    return _read(spark, path, glob, parse_pwscf_xml, QE_EXTRACT_SCHEMA)
 
 
 def read_xdatcar(spark: SparkSession, path: str, glob: str = "XDATCAR*") -> DataFrame:
