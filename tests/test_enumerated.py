@@ -358,3 +358,70 @@ def test_expand_chunked_streaming_matches_unchunked(spark):
     tiny = agg(_reduced_structs(spark, 4, 2, ("sc",), block_elems=64))
     full = agg(_reduced_structs(spark, 4, 2, ("sc",)))
     assert tiny == full == {1: (1, 2), 2: (3, 3), 3: (3, 6), 4: (9, 24)}
+
+
+def test_subgroup_oracle_anchors_hcp_without_hnf_conventions():
+    """Round-5 verdict item #4: the hcp counts previously rested on a
+    single shared primitive (`hnf_tuples` + its coset-box convention).
+    tools/subgroup_enum_oracle.py re-derives the counts with NO HNF
+    representation at all (sublattices = subgroups of (Z/n)^3, cosets
+    via DSU) and must agree exactly — an independent anchor alongside
+    the published fcc-631 pin."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.derive_enum_oracle import brute_counts as hnf_counts
+    from tools.subgroup_enum_oracle import brute_counts as sub_counts
+
+    for lattice in ("sc", "fcc", "bcc", "hcp"):
+        for n in range(1, 4):
+            assert sub_counts(lattice, n) == hnf_counts(lattice, n), (lattice, n)
+    # the externally published anchor values restated through the
+    # HNF-free machine: hcp n=1 -> 3 structures over 1 sublattice class,
+    # n=2 -> 10 over 3; fcc n=2 = {L1_0, L1_1}
+    assert sub_counts("hcp", 1) == (1, 3)
+    assert sub_counts("hcp", 2) == (3, 10)
+    assert sub_counts("fcc", 2) == (2, 2)
+
+
+def test_subgroup_oracle_imports_nothing_from_production():
+    """The HNF-free oracle must not import the production package OR
+    derive_enum_oracle — full machinery independence."""
+    import ast
+    import pathlib
+
+    tree = ast.parse(pathlib.Path("tools/subgroup_enum_oracle.py").read_text())
+    for node in ast.walk(tree):
+        mods = []
+        if isinstance(node, ast.ImportFrom) and node.module:
+            mods = [node.module]
+        elif isinstance(node, ast.Import):
+            mods = [a.name for a in node.names]
+        for m in mods:
+            assert "tracy_matdb_spark" not in m and "derive_enum" not in m, m
+
+
+def test_hnf_convention_mutation_is_caught_by_subgroup_oracle():
+    """Kill-test: a deliberate convention error in hnf_tuples must make
+    derive_enum_oracle's counts DISAGREE with the HNF-free subgroup
+    oracle — proof the new anchor detects the common-mode failure it was
+    built for. The mutation drops the f=2 (c-axis-doubled) family, which
+    is closed under D6h, so BOTH hnf_tuples consumers digest it silently
+    (no classify error) and produce the same wrong (1, 4) — only the
+    HNF-free machine disagrees."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import tools.derive_enum_oracle as deo
+    from tools.subgroup_enum_oracle import brute_counts as sub_counts
+    from tracy_matdb_spark.operators.enumerated import hnf_tuples
+
+    orig = deo.hnf_tuples
+    try:
+        deo.hnf_tuples = lambda n: [h for h in hnf_tuples(n) if n != 2 or h[5] != 2]
+        mutated = deo.brute_counts("hcp", 2)
+    finally:
+        deo.hnf_tuples = orig
+    assert mutated != sub_counts("hcp", 2), mutated
+    # and restored, they agree again
+    assert deo.brute_counts("hcp", 2) == sub_counts("hcp", 2)
