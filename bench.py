@@ -100,6 +100,32 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             times[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
+    # Structured Streaming headline (round-5 verdict item #6): the
+    # drop-directory incremental dedup end-to-end at the bench SF, so
+    # the streaming path gets round-over-round perf history. Same warm
+    # discipline as the query loop: one warmup run, then min-of-2.
+    try:
+        from tracy_matdb_spark.streaming.ingest import streaming_ingest_bench
+
+        streaming_ingest_bench(spark, sf_dir)  # warmup
+        s_runs = [streaming_ingest_bench(spark, sf_dir) for _ in range(2)]
+        times["streaming_incremental_dedup"] = min(r["sec"] for r in s_runs)
+        streaming_detail = min(s_runs, key=lambda r: r["sec"])
+    except Exception as e:  # noqa: BLE001
+        times["streaming_incremental_dedup"] = -1.0
+        streaming_detail = {"error": str(e)}
+        print(f"bench error streaming_incremental_dedup: {e}", file=sys.stderr)
+    # PageRank per-iteration telemetry (round-5 verdict item #5): the
+    # instrumented twin separates the one-off edge build from each
+    # iterative round so the headline's variance is attributable.
+    try:
+        from tracy_matdb_spark.queries.webscale import pagerank_iteration_telemetry
+
+        pagerank_iteration_telemetry(spark, sf_dir)  # warmup
+        pr_breakdown = pagerank_iteration_telemetry(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        pr_breakdown = {"error": str(e)}
+        print(f"bench error pagerank_breakdown: {e}", file=sys.stderr)
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -108,6 +134,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "streaming_detail": streaming_detail,
+                "pagerank_breakdown": pr_breakdown,
                 "sf": sf,
                 "contended": contended,
                 # 1-min load average BEFORE our own session started:

@@ -248,6 +248,81 @@ PR_DAMP_NUM = 850_000  # 0.85 in micro units
 PR_BASE = 150_000  # (1 - 0.85) in micro units
 
 
+def _pr_edges(t) -> tuple[DataFrame, DataFrame]:
+    """(degree-annotated edge list, degree table) for the bipartite
+    purchase graph. The edge list feeds every iteration: lazily
+    local-checkpoint it so the lineitem x orders join + distinct runs
+    ONCE, not once per iteration (the single_scan pattern of
+    operators/rank.py — at cluster scale this is a bucketed edges table
+    written once instead). Out-degree is a property of the edge source
+    that never changes across iterations: merge it into the edge table
+    once and checkpoint THAT, so each iteration is ONE join
+    (edges x ranks) + one keyed aggregation instead of two joins —
+    the standard degree-annotated edge list every distributed PageRank
+    materializes up front."""
+    e0 = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
+        .distinct()
+    )
+    eb = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst")).localCheckpoint(eager=False)
+    deg = eb.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    ebd = (
+        eb.join(deg, eb["src"] == deg["node"])
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=False)
+    )
+    return ebd, deg
+
+
+def _pr_iter(ranks: DataFrame, ebd: DataFrame) -> DataFrame:
+    """One synchronous PageRank round: contribution = r div outdeg along
+    each edge, next rank = BASE + DAMP * sum div SCALE (integer
+    micro-units throughout — order-independent sums)."""
+    contrib = (
+        ebd.join(ranks, ebd["src"] == ranks["node"])
+        .selectExpr("dst", "r div outdeg AS c")
+    )
+    return (
+        contrib.groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").alias("__s"))
+        .selectExpr("node", f"cast({PR_BASE} + ({PR_DAMP_NUM} * __s) div {PR_SCALE} as bigint) AS r")
+    )
+
+
+def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
+    """Bench-only instrumented twin of pagerank_bipartite (round-5
+    verdict item #5): same dataflow via the same _pr_edges/_pr_iter
+    builders, but every stage is eagerly materialized and wall-timed so
+    the bench JSON records where the time goes — the one-off edge build
+    vs each of the PR_ITERS iterative rounds — and how per-iteration
+    cost trends (whether lazy single-plan execution or per-iteration
+    checkpointing drives the headline's run-to-run variance)."""
+    import time as _t
+
+    t = load(spark, sf_dir, ("lineitem", "orders"))
+    t0 = _t.time()
+    ebd, deg = _pr_edges(t)
+    # force the lazy checkpoints NOW so edge-build cost is separated
+    # from iteration cost
+    ebd = ebd.localCheckpoint(eager=True)
+    ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r")).localCheckpoint(
+        eager=True
+    )
+    edges_s = _t.time() - t0
+    iters_s = []
+    for _ in range(PR_ITERS):
+        t1 = _t.time()
+        ranks = _pr_iter(ranks, ebd).localCheckpoint(eager=True)
+        iters_s.append(round(_t.time() - t1, 3))
+    return {
+        "edges_s": round(edges_s, 3),
+        "iters_s": iters_s,
+        "n_iters": PR_ITERS,
+    }
+
+
 @register(
     "pagerank_bipartite",
     oracle=f"""
@@ -294,42 +369,10 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by src) so every iteration joins co-partitioned data
     with no re-derivation and no exchange on the edge side."""
     t = load(spark, sf_dir, ("lineitem", "orders"))
-    e0 = (
-        t["lineitem"]
-        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
-        .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
-        .distinct()
-    )
-    # the edge list feeds every iteration: lazily local-checkpoint it so
-    # the lineitem x orders join + distinct runs ONCE, not once per
-    # iteration (the single_scan pattern of operators/rank.py — at
-    # cluster scale this is a bucketed edges table written once instead)
-    eb = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst")).localCheckpoint(eager=False)
-    deg = eb.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
-    # out-degree is a PROPERTY OF THE EDGE SOURCE that never changes
-    # across iterations: merge it into the edge table once and
-    # checkpoint THAT, so each iteration is ONE join (edges x ranks) +
-    # one keyed aggregation instead of two joins. Locally the win is
-    # modest (~5-10% at sf0.1 — AQE was already broadcasting the small
-    # deg side), but at cluster scale deg is an O(nodes) table that no
-    # longer ships once per iteration: the standard degree-annotated
-    # edge list every distributed PageRank materializes up front.
-    ebd = (
-        eb.join(deg, eb["src"] == deg["node"])
-        .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=False)
-    )
+    ebd, deg = _pr_edges(t)
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ITERS):
-        contrib = (
-            ebd.join(ranks, ebd["src"] == ranks["node"])
-            .selectExpr("dst", "r div outdeg AS c")
-        )
-        ranks = (
-            contrib.groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("__s"))
-            .selectExpr("node", f"cast({PR_BASE} + ({PR_DAMP_NUM} * __s) div {PR_SCALE} as bigint) AS r")
-        )
+        ranks = _pr_iter(ranks, ebd)
     return (
         ranks.selectExpr(
             "node",
