@@ -22,6 +22,13 @@ from pyspark.sql import SparkSession
 def get_session(app_name: str = "tracy_matdb_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # must run BEFORE the JVM launches: the typed-state streaming
+    # protocol imports google.protobuf inside the Python WORKERS, which
+    # inherit the JVM's environment — so the vendored runtime has to be
+    # on $PYTHONPATH when the session is built (vendor/ensure_protobuf)
+    from tracy_matdb_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

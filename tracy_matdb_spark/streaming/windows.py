@@ -282,22 +282,28 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     none of which applyInPandasWithState offers. Kept alongside the
     legacy form so both engine APIs stay covered.
 
-    ENV GATE (same policy as the old h5py cut, documented in README):
-    the typed-state protocol needs `google.protobuf` for its state
-    server messages and requires the RocksDB state store provider; this
-    image ships neither protobuf nor pip access, so the operator is
-    exercised by a protobuf-gated test (tests/test_streaming.py) and is
-    NOT registered as a driver query until the dependency exists.
+    DEPENDENCY: the typed-state protocol speaks protobuf between the
+    Python worker and the JVM state server. A real `google.protobuf`
+    is used when installed; otherwise the vendored minimal runtime
+    (tracy_matdb_spark/vendor/protobuf_shim — wire format from the
+    public spec, the hdf5lite playbook) is activated, so this operator
+    runs even in images without the protobuf pip package. The shim
+    must also reach the WORKER processes: build the session through
+    tracy_matdb_spark.session.get_session (which exports the shim on
+    $PYTHONPATH before the JVM launches) or call
+    vendor.ensure_protobuf() yourself first.
 
     Emits (count, sum*100, max*100) per user per batch — round() not
     floor, same ulp rationale as stateful_user_totals."""
-    try:  # the state protocol dependency this image lacks
-        import google.protobuf  # noqa: F401
+    from tracy_matdb_spark.vendor import ensure_protobuf
+
+    try:
+        ensure_protobuf()
     except ImportError as exc:  # pragma: no cover - env-specific
         raise ImportError(
             "transformWithStateInPandas needs google.protobuf (state "
-            "server protocol); install protobuf to use the typed-state "
-            "API — the applyInPandasWithState twin (stateful_user_totals) "
+            "server protocol) and the vendored runtime failed to import "
+            "— the applyInPandasWithState twin (stateful_user_totals) "
             "covers the same semantics without it"
         ) from exc
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -333,6 +339,10 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    # timeMode "none": no timers are registered, and any timer mode makes
+    # MicroBatchExecution schedule timer-sweep batches after every batch
+    # ("No new data but cleaning up state") — with a finite source +
+    # processAllAvailable that loop never terminates
     return events.groupBy("user_id").transformWithStateInPandas(
-        Totals(), TWS_OUT, "update", "processingTime"
+        Totals(), TWS_OUT, "update", "none"
     )
