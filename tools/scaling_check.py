@@ -84,6 +84,119 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# Skew-join / skew-agg stress (round-5 verdict item #8)
+# ---------------------------------------------------------------------------
+
+SKEW_N = 12_000_000  # fact rows; one hot key holds 30%
+SKEW_DIM = 100_002  # dim keys — far over any broadcast threshold with payload
+SKEW_SALTS = 32
+
+
+def skew_stress(spark) -> dict:
+    """Time operators/skew.py's salted paths against the naive plans on
+    a synthetic hot-key workload: 12M fact rows, ONE key holding 30%
+    (the regime AQE only partially rescues). Two stresses:
+
+    * join: fact x 100k-key dim, broadcast disabled, AQE skew-join ON
+      (the honest baseline — AQE splits oversized partitions but the
+      hot key's hash bucket still serializes); salted_join spreads the
+      hot key over SKEW_SALTS tasks at the cost of dim replication.
+    * agg: per-key distinct count with wide collect_set state; the
+      salted form shards state by hash(value) — shards are DISJOINT in
+      the collected column, so the stage-2 merge is a plain SUM of
+      per-shard sizes, never a re-flatten.
+
+    Each salted variant must beat its naive twin (ratio < 1.0, small
+    tolerance); a slower salted path lands in `flagged`.
+    """
+
+    fact = (
+        spark.range(SKEW_N)
+        .selectExpr(
+            "CASE WHEN id % 10 < 3 THEN 1 "
+            f"ELSE (xxhash64(id) % {SKEW_DIM - 2} + {SKEW_DIM - 2}) % {SKEW_DIM - 2} + 2 END AS k",
+            "id AS v",
+        )
+        .localCheckpoint()
+    )
+    dim = (
+        spark.range(SKEW_DIM)
+        .selectExpr("id AS k", "concat('d', id) AS label")
+        .localCheckpoint()
+    )
+
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.operators.skew import salted_agg, salted_join
+
+    def timed(make_df) -> float:
+        _materialize(make_df())
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(make_df())
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    def naive_agg():
+        return fact.groupBy("k").agg(F.size(F.collect_set("v")).alias("nd"))
+
+    def salt_agg():
+        return salted_agg(
+            fact,
+            ["k"],
+            "v",
+            [F.size(F.collect_set("v")).alias("nd_part")],
+            lambda s: [F.sum("nd_part").cast("int").alias("nd")],
+            n_salts=SKEW_SALTS,
+        )
+
+    def naive_join():
+        return fact.join(dim, "k").groupBy().agg(
+            F.count("*").alias("n"), F.max("label").alias("m")
+        )
+
+    def salt_join():
+        return salted_join(fact, dim, "k", "v", n_salts=SKEW_SALTS).groupBy().agg(
+            F.count("*").alias("n"), F.max("label").alias("m")
+        )
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out: dict = {
+        "fact_rows": SKEW_N,
+        "hot_key_fraction": 0.3,
+        "n_salts": SKEW_SALTS,
+        "aqe_skew_join": spark.conf.get("spark.sql.adaptive.skewJoin.enabled"),
+    }
+    try:
+        agg_naive_s = timed(naive_agg)
+        agg_salted_s = timed(salt_agg)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        join_naive_s = timed(naive_join)
+        join_salted_s = timed(salt_join)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    out["agg"] = {
+        "naive_s": agg_naive_s,
+        "salted_s": agg_salted_s,
+        "ratio_salted_over_naive": round(agg_salted_s / agg_naive_s, 2),
+    }
+    out["join"] = {
+        "naive_s": join_naive_s,
+        "salted_s": join_salted_s,
+        "ratio_salted_over_naive": round(join_salted_s / join_naive_s, 2),
+    }
+    # 1.05: the salted path must at least match the naive one; co-tenant
+    # jitter of a few percent is not a regression signal
+    out["flagged"] = [
+        f"skew_{kind}_salted_slower"
+        for kind in ("agg", "join")
+        if out[kind]["ratio_salted_over_naive"] > 1.05
+    ]
+    return out
+
+
 def _warm_time(spark, fn, sf_dir: str) -> float:
     """Best-of-2 warm time: one warmup (JVM/codegen, parquet footers),
     then the min of two timed runs — a single GC pause or session-state
@@ -128,6 +241,8 @@ def run(out_path: str | None = None) -> dict:
         }
         if flag:
             flagged.append(name)
+    skew = skew_stress(spark)
+    flagged.extend(skew.pop("flagged"))
     spark.stop()
 
     result = {
@@ -136,6 +251,7 @@ def run(out_path: str | None = None) -> dict:
         "ratio_threshold": RATIO_THRESHOLD,
         "min_large_sec": MIN_LARGE_SEC,
         "queries": rows,
+        "skew_stress": skew,
         "flagged": sorted(flagged),
     }
     if out_path:

@@ -36,6 +36,12 @@ def salted_agg(
     stage1 columns must be *mergeable* (their stage-2 combiner exists):
     count -> sum, sum -> sum, min -> min, collect_set -> flatten+distinct.
     The caller supplies the stage-2 exprs via `stage2(sharded_df)`.
+
+    Sharpest special case: when `shard_on` IS the collected/distinct
+    column, shards are DISJOINT in that column, so distinct-count merges
+    as a plain SUM of per-shard sizes — no re-flatten, stage 2 carries
+    one int per shard. That form beats the naive hot-key groupBy in the
+    skew stress (tools/scaling_check.py:skew_stress, SCALING.json).
     """
     salt = (F.xxhash64(F.col(shard_on)) % n_salts + n_salts) % n_salts
     sharded = (
