@@ -245,6 +245,50 @@ def events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stateful_totals_tws",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           cast(round(sum(value) * cast(100 as double)) as bigint) AS sum_value_c,
+           cast(round(max(value) * cast(100 as double)) as bigint) AS max_value_c
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Spark 4 typed-state streaming operator "
+    "(transformWithStateInPandas + RocksDB state store, protobuf state "
+    "protocol via the vendored runtime when the pip package is absent): "
+    "per-user totals over the finite event stream, equal to the batch "
+    "aggregation (SURVEY §2.11; successor API of events_stateful_totals)",
+)
+def events_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.streaming.windows import (
+        read_events_stream,
+        run_stateful_to_completion,
+        stateful_user_totals_tws,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        out = run_stateful_to_completion(
+            stateful_user_totals_tws(ev), "stateful_totals_tws_q"
+        )
+        # the memory-sink table survives the provider reset below; the
+        # returned plan reads from it, not from the stream
+        out = out.orderBy("user_id").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out
+
+
+@register(
     "events_distinct_users",
     oracle="""
     SELECT event_type,
