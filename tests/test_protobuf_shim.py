@@ -120,3 +120,58 @@ def test_unsupported_constructs_fail_loudly():
     # wire type 3 (group start) must raise, not silently misparse
     with pytest.raises(ValueError):
         list(rt.scan_fields(b"\x0b"))
+
+
+def test_wire_roundtrip_property():
+    """Property: arbitrary field values survive serialize -> parse for
+    every scalar shape the state protocol uses (int32/int64 full signed
+    range, bool, bytes, string, enum, repeated bytes, nested oneof)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=i32,
+        err=st.text(max_size=40),
+        value=i64,
+        key=st.binary(max_size=60),
+        ts=i64,
+        vals=st.lists(st.binary(max_size=20), max_size=8),
+        fetch=st.booleans(),
+    )
+    def roundtrip(status, err, value, key, ts, vals, fetch):
+        m = SM.StateResponseWithLongTypeVal(statusCode=status, errorMessage=err, value=value)
+        back = SM.StateResponseWithLongTypeVal()
+        back.ParseFromString(m.SerializeToString())
+        assert (back.statusCode, back.errorMessage, back.value) == (status, err, value)
+
+        t = SM.StateResponseWithTimer(
+            statusCode=status,
+            timer=[SM.TimerInfo(key=key, timestampMs=ts)],
+            requireNextFetch=fetch,
+        )
+        bt = SM.StateResponseWithTimer()
+        bt.ParseFromString(t.SerializeToString())
+        assert [(x.key, x.timestampMs) for x in bt.timer] == [(key, ts)]
+        assert bt.requireNextFetch is fetch
+
+        lg = SM.StateResponseWithListGet(value=vals)
+        bl = SM.StateResponseWithListGet()
+        bl.ParseFromString(lg.SerializeToString())
+        assert bl.value == vals
+
+        req = SM.StateRequest(
+            version=status,
+            timerRequest=SM.TimerRequest(
+                timerValueRequest=SM.TimerValueRequest(getWatermark=SM.GetWatermark())
+            ),
+        )
+        br = SM.StateRequest()
+        br.ParseFromString(req.SerializeToString())
+        assert br.version == status
+        assert br.SerializeToString() == req.SerializeToString()
+
+    roundtrip()
