@@ -84,6 +84,8 @@ NLJ_ALLOWED = {
     "entity_consistent_split",
     # broadcast K-row centroid table per assignment round (IVF pattern)
     "kmeans_fixed_point",
+    # 1-row argmax merge broadcast per BPE round (in-plan winner selection)
+    "bpe_train_merges",
 }
 
 

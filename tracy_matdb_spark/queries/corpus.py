@@ -1471,3 +1471,107 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("gv").alias("normalized"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) as an iterative
+# relational plan — the argmax merge of each round is computed IN the
+# plan (1-row broadcast), and greedy left-to-right merge application is
+# pure windows + gaps-and-islands. No arrays, no UDFs, no driver state.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 5
+BPE_TOP_WORDS = 1000
+
+
+def _bpe_sql(docs_rel: str, dialect: str) -> str:
+    """One CTE chain, K rounds of: pair-count -> argmax (deterministic
+    tie-break: count DESC, then lexicographic pair) -> greedy
+    non-overlapping merge. Overlaps only arise for self-pairs (l == r):
+    within each maximal run of consecutive candidate positions, the
+    odd island-ranks are the greedy merge starts (floor(run/2) merges —
+    exactly Sennrich's left-to-right semantics). Dialect differences
+    are confined to tokenize + char-explode fragments."""
+    if dialect == "spark":
+        tokens = (
+            f"SELECT w FROM {docs_rel} "
+            "LATERAL VIEW explode(split(lower(text), '[^a-z]+')) tt AS w"
+        )
+        chars = (
+            "SELECT w, freq, pos, substring(w, pos, 1) AS sym FROM words "
+            "LATERAL VIEW explode(sequence(1, length(w))) pp AS pos"
+        )
+    else:
+        tokens = (
+            "SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w "
+            f"FROM {docs_rel}"
+        )
+        chars = (
+            "SELECT w, freq, pos, substring(w, pos, 1) AS sym FROM ("
+            "SELECT w, freq, unnest(generate_series(1, length(w))) AS pos FROM words) t"
+        )
+    ctes = [
+        f"words AS (SELECT w, cast(count(*) as bigint) AS freq FROM ({tokens}) t "
+        f"WHERE length(w) >= 2 GROUP BY w ORDER BY freq DESC, w LIMIT {BPE_TOP_WORDS})",
+        f"syms0 AS ({chars})",
+    ]
+    for k in range(1, BPE_ROUNDS + 1):
+        p = f"syms{k - 1}"
+        ctes.append(
+            f"paired{k} AS (SELECT w, freq, pos, sym, "
+            f"lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM {p})"
+        )
+        ctes.append(
+            f"best{k} AS (SELECT sym AS l, nxt AS r, cnt FROM ("
+            f"SELECT sym, nxt, cast(sum(freq) as bigint) AS cnt FROM paired{k} "
+            f"WHERE nxt IS NOT NULL GROUP BY sym, nxt) b "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"cand{k} AS (SELECT s.w, s.freq, s.pos, s.sym, b.l, b.r, "
+            f"CASE WHEN s.sym = b.l AND s.nxt = b.r THEN 1 ELSE 0 END AS c "
+            f"FROM paired{k} s CROSS JOIN best{k} b)"
+        )
+        ctes.append(
+            f"isl{k} AS (SELECT *, pos - row_number() OVER "
+            f"(PARTITION BY w, c ORDER BY pos) AS isl FROM cand{k})"
+        )
+        ctes.append(
+            f"marked{k} AS (SELECT *, CASE WHEN c = 1 AND (row_number() OVER "
+            f"(PARTITION BY w, c, isl ORDER BY pos) % 2) = 1 THEN 1 ELSE 0 END "
+            f"AS mstart FROM isl{k})"
+        )
+        ctes.append(
+            f"syms{k} AS (SELECT w, freq, row_number() OVER "
+            f"(PARTITION BY w ORDER BY pos) AS pos, "
+            f"CASE WHEN mstart = 1 THEN l || r ELSE sym END AS sym FROM ("
+            f"SELECT *, lag(mstart) OVER (PARTITION BY w ORDER BY pos) AS prevm "
+            f"FROM marked{k}) z WHERE coalesce(prevm, 0) = 0)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT cast({k} as bigint) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, cnt AS pair_count FROM best{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) u ORDER BY merge_rank"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_sql("documents", "duckdb"),
+    doc="BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) "
+    f"as {BPE_ROUNDS} merge rounds over the top-{BPE_TOP_WORDS} word "
+    "frequency table: per round, pair counts are a keyed aggregation, "
+    "the winning merge is a deterministic in-plan argmax (1-row "
+    "broadcast, tie-break count DESC then lexicographic), and greedy "
+    "left-to-right merge application is windows + gaps-and-islands "
+    "parity (self-pair runs merge at odd island ranks). At 100 TB the "
+    "word-frequency table is the bounded training substrate (vocab "
+    "cardinality, not corpus size), so every round is a handful of "
+    "keyed shuffles over O(vocab * avg_len) rows — the standard "
+    "map-reduce BPE formulation, here as one lazy Catalyst plan.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    docs.createOrReplaceTempView("__bpe_docs")
+    return spark.sql(_bpe_sql("__bpe_docs", "spark"))

@@ -245,6 +245,93 @@ def events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), runs AS (
+        SELECT *, sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ), iv AS (
+        SELECT user_id, event_type, version,
+               min(ts_us) AS valid_from_us,
+               cast(count(*) as bigint) AS n_events
+        FROM runs GROUP BY user_id, event_type, version
+    )
+    SELECT user_id, cast(version as bigint) AS version, event_type,
+           valid_from_us,
+           coalesce(lead(valid_from_us)
+                    OVER (PARTITION BY user_id ORDER BY version),
+                    cast(-1 as bigint)) AS valid_to_us,
+           (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+            IS NULL) AS is_current,
+           n_events
+    FROM iv
+    ORDER BY user_id, version
+    """,
+    doc="SCD Type-2 dimension build: per-user event_type change history "
+    "collapsed to validity intervals [valid_from, valid_to) with version "
+    "numbers and an is_current flag — the classic warehouse/feature-store "
+    "temporal-dimension op (gaps-and-islands: lag change flags -> running "
+    "version -> interval rollup -> lead close-out; every window keyed by "
+    "user_id, no global sort)",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    # order by micros + event_id on BOTH sides: DuckDB reads the nanos
+    # generation truncated to micros, so micros ordering is the shared one
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.expr("ts_ns div 1000").alias("ts_us"),  # integer div: doubles lose epoch-nanos exactness
+            "event_id",
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts_us", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    iv = runs.groupBy("user_id", "event_type", "version").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from_us").over(wv)
+    return (
+        iv.select(
+            "user_id",
+            F.col("version").cast("long").alias("version"),
+            "event_type",
+            "valid_from_us",
+            F.coalesce(nxt, F.lit(-1).cast("long")).alias("valid_to_us"),
+            nxt.isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+@register(
     "events_stateful_totals_tws",
     oracle="""
     SELECT user_id, count(*) AS n_events,
