@@ -425,3 +425,36 @@ def test_tws_protobuf_dependency_is_satisfied(spark):
     parsed.ParseFromString(req.SerializeToString())
     call = parsed.stateVariableRequest.valueStateCall
     assert (call.stateName, call.valueStateUpdate.value) == ("s", b"\x07")
+
+
+def test_stateful_typemap_tws_list_and_map_state(spark):
+    """ListState + MapState through the typed-state protocol: equal to
+    the batch aggregate (integer-cents state is order-independent)."""
+    from tracy_matdb_spark.streaming.windows import (
+        read_events_stream,
+        run_stateful_to_completion,
+        stateful_typemap_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, "/root/testdata/sf0.001")
+        out = run_stateful_to_completion(
+            stateful_typemap_tws(ev), "typemap_test_q"
+        ).orderBy("user_id")
+        batch = spark.sql(
+            """
+            SELECT user_id, cast(count(DISTINCT event_type) as bigint) AS n_types,
+                   cast(sum(cast(round(value*100) as bigint)) as bigint) AS sum_cents,
+                   cast(count(*) as bigint) AS n_values,
+                   cast(max(cast(round(value*100) as bigint)) as bigint) AS max_cents
+            FROM parquet.`/root/testdata/sf0.001/events.parquet`
+            GROUP BY user_id ORDER BY user_id
+            """
+        )
+        assert out.collect() == batch.collect()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

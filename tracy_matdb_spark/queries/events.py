@@ -376,6 +376,51 @@ def events_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_typemap_tws",
+    oracle="""
+    SELECT user_id, cast(count(DISTINCT event_type) as bigint) AS n_types,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents,
+           cast(count(*) as bigint) AS n_values,
+           cast(max(cast(round(value * 100) as bigint)) as bigint) AS max_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="ListState + MapState typed-state coverage "
+    "(transformWithStateInPandas): per-user event_type map of "
+    "(count, cents) plus a cents ListState, read back through the "
+    "state-server protocol for emission — every protobuf message "
+    "family (value/list/map state calls) crosses the boundary; "
+    "integer-cents state makes the batch oracle exact regardless of "
+    "row/batch order",
+)
+def events_typemap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tracy_matdb_spark.streaming.windows import (
+        read_events_stream,
+        run_stateful_to_completion,
+        stateful_typemap_tws,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        out = run_stateful_to_completion(
+            stateful_typemap_tws(ev), "typemap_tws_q"
+        )
+        out = out.orderBy("user_id").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out
+
+
+@register(
     "events_distinct_users",
     oracle="""
     SELECT event_type,

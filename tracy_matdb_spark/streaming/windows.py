@@ -346,3 +346,87 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         Totals(), TWS_OUT, "update", "none"
     )
+
+
+TWS_TYPEMAP_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("max_cents", T.LongType()),
+    ]
+)
+
+
+def stateful_typemap_tws(events: DataFrame) -> DataFrame:
+    """ListState + MapState coverage of the typed-state API (the two
+    handle kinds stateful_user_totals_tws doesn't touch): per user, a
+    MapState keyed by event_type accumulates (count, cents) and a
+    ListState holds every observed cents value; the emitted row reads
+    BOTH back through the protocol (map iterator + list iterator), so
+    every state-server message family — ValueState's update/get plus
+    ListStatePut/AppendList/ListStateGet and MapState
+    UpdateValue/GetValue/ContainsKey/Iterator — crosses the protobuf
+    boundary (vendored runtime when the pip package is absent).
+
+    All accumulation is in INTEGER cents (round(value*100) per event is
+    exact for 2-decimal data), so results are independent of row and
+    batch order — the property that makes the batch-aggregate oracle
+    exact."""
+    from tracy_matdb_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TypeMap(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._per_type = handle.getMapState(
+                "per_type", "event_type string", "cnt long, cents long"
+            )
+            self._vals = handle.getListState("vals", "c long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            for pdf in rows:
+                cents = (pdf["value"] * 100).round().astype("int64")
+                self._vals.appendList([(int(c),) for c in cents])
+                grouped = pd.DataFrame(
+                    {"t": pdf["event_type"], "c": cents}
+                ).groupby("t")["c"]
+                for etype, series_sum in grouped.sum().items():
+                    n_new = int(grouped.count()[etype])
+                    if self._per_type.containsKey((etype,)):
+                        cnt, tot = self._per_type.getValue((etype,))
+                    else:
+                        cnt, tot = 0, 0
+                    self._per_type.updateValue(
+                        (etype,), (cnt + n_new, tot + int(series_sum))
+                    )
+            n_types = 0
+            sum_cents = 0
+            for _k, (cnt, tot) in self._per_type.iterator():
+                n_types += 1
+                sum_cents += tot
+            n_values = 0
+            max_cents = None
+            for (c,) in self._vals.get():
+                n_values += 1
+                max_cents = c if max_cents is None else max(max_cents, c)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_types": [n_types],
+                    "sum_cents": [sum_cents],
+                    "n_values": [n_values],
+                    "max_cents": [max_cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TypeMap(), TWS_TYPEMAP_OUT, "update", "none"
+    )
