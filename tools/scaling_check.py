@@ -77,6 +77,9 @@ SCALING_EXTRA = [
     "shard_token_budget",  # global range-sliced rank under the sharder
     "universe_sample_join",  # sampled + exact join branches
     "entity_resolution_pairs",  # blocking join: the block-skew hazard class
+    "scd2_user_state",  # keyed change-history windows (per-user islands)
+    "bpe_train_merges",  # iterative CTE chain — cost must track vocab, not corpus
+    "events_typemap_tws",  # typed-state protocol round-trips per key
 ]
 
 

@@ -1572,6 +1572,47 @@ def _bpe_sql(docs_rel: str, dialect: str) -> str:
     "map-reduce BPE formulation, here as one lazy Catalyst plan.",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark INLINES CTEs at every reference, so running the whole chain
+    # as one statement re-expands each round's prefix quadratically
+    # (measured: 26 nested-loop joins / 31 exchanges for 5 rounds).
+    # Execute round-by-round instead, cutting lineage with lazy
+    # localCheckpoints (the operators/rank.py single_scan pattern):
+    # every stage materializes exactly once, total work linear in K.
+    # The DuckDB oracle keeps the single CTE chain — same semantics.
     docs = load(spark, sf_dir, ("documents",))["documents"]
     docs.createOrReplaceTempView("__bpe_docs")
-    return spark.sql(_bpe_sql("__bpe_docs", "spark"))
+    full = _bpe_sql("__bpe_docs", "spark")
+    ctes: dict[str, str] = {}
+    body = full[len("WITH ") : full.rindex("\nSELECT ")]
+    depth = 0
+    start = 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            frag = body[start:i].strip()
+            name, _, sql = frag.partition(" AS (")
+            ctes[name.strip()] = sql[: sql.rindex(")")]
+            start = i + 1
+    frag = body[start:].strip()
+    name, _, sql = frag.partition(" AS (")
+    ctes[name.strip()] = sql[: sql.rindex(")")]
+    import re
+
+    defined: list[str] = []
+    for cte_name, cte_sql in ctes.items():
+        for earlier in defined:
+            cte_sql = re.sub(rf"\b{earlier}\b", f"__bpe_{earlier}", cte_sql)
+        df = spark.sql(cte_sql)
+        if cte_name.startswith(("syms", "best", "words")):
+            df = df.localCheckpoint(eager=False)
+        df.createOrReplaceTempView(f"__bpe_{cte_name}")
+        defined.append(cte_name)
+    unions = " UNION ALL ".join(
+        f"SELECT cast({k} as bigint) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, cnt AS pair_count FROM __bpe_best{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return spark.sql(f"SELECT * FROM ({unions}) u ORDER BY merge_rank")
