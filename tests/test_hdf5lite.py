@@ -156,8 +156,12 @@ _names = st.text(
 # NUL-free text: null-padded fixed-width strings (v1/v2) cannot carry
 # '\x00' by format definition — the writer now raises on it (see
 # _reject_nul); test_nul_strings pins both that and the v0 VL roundtrip
+# surrogate codepoints (category Cs) are not Unicode scalar values and
+# have no UTF-8 form — the writer raises a typed error on them (see
+# test_lone_surrogate_rejected); excluded from the roundtrip strategy
 _text = st.text(
-    alphabet=st.characters(exclude_characters="\x00"), max_size=20
+    alphabet=st.characters(exclude_characters="\x00", exclude_categories=("Cs",)),
+    max_size=20,
 )
 _scalars = st.one_of(
     st.booleans(),
@@ -227,3 +231,17 @@ def test_bitflip_never_hangs(dialect):
             read_tree_bytes(bytes(mut))
         except Exception as exc:  # noqa: BLE001
             assert not isinstance(exc, (SystemExit, KeyboardInterrupt, MemoryError))
+
+
+def test_lone_surrogate_rejected():
+    """Lone surrogates are not Unicode scalar values — no UTF-8 form in
+    ANY dialect (h5py raises the same way). The writer must fail with a
+    typed error from every string path: scalar attr, string array, VL
+    heap."""
+    import pytest
+
+    for dialect in DIALECTS:
+        with pytest.raises(ValueError, match="surrogate"):
+            write_tree_bytes({"a": "\ud800"}, dialect=dialect)
+        with pytest.raises(ValueError, match="surrogate"):
+            write_tree_bytes({"d": ["ok", "\udfff"]}, dialect=dialect)

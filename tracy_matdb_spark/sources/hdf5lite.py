@@ -222,6 +222,20 @@ def _reject_nul(strs) -> None:
             )
 
 
+def _utf8(s: str) -> bytes:
+    """Encode one HDF5 string payload. HDF5 strings are UTF-8 (cset=1);
+    lone surrogates are not Unicode scalar values and have NO UTF-8
+    form in ANY dialect — h5py raises the same way. Fail with a typed
+    error instead of a raw UnicodeEncodeError from deep in the writer."""
+    try:
+        return s.encode("utf-8")
+    except UnicodeEncodeError as exc:
+        raise ValueError(
+            "hdf5lite: string contains a lone surrogate (not a Unicode "
+            "scalar value) — unrepresentable in HDF5 UTF-8 strings"
+        ) from exc
+
+
 def _encode_array(arr: np.ndarray, dialect: str, vl):
     """-> (datatype bytes, raw little-endian buffer, shape)."""
     if arr.dtype.kind == "b":
@@ -235,7 +249,7 @@ def _encode_array(arr: np.ndarray, dialect: str, vl):
         if dialect == "v0":
             return DT_VLSTR, b"".join(vl(s) for s in strs), arr.shape
         _reject_nul(strs)
-        enc = [s.encode("utf-8") for s in strs]
+        enc = [_utf8(s) for s in strs]
         width = max((len(e) for e in enc), default=0) or 1
         return _dt_fixed_str(width), b"".join(e.ljust(width, b"\0") for e in enc), arr.shape
     raise TypeError(f"hdf5lite cannot encode dtype {arr.dtype!r}")
@@ -253,7 +267,7 @@ def _encode_attr(value: Any, dialect: str, vl):
         if dialect == "v0":
             return DT_VLSTR, vl(value)
         _reject_nul([value])
-        enc = value.encode("utf-8")
+        enc = _utf8(value)
         return _dt_fixed_str(len(enc)), enc or b"\0"
     raise TypeError(f"hdf5lite cannot encode attribute {type(value)!r}")
 
@@ -286,7 +300,7 @@ class _GlobalHeap:
         self.addr = UNDEF
 
     def add(self, s: str) -> tuple[int, int]:
-        self.items.append(s.encode("utf-8"))
+        self.items.append(_utf8(s))
         return len(self.items), len(self.items[-1])  # (1-based index, length)
 
     def render(self) -> bytes:
@@ -324,7 +338,7 @@ def write_tree_bytes(tree: dict[str, Any], dialect: str = "v2", chunk_rows: int 
         def vlref(s: str) -> bytes:
             idx = next(counter)
             data = heap.items[idx - 1]
-            assert data == s.encode("utf-8"), "VL walk-order drift"
+            assert data == _utf8(s), "VL walk-order drift"
             return struct.pack("<IQI", len(data), heap.addr, idx)
 
     root = _write_group(buf, tree, dialect, vlref, chunk_rows)
