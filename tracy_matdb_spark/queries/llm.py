@@ -279,7 +279,10 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates-only discipline as MinHash-LSH. Band width is the scale
     valve: 2^12 buckets/band keeps buckets sparse where the earlier
     16-bit/4-bit-band form degenerated to all-pairs within 16 buckets."""
-    fp = _simhash_fp_df(spark, sf_dir)
+    # the self-join references the signature table TWICE: cut lineage so
+    # tokenize+hash+simhash runs once, not once per side (measured ~1s
+    # of the 3.7s at sf0.1; at scale this is a materialized table)
+    fp = _simhash_fp_df(spark, sf_dir).localCheckpoint(eager=False)
     bands = fp.select(
         "doc_id",
         "sh",
@@ -308,8 +311,11 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.expr("cast(bit_count(a.sh ^ b.sh) as int)").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming filter BEFORE the pair dedup: it's map-side computable
+        # and every copy of a pair carries the same hamming, so filtering
+        # first shrinks the dedup shuffle to surviving pairs only
         .filter(F.col("hamming") <= SIMHASH_MAX_HD)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs.orderBy("doc_a", "doc_b")
 
