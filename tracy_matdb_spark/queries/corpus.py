@@ -1556,29 +1556,18 @@ def _bpe_sql(docs_rel: str, dialect: str) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) u ORDER BY merge_rank"
 
 
-@register(
-    "bpe_train_merges",
-    oracle=_bpe_sql("documents", "duckdb"),
-    doc="BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) "
-    f"as {BPE_ROUNDS} merge rounds over the top-{BPE_TOP_WORDS} word "
-    "frequency table: per round, pair counts are a keyed aggregation, "
-    "the winning merge is a deterministic in-plan argmax (1-row "
-    "broadcast, tie-break count DESC then lexicographic), and greedy "
-    "left-to-right merge application is windows + gaps-and-islands "
-    "parity (self-pair runs merge at odd island ranks). At 100 TB the "
-    "word-frequency table is the bounded training substrate (vocab "
-    "cardinality, not corpus size), so every round is a handful of "
-    "keyed shuffles over O(vocab * avg_len) rows — the standard "
-    "map-reduce BPE formulation, here as one lazy Catalyst plan.",
-)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark INLINES CTEs at every reference, so running the whole chain
-    # as one statement re-expands each round's prefix quadratically
-    # (measured: 26 nested-loop joins / 31 exchanges for 5 rounds).
-    # Execute round-by-round instead, cutting lineage with lazy
-    # localCheckpoints (the operators/rank.py single_scan pattern):
-    # every stage materializes exactly once, total work linear in K.
-    # The DuckDB oracle keeps the single CTE chain — same semantics.
+def _bpe_build_views(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the BPE training chain as temp views __bpe_*.
+
+    Spark INLINES CTEs at every reference, so running the whole chain
+    as one statement re-expands each round's prefix quadratically
+    (measured: 26 nested-loop joins / 31 exchanges for 5 rounds).
+    Execute round-by-round instead, cutting lineage with lazy
+    localCheckpoints (the operators/rank.py single_scan pattern):
+    every stage materializes exactly once, total work linear in K.
+    The DuckDB oracles keep the single CTE chain — same semantics."""
+    import re
+
     docs = load(spark, sf_dir, ("documents",))["documents"]
     docs.createOrReplaceTempView("__bpe_docs")
     full = _bpe_sql("__bpe_docs", "spark")
@@ -1599,8 +1588,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag = body[start:].strip()
     name, _, sql = frag.partition(" AS (")
     ctes[name.strip()] = sql[: sql.rindex(")")]
-    import re
-
     defined: list[str] = []
     for cte_name, cte_sql in ctes.items():
         for earlier in defined:
@@ -1610,9 +1597,68 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = df.localCheckpoint(eager=False)
         df.createOrReplaceTempView(f"__bpe_{cte_name}")
         defined.append(cte_name)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_sql("documents", "duckdb"),
+    doc="BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909) "
+    f"as {BPE_ROUNDS} merge rounds over the top-{BPE_TOP_WORDS} word "
+    "frequency table: per round, pair counts are a keyed aggregation, "
+    "the winning merge is a deterministic in-plan argmax (1-row "
+    "broadcast, tie-break count DESC then lexicographic), and greedy "
+    "left-to-right merge application is windows + gaps-and-islands "
+    "parity (self-pair runs merge at odd island ranks). At 100 TB the "
+    "word-frequency table is the bounded training substrate (vocab "
+    "cardinality, not corpus size), so every round is a handful of "
+    "keyed shuffles over O(vocab * avg_len) rows — the standard "
+    "map-reduce BPE formulation, here as one lazy Catalyst plan.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bpe_build_views(spark, sf_dir)
     unions = " UNION ALL ".join(
         f"SELECT cast({k} as bigint) AS merge_rank, l AS left_sym, "
         f"r AS right_sym, cnt AS pair_count FROM __bpe_best{k}"
         for k in range(1, BPE_ROUNDS + 1)
     )
     return spark.sql(f"SELECT * FROM ({unions}) u ORDER BY merge_rank")
+
+
+BPE_VOCAB_TOP = 30
+
+
+def _bpe_vocab_sql_duckdb() -> str:
+    full = _bpe_sql("documents", "duckdb")
+    body = full[: full.rindex("\nSELECT ")]
+    return (
+        body
+        + f"""
+    SELECT sym, cast(sum(freq) as bigint) AS occurrences,
+           cast(count(*) as bigint) AS n_positions,
+           cast(length(sym) as bigint) AS sym_len
+    FROM syms{BPE_ROUNDS} GROUP BY sym
+    ORDER BY occurrences DESC, sym LIMIT {BPE_VOCAB_TOP}"""
+    )
+
+
+@register(
+    "bpe_vocab_usage",
+    oracle=_bpe_vocab_sql_duckdb(),
+    doc=f"BPE merge APPLICATION verified end-to-end: after the "
+    f"{BPE_ROUNDS} learned merges, the corpus-weighted frequency of "
+    f"every surviving symbol (top {BPE_VOCAB_TOP}) — this checks the "
+    "greedy left-to-right merge rewrite itself (the syms table), a "
+    "stronger surface than bpe_train_merges' winning pairs alone; "
+    "same round-by-round execution, same single-chain DuckDB oracle.",
+)
+def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bpe_build_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT sym, cast(sum(freq) as bigint) AS occurrences,
+               cast(count(*) as bigint) AS n_positions,
+               cast(length(sym) as bigint) AS sym_len
+        FROM __bpe_syms{BPE_ROUNDS} GROUP BY sym
+        ORDER BY occurrences DESC, sym LIMIT {BPE_VOCAB_TOP}
+        """
+    )
