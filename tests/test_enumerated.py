@@ -425,3 +425,19 @@ def test_hnf_convention_mutation_is_caught_by_subgroup_oracle():
     assert mutated != sub_counts("hcp", 2), mutated
     # and restored, they agree again
     assert deo.brute_counts("hcp", 2) == sub_counts("hcp", 2)
+
+
+def test_subgroup_oracle_hcp_n4_deep_anchor():
+    """The deepest offline hcp anchor: at index 4 (8-atom multilattice
+    cells) both independent machines — HNF-based and subgroup-based —
+    agree on 11 sublattice classes / 270 reduced structures. ~8s of
+    exhaustive orbit union; the value 270 is pinned so any convention
+    drift in either machine fails loudly."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.derive_enum_oracle import brute_counts as hnf_counts
+    from tools.subgroup_enum_oracle import brute_counts as sub_counts
+
+    assert sub_counts("hcp", 4) == (11, 270)
+    assert hnf_counts("hcp", 4) == (11, 270)

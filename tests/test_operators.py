@@ -157,3 +157,81 @@ def test_grouped_kth_value_matches_sorted_selection(spark):
             s = grp.sort_values(["v", "tb"]).reset_index(drop=True)
             k = k_of_n(len(s))
             assert got[g] == (s.loc[k - 1, "v"], s.loc[k - 1, "tb"]), (k_expr, g)
+
+
+def test_scd2_property_random_histories(spark):
+    """Property: the SCD2 gaps-and-islands plan equals a direct Python
+    fold over randomly generated per-key attribute histories — versions
+    increment exactly at changes, intervals chain with no gaps, the last
+    interval is open (is_current)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def spark_scd2(rows):
+        # (user, ts_us, event_id, type) — mirror of queries.events.scd2
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts_us", "event_id", "event_type"])
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        runs = (
+            df.withColumn("prev", F.lag("event_type").over(w))
+            .withColumn(
+                "chg",
+                F.when(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1).otherwise(0),
+            )
+            .withColumn(
+                "version",
+                F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            )
+        )
+        iv = runs.groupBy("user_id", "event_type", "version").agg(
+            F.min("ts_us").alias("valid_from"), F.count(F.lit(1)).alias("n")
+        )
+        wv = Window.partitionBy("user_id").orderBy("version")
+        nxt = F.lead("valid_from").over(wv)
+        return {
+            (r.user_id, r.version): (r.event_type, r.valid_from, r.valid_to, r.is_current, r.n)
+            for r in iv.select(
+                "user_id", "version", "event_type", "valid_from",
+                F.coalesce(nxt, F.lit(-1)).alias("valid_to"), nxt.isNull().alias("is_current"), "n",
+            ).collect()
+        }
+
+    def python_scd2(rows):
+        out = {}
+        by_user: dict[int, list] = {}
+        for u, ts, eid, t in rows:
+            by_user.setdefault(u, []).append((ts, eid, t))
+        for u, evs in by_user.items():
+            evs.sort()
+            runs = []
+            for ts, _eid, t in evs:
+                if not runs or runs[-1][0] != t:
+                    runs.append([t, ts, 0])
+                runs[-1][2] += 1
+            for v, (t, start, n) in enumerate(runs, start=1):
+                nxt = runs[v][1] if v < len(runs) else -1
+                out[(u, v)] = (t, start, nxt, v == len(runs), n)
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),     # user
+                st.integers(min_value=0, max_value=50),    # ts_us
+                st.integers(min_value=0, max_value=10**6), # event_id (tiebreak)
+                st.sampled_from(["a", "b", "c"]),
+            ),
+            min_size=1,
+            max_size=25,
+            unique_by=lambda r: (r[0], r[1], r[2]),
+        )
+    )
+    def check(rows):
+        assert spark_scd2(rows) == python_scd2(rows)
+
+    check()
