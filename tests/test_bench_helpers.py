@@ -1,0 +1,31 @@
+"""Bench-only code paths (pagerank telemetry, streaming ingest bench)
+— exercised at smoke scale so a regression surfaces in the suite, not
+as a silent -1 row in the next round's BENCH artifact."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pagerank_iteration_telemetry_shape(spark):
+    from tracy_matdb_spark.queries.webscale import (
+        PR_ITERS,
+        pagerank_iteration_telemetry,
+    )
+
+    out = pagerank_iteration_telemetry(spark, SF_SMOKE)
+    assert set(out) == {"edges_s", "iters_s", "n_iters"}
+    assert out["n_iters"] == PR_ITERS
+    assert len(out["iters_s"]) == PR_ITERS
+    assert out["edges_s"] > 0 and all(t >= 0 for t in out["iters_s"])
+
+
+def test_streaming_ingest_bench_dedupes(spark):
+    from tracy_matdb_spark.streaming.ingest import streaming_ingest_bench
+
+    out = streaming_ingest_bench(spark, SF_SMOKE, n_batches=3)
+    # overlapping drops offered more rows than the source holds; the
+    # anti-join must bring the ingested count back to exactly the source
+    assert out["rows_offered"] > out["rows_source"]
+    assert out["rows_ingested"] == out["rows_source"]
+    assert out["batches"] == 3 and out["sec"] > 0
