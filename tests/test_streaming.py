@@ -458,3 +458,44 @@ def test_stateful_typemap_tws_list_and_map_state(spark):
         assert out.collect() == batch.collect()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_bare_session_no_pythonpath_no_pth():
+    """Env-faithful regression for the round-6 driver failure: the
+    correctness driver builds its OWN bare SparkSession (never
+    session.get_session), and Spark 4's transformWithStateInPandas
+    spawns a fresh driver-worker process from the already-running JVM —
+    so neither query-time $PYTHONPATH mutation nor addPyFile can
+    deliver the protobuf shim there. Only the site-packages .pth hook
+    (vendor.install_pth_hook, invoked from ensure_protobuf) reaches it.
+
+    This test reproduces the driver environment exactly: subprocess
+    with the shim scrubbed from PYTHONPATH, the .pth hook removed
+    up-front, a bare SparkSession, and both tws queries end-to-end
+    against their batch twins (tools/bare_session_tws_check.py). Run
+    twice via the tool's internal loop would be ideal; here one pass
+    suffices because ensure_protobuf's shim-origin check makes the
+    bootstrap idempotent regardless of leftover .pth state."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "tools", "bare_session_tws_check.py"),
+            "/root/testdata/sf0.001",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"bare-session tws check failed\nstdout:\n{proc.stdout}\n"
+        f"stderr tail:\n{proc.stderr[-4000:]}"
+    )
+    assert "PASS events_stateful_totals_tws" in proc.stdout
+    assert "PASS events_typemap_tws" in proc.stdout

@@ -228,38 +228,42 @@ def streaming_ingest_bench(spark: SparkSession, sf_dir: str, n_batches: int = 4)
     docs = spark.read.parquet(_p.join(sf_dir, "documents.parquet"))
     schema = docs.schema
     base = tempfile.mkdtemp(prefix="stream_ingest_bench_")
-    stage = _p.join(base, "stage")
-    drop = _p.join(base, "drop")
-    target = _p.join(base, "target")
-    ckpt = _p.join(base, "ckpt")
-    os.makedirs(drop, exist_ok=True)
-    offered = 0
-    for i in range(n_batches):
-        part = docs.where((F.col("doc_id") % n_batches) == i)
-        if i:
-            part = part.unionByName(
-                docs.where(
-                    ((F.col("doc_id") % n_batches) == i - 1)
-                    & (F.col("doc_id") % 10 == 0)
+    try:
+        stage = _p.join(base, "stage")
+        drop = _p.join(base, "drop")
+        target = _p.join(base, "target")
+        ckpt = _p.join(base, "ckpt")
+        os.makedirs(drop, exist_ok=True)
+        offered = 0
+        for i in range(n_batches):
+            part = docs.where((F.col("doc_id") % n_batches) == i)
+            if i:
+                part = part.unionByName(
+                    docs.where(
+                        ((F.col("doc_id") % n_batches) == i - 1)
+                        & (F.col("doc_id") % 10 == 0)
+                    )
                 )
+            part.write.parquet(_p.join(stage, f"b{i}"))
+            offered += part.count()
+        t0 = _t.time()
+        for i in range(n_batches):
+            shutil.move(_p.join(stage, f"b{i}"), _p.join(drop, f"b{i}"))
+            q = incremental_ingest(
+                spark, drop, target, schema, key="doc_id", checkpoint_dir=ckpt
             )
-        part.write.parquet(_p.join(stage, f"b{i}"))
-        offered += part.count()
-    t0 = _t.time()
-    for i in range(n_batches):
-        shutil.move(_p.join(stage, f"b{i}"), _p.join(drop, f"b{i}"))
-        q = incremental_ingest(
-            spark, drop, target, schema, key="doc_id", checkpoint_dir=ckpt
-        )
-        q.awaitTermination()
-    sec = _t.time() - t0
-    rows = spark.read.parquet(target).count()
-    n_src = docs.count()
-    shutil.rmtree(base, ignore_errors=True)
-    return {
-        "sec": round(sec, 3),
-        "rows_ingested": rows,
-        "rows_offered": offered,
-        "rows_source": n_src,
-        "batches": n_batches,
-    }
+            q.awaitTermination()
+        sec = _t.time() - t0
+        rows = spark.read.parquet(target).count()
+        n_src = docs.count()
+        return {
+            "sec": round(sec, 3),
+            "rows_ingested": rows,
+            "rows_offered": offered,
+            "rows_source": n_src,
+            "batches": n_batches,
+        }
+    finally:
+        # a failure mid-run must not leak several staged copies of the
+        # documents table in /tmp across bench rounds
+        shutil.rmtree(base, ignore_errors=True)

@@ -170,8 +170,12 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 def run_stateful_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
     """Drive an update-mode stateful stream over a finite source; the
-    memory sink holds one row per update — the last per key is the
-    final state (with a single-batch finite source, exactly one)."""
+    memory sink holds one row per key per micro-batch that touched the
+    key, so the result is only the final state if exactly one batch
+    carried data. That is verified, not assumed: if the source split
+    into multiple data batches (e.g. maxFilesPerTrigger was set), the
+    memory-sink table would hold stale per-key rows indistinguishable
+    from final ones, so we fail loudly instead of returning them."""
     q = (
         agg.writeStream.outputMode("update")
         .format("memory")
@@ -180,8 +184,18 @@ def run_stateful_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
     finally:
         q.stop()
+    if data_batches != 1:
+        raise RuntimeError(
+            f"run_stateful_to_completion({query_name}): expected exactly 1 "
+            f"data micro-batch from the finite source, saw {data_batches}; "
+            "update-mode memory-sink rows are per-batch running states and "
+            "cannot be disambiguated after a multi-batch run"
+        )
     return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
