@@ -226,7 +226,10 @@ def test_json_props_extraction_stays_jvm_side(spark):
 PLAN_BUDGET = {
     "corpus_e2e_rollup": (0, 3),
     "exact_substring_spans": (1, 4),
-    "pagerank_bipartite": (3, 7),
+    # r7: +1 exchange from degree-annotating each directed half
+    # separately (two half-sized aggs + joins beat one 2x-sized
+    # agg + join over the symmetrized table: edge build -13% warm)
+    "pagerank_bipartite": (3, 8),
     "split_assign_orders": (1, 4),
     "distortion_generate": (0, 2),
     "enumerated_point_group": (0, 4),

@@ -278,12 +278,26 @@ def _pr_edges(t) -> tuple[DataFrame, DataFrame]:
     # of 2x while deriving the union lazily from cache measures -14% on
     # the edge build (1.29 -> 1.11 s at sf0.1)
     e0 = e0.localCheckpoint(eager=False)
-    eb = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst"))
-    deg = eb.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
-    ebd = (
-        eb.join(deg, eb["src"] == deg["node"])
+    # degree-annotate each DIRECTED half separately instead of
+    # symmetrize-then-groupBy-then-join: in the bipartite both-ways
+    # graph, outdeg(customer) = its count in e0.src and outdeg(supplier)
+    # = its count in e0.dst, so two half-sized aggregations + two
+    # half-sized joins replace one 2x-sized aggregation + one 2x-sized
+    # join over the symmetrized table (measured -25-35% on this stage at
+    # sf0.1; still pure keyed groupBy+join — a partition-only window
+    # would be faster here but buffers whole hot-node partitions at
+    # scale, which is the trap plans/window_audit.py exists to catch)
+    degc = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    degs = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("outdeg"))
+    h1 = e0.join(degc, "src").select("src", "dst", "outdeg")
+    h2 = (
+        e0.selectExpr("dst AS src", "src AS dst")
+        .join(degs.selectExpr("dst AS src", "outdeg"), "src")
         .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=False)
+    )
+    ebd = h1.unionByName(h2).localCheckpoint(eager=False)
+    deg = degc.selectExpr("src AS node", "outdeg").unionByName(
+        degs.selectExpr("dst AS node", "outdeg")
     )
     return ebd, deg
 
