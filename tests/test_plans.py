@@ -263,6 +263,34 @@ def _count_joins_exchanges(plan: str) -> tuple[int, int]:
     return joins, exchanges
 
 
+def test_salted_join_plan_shape(spark):
+    """Pin the SALTED join shape (r6 skew stress: salted join runs at
+    0.56x of the naive plan on a 30%-hot key). A regression to the plain
+    equi-join — losing __salt from the join keys or the dim-side salt
+    replication (Generate/explode) — must fail CI, not just the bench."""
+    plan = _plan(spark, "events_salted_type_join")
+    import re
+
+    key_lines = [ln for ln in plan.splitlines() if re.match(r"(Left|Right) keys", ln)]
+    assert key_lines, "expected an equi-join with explicit key lists"
+    assert all("__salt" in ln for ln in key_lines), key_lines
+    assert "Generate" in plan  # dim replicated across salts via explode
+
+
+def test_salted_agg_plan_shape(spark):
+    """Pin the SALTED two-stage distinct shape: stage 1 must aggregate on
+    (event_type, __salt, user_id) shards and only the merge stage may key
+    on event_type alone — so no task ever holds a full hot key's state."""
+    plan = _plan(spark, "events_salted_distinct_users")
+    import re
+
+    keys = re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    sharded = [k for k in keys if "__salt" in k]
+    assert sharded, "stage-1 aggregation lost its __salt shard key"
+    assert any("user_id" in k for k in sharded), "distinct expansion must shard too"
+    assert any("__salt" not in k and "event_type" in k for k in keys), "merge stage missing"
+
+
 def test_headline_plan_budgets(spark):
     over = {}
     for name, (max_j, max_x) in PLAN_BUDGET.items():
