@@ -175,3 +175,37 @@ def test_wire_roundtrip_property():
         assert br.SerializeToString() == req.SerializeToString()
 
     roundtrip()
+
+
+def test_install_pth_hook_rewrites_stale_and_respects_opt_out(tmp_path, monkeypatch):
+    """install_pth_hook must (a) rewrite a stale hook whose line points
+    at a relocated/older checkout — keeping it would report 'shim' while
+    fresh JVM-spawned processes still cannot import google.protobuf —
+    (b) keep a current hook untouched, and (c) do nothing under
+    TRACY_NO_PTH_HOOK=1 (shared-interpreter opt-out)."""
+    import os
+
+    from tracy_matdb_spark import vendor
+
+    site_dir = str(tmp_path / "site-packages")
+    os.makedirs(site_dir)
+    monkeypatch.setattr(vendor, "_site_dirs", lambda: [site_dir])
+    pth = os.path.join(site_dir, vendor.PTH_NAME)
+
+    # stale hook from an old checkout location -> atomically rewritten
+    with open(pth, "w", encoding="utf-8") as fh:
+        fh.write("/old/checkout/tracy_matdb_spark/vendor/protobuf_shim\n")
+    assert vendor.install_pth_hook() == pth
+    with open(pth, encoding="utf-8") as fh:
+        assert fh.read().strip() == vendor.SHIM_DIR
+
+    # current hook -> kept (no rewrite churn)
+    before = os.stat(pth).st_mtime_ns
+    assert vendor.install_pth_hook() == pth
+    assert os.stat(pth).st_mtime_ns == before
+
+    # opt-out -> no hook written
+    os.remove(pth)
+    monkeypatch.setenv("TRACY_NO_PTH_HOOK", "1")
+    assert vendor.install_pth_hook() is None
+    assert not os.path.exists(pth)

@@ -499,3 +499,51 @@ def test_tws_bare_session_no_pythonpath_no_pth():
     )
     assert "PASS events_stateful_totals_tws" in proc.stdout
     assert "PASS events_typemap_tws" in proc.stdout
+
+
+def test_tws_operators_pin_time_mode_none(spark, monkeypatch):
+    """Timer-mode guard (round-7 verdict item #8): any timeMode other
+    than "none" makes MicroBatchExecution schedule timer-sweep batches
+    after every data batch ("No new data but cleaning up state"), which
+    with a finite source + processAllAvailable never terminates — the
+    run_stateful_to_completion harness would hang forever. The hazard
+    is documented at the call sites; this test makes it structural:
+    capture the timeMode every typed-state operator passes at
+    plan-build time and pin it to "none"."""
+    from pyspark.sql.group import GroupedData
+
+    captured: list[str] = []
+    orig = GroupedData.transformWithStateInPandas
+
+    def spy(self, statefulProcessor, outputStructType, outputMode, timeMode, *a, **k):
+        captured.append(timeMode)
+        return orig(self, statefulProcessor, outputStructType, outputMode, timeMode, *a, **k)
+
+    monkeypatch.setattr(GroupedData, "transformWithStateInPandas", spy)
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    S.stateful_user_totals_tws(ev)
+    S.stateful_typemap_tws(ev)
+    assert captured == ["none", "none"], (
+        f"typed-state operators must pass timeMode='none' on finite "
+        f"batch-style runs; captured {captured}"
+    )
+
+
+def test_run_stateful_to_completion_empty_source(spark, tmp_path):
+    """A legitimately EMPTY finite source (0 data micro-batches) returns
+    the empty memory-sink table rather than raising — only >1 data
+    batches is the ambiguous (and rejected) case."""
+    import os
+
+    empty_dir = str(tmp_path / "empty_sf")
+    os.makedirs(empty_dir, exist_ok=True)
+    (
+        spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .limit(0)
+        .write.parquet(os.path.join(empty_dir, "events.parquet"))
+    )
+    ev = S.read_events_stream(spark, empty_dir)
+    out = S.run_stateful_to_completion(
+        S.stateful_user_totals(ev), "t_empty_source_q"
+    )
+    assert out.count() == 0

@@ -28,10 +28,53 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _snapshot_hooks() -> dict[str, str]:
+    """Record every existing .pth hook (path -> content) so the check
+    can restore the interpreter's prior global state even if it crashes
+    mid-run — this tool mutates the REAL site-packages and must not
+    leave a concurrent session that depends on the hook stranded."""
+    from tracy_matdb_spark.vendor import PTH_NAME, _site_dirs
+
+    out: dict[str, str] = {}
+    for d in _site_dirs():
+        pth = os.path.join(d, PTH_NAME)
+        try:
+            with open(pth, "r", encoding="utf-8") as fh:
+                out[pth] = fh.read()
+        except OSError:
+            pass
+    return out
+
+
+def _restore_hooks(snapshot: dict[str, str]) -> None:
+    for pth, content in snapshot.items():
+        if os.path.exists(pth):
+            continue
+        try:
+            tmp = pth + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(content)
+            os.replace(tmp, pth)
+        except OSError:
+            pass
+
+
 def main(sf_dir: str) -> int:
     from tracy_matdb_spark.vendor import SHIM_DIR, uninstall_pth_hook
 
-    # 1: pristine interpreter — no .pth hook, no PYTHONPATH shim
+    # 1: pristine interpreter — no .pth hook, no PYTHONPATH shim.
+    # Snapshot first: the check mutates the real interpreter's
+    # site-packages, so prior state is restored in the finally below
+    # (normally a no-op — the queries' own ensure_protobuf reinstalls
+    # the hook as part of the bootstrap under test).
+    prior = _snapshot_hooks()
+    try:
+        return _run_check(sf_dir, uninstall_pth_hook, SHIM_DIR)
+    finally:
+        _restore_hooks(prior)
+
+
+def _run_check(sf_dir: str, uninstall_pth_hook, SHIM_DIR: str) -> int:
     uninstall_pth_hook()
     env = dict(os.environ)
     pp = [
