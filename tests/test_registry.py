@@ -83,3 +83,75 @@ def test_invalidated_before_names_are_registered():
     assert all(
         isinstance(rnd, int) and rnd > 0 for rnd in INVALIDATED_BEFORE.values()
     ), "rounds must be positive ints"
+
+
+def test_rotation_orders_greens_oldest_checked_first(tmp_path):
+    """Round-7 verdict item #5: with 0 never-checked queries the driver's
+    50/round sample must rotate through the LEAST recently checked
+    greens, not re-draw an arbitrary prefix — last-green round is the
+    secondary sort key after the unverified-first primary."""
+    added = _with_fake_registry(
+        {
+            "__t_old_green": "SELECT 1",
+            "__t_new_green": "SELECT 1",
+            "__t_never": "SELECT 1",
+            "__t_red_recent": "SELECT 1",
+        }
+    )
+    try:
+        _write_rows(
+            tmp_path,
+            "CORRECTNESS_r01.json",
+            {"__t_old_green": {"hash_match": True}},
+        )
+        _write_rows(
+            tmp_path,
+            "CORRECTNESS_r03.json",
+            {
+                "__t_new_green": {"hash_match": True},
+                "__t_red_recent": {"hash_match": False, "err": "boom"},
+            },
+        )
+        green, last_green = Q._driver_history(str(tmp_path))
+        assert green == {"__t_old_green", "__t_new_green"}
+        assert last_green == {"__t_old_green": 1, "__t_new_green": 3}
+        ordered = sorted(added, key=lambda n: (n in green, last_green.get(n, 0)))
+        # never-checked + red first (registration order), then greens by
+        # ascending last-green round
+        assert ordered.index("__t_never") < ordered.index("__t_old_green")
+        assert ordered.index("__t_red_recent") < ordered.index("__t_old_green")
+        assert ordered.index("__t_old_green") < ordered.index("__t_new_green")
+    finally:
+        for n in added:
+            del Q.REGISTRY[n]
+
+
+def test_rotation_green_recency_survives_later_red(tmp_path):
+    """A green that later turns red must re-surface at the FRONT (red
+    rows never count as green), and re-greening bumps recency."""
+    added = _with_fake_registry({"__t_flaky": "SELECT 1", "__t_stable": "SELECT 1"})
+    try:
+        _write_rows(
+            tmp_path,
+            "CORRECTNESS_r01.json",
+            {"__t_flaky": {"hash_match": True}, "__t_stable": {"hash_match": True}},
+        )
+        _write_rows(
+            tmp_path,
+            "CORRECTNESS_r02.json",
+            {"__t_flaky": {"hash_match": False, "err": "regressed"}},
+        )
+        green, last_green = Q._driver_history(str(tmp_path))
+        # flaky is still green from r01 (a red row doesn't erase history),
+        # but its recency stays at r01 so it sorts before r-later greens
+        assert "__t_flaky" in green and last_green["__t_flaky"] == 1
+        _write_rows(
+            tmp_path,
+            "CORRECTNESS_r04.json",
+            {"__t_flaky": {"hash_match": True}},
+        )
+        _, last_green2 = Q._driver_history(str(tmp_path))
+        assert last_green2["__t_flaky"] == 4
+    finally:
+        for n in added:
+            del Q.REGISTRY[n]

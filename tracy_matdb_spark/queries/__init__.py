@@ -50,18 +50,21 @@ def register(name: str, oracle: str | None, headline: bool = False, doc: str = "
     return deco
 
 
-def _driver_green(root: str | None = None) -> set[str]:
-    """Names with a green row in any CORRECTNESS_r*.json the driver has
-    written at the repo root.
+def _driver_history(root: str | None = None) -> tuple[set[str], dict[str, int]]:
+    """(green names, last-green-round map) from the CORRECTNESS_r*.json
+    files the driver has written at the repo root.
 
     Used only to ORDER the registry: the driver checks ~50 queries per
     round, so queries still lacking a green row are surfaced first to
-    drain the verification backlog. Red rows do NOT count as green —
-    a failed query must be re-surfaced until its row turns green. A
-    ``no_oracle`` row counts as green only while the query's CURRENT
-    registration still has ``oracle=None``: once an oracle is added, the
-    old rows-only row is stale and the query must surface for a real
-    hash check (the round-3 verdict's ordering bug).
+    drain the verification backlog, and among the greens the LEAST
+    RECENTLY checked surface first so cumulative staleness stays bounded
+    at ~ceil(registry/50) rounds instead of growing forever (round-7
+    verdict item #5). Red rows do NOT count as green — a failed query
+    must be re-surfaced until its row turns green. A ``no_oracle`` row
+    counts as green only while the query's CURRENT registration still
+    has ``oracle=None``: once an oracle is added, the old rows-only row
+    is stale and the query must surface for a real hash check (the
+    round-3 verdict's ordering bug).
     """
     import glob
     import json
@@ -71,6 +74,7 @@ def _driver_green(root: str | None = None) -> set[str]:
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     green: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -84,21 +88,30 @@ def _driver_green(root: str | None = None) -> set[str]:
                 continue
             if rnd < INVALIDATED_BEFORE.get(name, 0):
                 continue  # row predates a semantics change
-            if row.get("hash_match") is True:
-                green.add(name)
-            elif row.get("err") == "no_oracle":
+            ok = row.get("hash_match") is True
+            if not ok and row.get("err") == "no_oracle":
                 q = REGISTRY.get(name)
-                if q is not None and q.oracle is None:
-                    green.add(name)
-    return green
+                ok = q is not None and q.oracle is None
+            if ok:
+                green.add(name)
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return green, last_green
+
+
+def _driver_green(root: str | None = None) -> set[str]:
+    """Back-compat wrapper: just the green-name set (see _driver_history)."""
+    return _driver_history(root)[0]
 
 
 def load_all() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY) and return it.
 
-    The returned dict is ordered with never-driver-verified queries first
-    (see _driver_green) so a budget-capped verifier covers them before
-    re-checking already-green entries.
+    The returned dict is ordered with never-driver-verified (and red)
+    queries first, then greens by ascending last-green round (see
+    _driver_history) so a budget-capped verifier covers the backlog
+    first and otherwise rotates through the least-recently-checked
+    tail — with ~50 checks/round over ~233 queries every green gets
+    re-verified at least every ~5 rounds.
     """
     from tracy_matdb_spark.queries import (  # noqa: F401
         corpus,
@@ -113,6 +126,8 @@ def load_all() -> dict[str, Query]:
         webscale,
     )
 
-    green = _driver_green()
-    ordered = sorted(REGISTRY, key=lambda n: n in green)
+    green, last_green = _driver_history()
+    ordered = sorted(
+        REGISTRY, key=lambda n: (n in green, last_green.get(n, 0))
+    )
     return {n: REGISTRY[n] for n in ordered}
