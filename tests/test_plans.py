@@ -226,10 +226,14 @@ def test_json_props_extraction_stays_jvm_side(spark):
 PLAN_BUDGET = {
     "corpus_e2e_rollup": (0, 3),
     "exact_substring_spans": (1, 4),
-    # r7: +1 exchange from degree-annotating each directed half
-    # separately (two half-sized aggs + joins beat one 2x-sized
-    # agg + join over the symmetrized table: edge build -13% warm)
-    "pagerank_bipartite": (3, 8),
+    # r8: degree rides on the node-sized ranks table instead of
+    # annotating the 1.17M-row edge table (edge build -40%, headline
+    # 1.90 -> 1.63 s warm at sf0.1). Each of the 3 iterations now plans
+    # 2 joins (edges x ranks contribution + node-keyed degree
+    # re-attach) — 6 joins / 10 exchanges, all broadcast-or-keyed, vs
+    # the r7 shape's 3/8 which hid the expensive degree-onto-edges
+    # joins inside the pre-checkpoint edge build.
+    "pagerank_bipartite": (6, 10),
     "split_assign_orders": (1, 4),
     "distortion_generate": (0, 2),
     "enumerated_point_group": (0, 4),

@@ -2342,13 +2342,21 @@ def entity_resolution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey AS k_dirty", f"{dn} AS n_dirty",
         "c_nationkey AS nat", f"substr({dn}, 13, 4) AS blk",
     )
-    return (
+    pairs = (
         clean.join(dirty, ["nat", "blk"])
         .withColumn("dist", F.levenshtein("n_clean", "n_dirty").cast("long"))
         .filter(F.col("dist") <= ER_MAXDIST)
         .select("k_clean", "k_dirty", "dist")
-        .orderBy("k_clean", "k_dirty")
+        # checkpoint BEFORE the global sort: orderBy's range-partitioner
+        # runs a sampling job over its child, and with no shuffle
+        # boundary between the broadcast block-join and the sort that
+        # sampling re-executed the entire join (measured 2x the query:
+        # 1.40 -> 0.62 s at sf0.1). The verified-pair set is near-linear
+        # in records (blocking keeps ~5 candidates/record), so
+        # materializing it is the cheap side of that trade at any scale.
+        .localCheckpoint(eager=False)
     )
+    return pairs.orderBy("k_clean", "k_dirty")
 
 
 # ---------------------------------------------------------------------------

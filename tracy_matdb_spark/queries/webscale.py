@@ -248,78 +248,86 @@ PR_DAMP_NUM = 850_000  # 0.85 in micro units
 PR_BASE = 150_000  # (1 - 0.85) in micro units
 
 
-def _pr_edges(t) -> tuple[DataFrame, DataFrame]:
-    """(degree-annotated edge list, degree table) for the bipartite
-    purchase graph. The edge list feeds every iteration: lazily
-    local-checkpoint it so the lineitem x orders join + distinct runs
-    ONCE, not once per iteration (the single_scan pattern of
-    operators/rank.py — at cluster scale this is a bucketed edges table
-    written once instead). Out-degree is a property of the edge source
-    that never changes across iterations: merge it into the edge table
-    once and checkpoint THAT, so each iteration is ONE join
-    (edges x ranks) + one keyed aggregation instead of two joins —
-    the standard degree-annotated edge list every distributed PageRank
-    materializes up front."""
-    # pre-distinct the fact side to (orderkey, suppkey) BEFORE the join:
-    # shrinks the join probe and the post-join distinct input without
-    # changing the result set (distinct-of-projection commutes with the
-    # key join) — measured -18% on the edge build at sf0.1
-    ls = t["lineitem"].select("l_orderkey", "l_suppkey").distinct()
+def _pr_graph(t) -> tuple[DataFrame, DataFrame]:
+    """(symmetrized edge view, degree table) for the bipartite purchase
+    graph. The DIRECTED half is lazily local-checkpointed so the
+    lineitem x orders join + distinct runs ONCE, not once per iteration
+    (the single_scan pattern of operators/rank.py — at cluster scale
+    this is a bucketed edges table written once instead); the both-ways
+    view is a lazy union of the checkpoint with its swap — storing 1x
+    rows instead of 2x.
+
+    r8 rework (verdict item #4): out-degree no longer annotates the
+    EDGE table. Joining degrees onto 1.17M edge rows (then checkpointing
+    the 2x-sized annotated union) was ~40% of the edge build; instead
+    outdeg rides on the NODE-sized ranks table (operators count: two
+    half-sized degree aggs, zero degree-onto-edges joins, one e0-sized
+    checkpoint). Measured 1.90 -> 1.63 s on the sf0.1 headline. At
+    100 TB the same shape wins more: the degree-annotated edge list is
+    a second full copy of the edge set (write + scan per iteration),
+    while the degree column on ranks is node-sized and co-partitioned
+    with the rank aggregation's output key, so the per-iteration
+    rank x degree join needs no extra exchange once ranks/deg are
+    bucketed by node.
+
+    No lineitem pre-distinct: at sf0.1 distinct (l_orderkey, l_suppkey)
+    removes 0.2% of rows (598,807 of 600,000) — a full exchange spent
+    to shrink the post-join distinct input by nothing. The one distinct
+    on (src, dst) subsumes it."""
     e0 = (
-        ls.join(
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .join(
             t["orders"].select("o_orderkey", "o_custkey"),
-            ls["l_orderkey"] == F.col("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    # checkpoint the DIRECTED half (e0), not the symmetrized table: the
-    # expensive part is the join+distinct, and storing 1x rows instead
-    # of 2x while deriving the union lazily from cache measures -14% on
-    # the edge build (1.29 -> 1.11 s at sf0.1)
-    e0 = e0.localCheckpoint(eager=False)
-    # degree-annotate each DIRECTED half separately instead of
-    # symmetrize-then-groupBy-then-join: in the bipartite both-ways
-    # graph, outdeg(customer) = its count in e0.src and outdeg(supplier)
-    # = its count in e0.dst, so two half-sized aggregations + two
-    # half-sized joins replace one 2x-sized aggregation + one 2x-sized
-    # join over the symmetrized table (measured -25-35% on this stage at
-    # sf0.1; still pure keyed groupBy+join — a partition-only window
-    # would be faster here but buffers whole hot-node partitions at
-    # scale, which is the trap plans/window_audit.py exists to catch)
+    # degree from each DIRECTED half separately: outdeg(customer) = its
+    # count in e0.src, outdeg(supplier) = its count in e0.dst — two
+    # half-sized keyed aggregations, never a 2x-sized one (and still no
+    # partition-only window, the hot-node-buffering trap
+    # plans/window_audit.py exists to catch)
     degc = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     degs = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("outdeg"))
-    h1 = e0.join(degc, "src").select("src", "dst", "outdeg")
-    h2 = (
-        e0.selectExpr("dst AS src", "src AS dst")
-        .join(degs.selectExpr("dst AS src", "outdeg"), "src")
-        .select("src", "dst", "outdeg")
+    deg = (
+        degc.selectExpr("src AS node", "outdeg")
+        .unionByName(degs.selectExpr("dst AS node", "outdeg"))
+        .localCheckpoint(eager=False)
     )
-    ebd = h1.unionByName(h2).localCheckpoint(eager=False)
-    deg = degc.selectExpr("src AS node", "outdeg").unionByName(
-        degs.selectExpr("dst AS node", "outdeg")
-    )
-    return ebd, deg
+    e_sym = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst"))
+    return e_sym, deg
 
 
-def _pr_iter(ranks: DataFrame, ebd: DataFrame) -> DataFrame:
+def _pr_iter(ranks_aug: DataFrame, e_sym: DataFrame, deg: DataFrame) -> DataFrame:
     """One synchronous PageRank round: contribution = r div outdeg along
     each edge, next rank = BASE + DAMP * sum div SCALE (integer
-    micro-units throughout — order-independent sums)."""
+    micro-units throughout — order-independent sums). `ranks_aug`
+    carries (node, r, outdeg); the closing node-keyed join re-attaches
+    outdeg for the next round — deg is co-partitioned with the
+    aggregation output (same key), so at scale this join is
+    exchange-free on bucketed graph tables, and at small sf it
+    broadcasts."""
     contrib = (
-        ebd.join(ranks, ebd["src"] == ranks["node"])
+        e_sym.join(ranks_aug, e_sym["src"] == ranks_aug["node"])
         .selectExpr("dst", "r div outdeg AS c")
     )
-    return (
+    nxt = (
         contrib.groupBy(F.col("dst").alias("node"))
         .agg(F.sum("c").alias("__s"))
-        .selectExpr("node", f"cast({PR_BASE} + ({PR_DAMP_NUM} * __s) div {PR_SCALE} as bigint) AS r")
+        .selectExpr(
+            "node",
+            f"cast({PR_BASE} + ({PR_DAMP_NUM} * __s) div {PR_SCALE} as bigint) AS r",
+        )
     )
+    return nxt.join(deg, "node").select("node", "r", "outdeg")
 
 
 def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
     """Bench-only instrumented twin of pagerank_bipartite (round-5
-    verdict item #5): same dataflow via the same _pr_edges/_pr_iter
+    verdict item #5): same dataflow via the same _pr_graph/_pr_iter
     builders, but every stage is eagerly materialized and wall-timed so
     the bench JSON records where the time goes — the one-off edge build
     vs each of the PR_ITERS iterative rounds — and how per-iteration
@@ -329,18 +337,20 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
 
     t = load(spark, sf_dir, ("lineitem", "orders"))
     t0 = _t.time()
-    ebd, deg = _pr_edges(t)
+    e_sym, deg = _pr_graph(t)
     # force the lazy checkpoints NOW so edge-build cost is separated
-    # from iteration cost
-    ebd = ebd.localCheckpoint(eager=True)
-    ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r")).localCheckpoint(
-        eager=True
-    )
+    # from iteration cost (e_sym is a lazy view over the e0 checkpoint;
+    # materializing it forces e0)
+    deg = deg.localCheckpoint(eager=True)
+    e_sym.write.format("noop").mode("overwrite").save()
+    ranks = deg.select(
+        "node", F.lit(PR_SCALE).cast("long").alias("r"), "outdeg"
+    ).localCheckpoint(eager=True)
     edges_s = _t.time() - t0
     iters_s = []
     for _ in range(PR_ITERS):
         t1 = _t.time()
-        ranks = _pr_iter(ranks, ebd).localCheckpoint(eager=True)
+        ranks = _pr_iter(ranks, e_sym, deg).localCheckpoint(eager=True)
         iters_s.append(round(_t.time() - t1, 3))
     return {
         "edges_s": round(edges_s, 3),
@@ -389,16 +399,20 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each iteration is one hash equi join (edges x ranks,
     both sides partitioned by the join key) + one keyed aggregation
-    with map-side partial sums — the classic distributed PageRank
-    round. The edge list is scanned once per iteration here; at 100 TB
-    you materialize edges+degrees once (checkpoint/bucketed table
-    partitioned by src) so every iteration joins co-partitioned data
-    with no re-derivation and no exchange on the edge side."""
+    with map-side partial sums + one node-keyed degree re-attach join —
+    the classic distributed PageRank round. The edge list is scanned
+    once per iteration here; at 100 TB you materialize the directed
+    edge set and the degree table once (checkpoint/bucketed tables
+    partitioned by src / node) so every iteration joins co-partitioned
+    data with no re-derivation and no exchange on the edge side. The
+    degree column deliberately rides on the node-sized ranks table, not
+    the edge table: annotating 2x-edges with degree costs a full extra
+    copy of the edge set in build time and storage (see _pr_graph)."""
     t = load(spark, sf_dir, ("lineitem", "orders"))
-    ebd, deg = _pr_edges(t)
-    ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    e_sym, deg = _pr_graph(t)
+    ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r"), "outdeg")
     for _ in range(PR_ITERS):
-        ranks = _pr_iter(ranks, ebd)
+        ranks = _pr_iter(ranks, e_sym, deg)
     return (
         ranks.selectExpr(
             "node",
