@@ -1,0 +1,106 @@
+"""Generate a local sf1 dataset (10x sf0.1) for the scaling spot-check.
+
+The driver ships sf0.001/0.01/0.1 only (TESTDATA.md), so the one-decade
+sf0.01 -> sf0.1 ratios in SCALING.json were the sole empirical scaling
+evidence. This tool derives a deterministic sf1 from the READ-ONLY
+driver sf0.1 tables by 10x key-shifted replication (no randomness — the
+output is a pure function of the driver data):
+
+- ``lineitem`` / ``orders`` / ``customer``: copy k (0..9) shifts every
+  key by k * its dense sf0.1 range (orderkey +k*150000, custkey
+  +k*15000, suppkey +k*1000, partkey +k*20000), reproducing TPC-H's own
+  scaling law — row counts and key cardinalities grow 10x, per-key
+  cardinalities (lines per order, orders per customer, degree
+  distributions) stay constant. c_name is re-derived from the shifted
+  custkey ('Customer#' || 9-digit key, the driver's format) so
+  name-substring blocking keys keep their true distribution.
+- ``documents``: copy k > 0 suffixes EVERY token with the copy digit
+  (regexp '(\\S+)' -> '\\1k'), so cross-copy documents share zero
+  word-3-gram shingles while within-copy shingle structure — and hence
+  the near-dup pair set per copy — is preserved exactly. Naive 10x
+  text replication would instead give every document 9 exact clones and
+  inflate LSH candidate pairs quadratically, measuring an artifact.
+  n_chars is recomputed from the perturbed text.
+
+Copy 0 is byte-identical to driver sf0.1, so t(sf1)/t(driver sf0.1) is
+an apples-to-apples 10x-data ratio, directly comparable to the
+sf0.01 -> sf0.1 ratios in SCALING.json.
+
+Output: $OUT_DIR (default /root/repo/.localdata/sf1)/<table>.parquet —
+gitignored, regenerate on demand (~10 s). Usage:
+
+    python tools/make_sf1.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+# dense 0-based key ranges of the driver sf0.1 tables (verified by
+# min/max scan; the generator re-asserts them at run time)
+R_ORDER, R_CUST, R_SUPP, R_PART, R_DOC = 150_000, 15_000, 1_000, 20_000, 5_000
+
+
+def main(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ks AS SELECT unnest(range({COPIES})) AS k")
+
+    # re-assert the key ranges this generator hard-codes
+    checks = [
+        ("lineitem", "l_orderkey", R_ORDER), ("lineitem", "l_suppkey", R_SUPP),
+        ("lineitem", "l_partkey", R_PART), ("orders", "o_orderkey", R_ORDER),
+        ("orders", "o_custkey", R_CUST), ("customer", "c_custkey", R_CUST),
+        ("documents", "doc_id", R_DOC),
+    ]
+    for t, col, rng in checks:
+        lo, hi = con.execute(
+            f"SELECT min({col}), max({col}) FROM '{SRC}/{t}.parquet'"
+        ).fetchone()
+        if lo < 0 or hi >= rng:
+            raise SystemExit(f"make_sf1: {t}.{col} range [{lo},{hi}] outside [0,{rng})")
+
+    jobs = {
+        "lineitem": f"""
+            SELECT l_orderkey + k * {R_ORDER} AS l_orderkey,
+                   l_partkey + k * {R_PART} AS l_partkey,
+                   l_suppkey + k * {R_SUPP} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{SRC}/lineitem.parquet' CROSS JOIN ks""",
+        "orders": f"""
+            SELECT o_orderkey + k * {R_ORDER} AS o_orderkey,
+                   o_custkey + k * {R_CUST} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM '{SRC}/orders.parquet' CROSS JOIN ks""",
+        "customer": f"""
+            SELECT c_custkey + k * {R_CUST} AS c_custkey,
+                   'Customer#' || lpad(CAST(c_custkey + k * {R_CUST} AS VARCHAR), 9, '0') AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM '{SRC}/customer.parquet' CROSS JOIN ks""",
+        "documents": f"""
+            SELECT doc_id + k * {R_DOC} AS doc_id,
+                   CASE WHEN k = 0 THEN text
+                        ELSE regexp_replace(text, '(\\S+)', '\\1' || CAST(k AS VARCHAR), 'g')
+                   END AS text,
+                   lang, source,
+                   CASE WHEN k = 0 THEN n_chars
+                        ELSE length(regexp_replace(text, '(\\S+)', '\\1' || CAST(k AS VARCHAR), 'g'))
+                   END AS n_chars
+            FROM '{SRC}/documents.parquet' CROSS JOIN ks""",
+    }
+    for table, sql in jobs.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"{table}: {n} rows -> {dst}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1")

@@ -258,6 +258,15 @@ def run(out_path: str | None = None) -> dict:
         "flagged": sorted(flagged),
     }
     if out_path:
+        # preserve the sf0.1 -> sf1 spot-check block (tools/scaling_sf1.py)
+        # across rewrites of the small-decade sweep
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+            if "sf1" in prev:
+                result["sf1"] = prev["sf1"]
+        except (OSError, ValueError):
+            pass
         with open(out_path, "w") as fh:
             json.dump(result, fh, indent=2, sort_keys=True)
             fh.write("\n")
