@@ -317,6 +317,11 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(size(slice(toks, i, {CHUNK_W})) as bigint) AS n_chunk_toks",
             f"md5(array_join(slice(toks, i, {CHUNK_W}), ' ')) AS chunk_md5",
         )
+        # checkpoint before the global sort: tokenize+explode+md5 feeds
+        # orderBy with no shuffle boundary, so the range-partitioner's
+        # sampling job would re-run the whole chunking pipeline (the
+        # entity_resolution_pairs double-execution, r8)
+        .localCheckpoint(eager=False)
         .orderBy("doc_id", "chunk_id")
     )
 

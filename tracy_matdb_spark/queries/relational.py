@@ -235,12 +235,17 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
     )
-    return (
+    survivors = (
         t["customer"]
         .join(o95.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        # checkpoint before the global sort: with a broadcast anti-join
+        # feeding orderBy directly there is no shuffle boundary, so the
+        # range-partitioner's sampling job would re-execute the whole
+        # anti-join (the entity_resolution_pairs double-execution, r8)
+        .localCheckpoint(eager=False)
     )
+    return survivors.orderBy("c_custkey")
 
 
 @register(
