@@ -226,14 +226,14 @@ def test_json_props_extraction_stays_jvm_side(spark):
 PLAN_BUDGET = {
     "corpus_e2e_rollup": (0, 3),
     "exact_substring_spans": (1, 4),
-    # r8: degree rides on the node-sized ranks table instead of
-    # annotating the 1.17M-row edge table (edge build -40%, headline
-    # 1.90 -> 1.63 s warm at sf0.1). Each of the 3 iterations now plans
-    # 2 joins (edges x ranks contribution + node-keyed degree
-    # re-attach) — 6 joins / 10 exchanges, all broadcast-or-keyed, vs
-    # the r7 shape's 3/8 which hid the expensive degree-onto-edges
-    # joins inside the pre-checkpoint edge build.
-    "pagerank_bipartite": (6, 10),
+    # r8 (second rework): each iteration is ONE join + ONE agg — the
+    # per-round degree re-attach join is gone (outdeg = count(*) riding
+    # the contribution shuffle, valid because in-degree == out-degree
+    # in the symmetrized graph), and the ranks side carries a
+    # footer-stat-gated broadcast hint so the edge side never pays a
+    # plan-time shuffle (headline 1.90 -> 1.50 s warm at sf0.1).
+    # 3 joins / 8 exchanges (3 broadcast + 3 agg + checkpoint-feeding).
+    "pagerank_bipartite": (3, 8),
     "split_assign_orders": (1, 4),
     "distortion_generate": (0, 2),
     "enumerated_point_group": (0, 4),

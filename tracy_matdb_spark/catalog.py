@@ -40,6 +40,28 @@ def load(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> d
     return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a catalog table from parquet FOOTER metadata —
+    no Spark job, no data scan. This is the catalog statistic a
+    warehouse planner consults (row counts live in every parquet footer
+    and every metastore); queries use it to make size-gated plan
+    choices (e.g. broadcast-vs-shuffle) at points where a checkpoint
+    boundary hides the stats from Catalyst. Handles both a single
+    .parquet file and a directory of part-files; raises OSError for a
+    missing table (callers treat any failure as "stat unavailable" and
+    take the conservative path)."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        total = 0
+        for entry in os.listdir(path):
+            if entry.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, entry)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table normalized to two time columns: `ts_ns`
     (BIGINT epoch nanos, exact arithmetic / oracle parity via

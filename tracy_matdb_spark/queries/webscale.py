@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.catalog import load, table_num_rows
 from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.operators.rank import grouped_value_rank
 from tracy_matdb_spark.queries import register
@@ -262,13 +262,19 @@ def _pr_graph(t) -> tuple[DataFrame, DataFrame]:
     the 2x-sized annotated union) was ~40% of the edge build; instead
     outdeg rides on the NODE-sized ranks table (operators count: two
     half-sized degree aggs, zero degree-onto-edges joins, one e0-sized
-    checkpoint). Measured 1.90 -> 1.63 s on the sf0.1 headline. At
-    100 TB the same shape wins more: the degree-annotated edge list is
-    a second full copy of the edge set (write + scan per iteration),
-    while the degree column on ranks is node-sized and co-partitioned
-    with the rank aggregation's output key, so the per-iteration
-    rank x degree join needs no extra exchange once ranks/deg are
-    bucketed by node.
+    checkpoint). At 100 TB the same shape wins more: the
+    degree-annotated edge list is a second full copy of the edge set
+    (write + scan per iteration), while the degree column on ranks is
+    node-sized and co-partitioned with the rank aggregation's output.
+
+    Since the second r8 rework made each iteration re-derive outdeg
+    from its own aggregation (see _pr_iter), deg is consumed exactly
+    once (rank initialisation) — a plain lazy view over the e0
+    checkpoint, deliberately NOT checkpointed or counted: a driver-side
+    count here adds a job barrier that forfeits the sibling-subtree
+    overlap between the edge build and iteration 1's broadcast side
+    (measured +0.27 s at sf0.1). The broadcast-gate stat comes from
+    parquet footer metadata instead (see pagerank_bipartite).
 
     No lineitem pre-distinct: at sf0.1 distinct (l_orderkey, l_suppkey)
     removes 0.2% of rows (598,807 of 600,000) — a full exchange spent
@@ -292,37 +298,73 @@ def _pr_graph(t) -> tuple[DataFrame, DataFrame]:
     # plans/window_audit.py exists to catch)
     degc = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     degs = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("outdeg"))
-    deg = (
-        degc.selectExpr("src AS node", "outdeg")
-        .unionByName(degs.selectExpr("dst AS node", "outdeg"))
-        .localCheckpoint(eager=False)
+    deg = degc.selectExpr("src AS node", "outdeg").unionByName(
+        degs.selectExpr("dst AS node", "outdeg")
     )
     e_sym = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst"))
     return e_sym, deg
 
 
-def _pr_iter(ranks_aug: DataFrame, e_sym: DataFrame, deg: DataFrame) -> DataFrame:
+PR_BCAST_MAX_NODES = 2_000_000  # ~24 B/row -> ~48 MB, under the 64 MB cap
+
+
+def _pr_node_bound(sf_dir: str) -> int:
+    """Upper bound on the node count of the purchase graph, from
+    parquet FOOTER row counts of the two dimension tables whose keys
+    the nodes are drawn from (custkeys ⊆ customer, suppkeys ⊆
+    supplier) — an O(1) metadata read, no Spark job, no barrier. This
+    is exactly the catalog stat a warehouse planner would use for the
+    broadcast decision; a failed read returns a sentinel that forces
+    the conservative (co-partitioned shuffle) path."""
+    try:
+        return table_num_rows(sf_dir, "customer") + table_num_rows(
+            sf_dir, "supplier"
+        )
+    except Exception:  # noqa: BLE001 — any stat failure -> don't broadcast
+        return 1 << 62
+
+
+def _pr_iter(ranks_aug: DataFrame, e_sym: DataFrame, bcast: bool) -> DataFrame:
     """One synchronous PageRank round: contribution = r div outdeg along
     each edge, next rank = BASE + DAMP * sum div SCALE (integer
     micro-units throughout — order-independent sums). `ranks_aug`
-    carries (node, r, outdeg); the closing node-keyed join re-attaches
-    outdeg for the next round — deg is co-partitioned with the
-    aggregation output (same key), so at scale this join is
-    exchange-free on bucketed graph tables, and at small sf it
-    broadcasts."""
+    carries (node, r, outdeg).
+
+    outdeg for the NEXT round is NOT re-attached with a degree join: in
+    the symmetrized graph every node's out-degree equals its in-degree,
+    which is exactly the number of contribution rows its group receives
+    — so `count(*)` riding the same shuffle as `sum(c)` reproduces
+    outdeg for free. This removes one node-keyed join per iteration
+    (3 joins + the deg checkpoint from the headline plan); at 100 TB it
+    removes a node-sized shuffle-or-broadcast per round, since the
+    count is a second partial aggregate on an exchange the sum already
+    pays for.
+
+    `bcast` injects the stat Catalyst lost at the checkpoint boundary:
+    the edge checkpoint scans as an ExistingRDD with unknown stats, so
+    every iteration join plans as SMJ and AQE only converts it to
+    broadcast AFTER the 2E-row edge side has paid its shuffle map-write
+    (3 writes of the full edge set per query, measured +0.3 s warm at
+    sf0.1). The caller decides from the EXACT node count (deg.count()
+    over the materialized checkpoint — the catalog stat a warehouse
+    would have) whether the ranks side fits a broadcast; above
+    PR_BCAST_MAX_NODES the plain co-partitioned join stands, which is
+    the correct shape for billion-node graphs."""
+    if bcast:
+        ranks_aug = F.broadcast(ranks_aug)
     contrib = (
         e_sym.join(ranks_aug, e_sym["src"] == ranks_aug["node"])
         .selectExpr("dst", "r div outdeg AS c")
     )
-    nxt = (
+    return (
         contrib.groupBy(F.col("dst").alias("node"))
-        .agg(F.sum("c").alias("__s"))
+        .agg(F.sum("c").alias("__s"), F.count(F.lit(1)).alias("outdeg"))
         .selectExpr(
             "node",
             f"cast({PR_BASE} + ({PR_DAMP_NUM} * __s) div {PR_SCALE} as bigint) AS r",
+            "outdeg",
         )
     )
-    return nxt.join(deg, "node").select("node", "r", "outdeg")
 
 
 def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
@@ -338,11 +380,12 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
     t = load(spark, sf_dir, ("lineitem", "orders"))
     t0 = _t.time()
     e_sym, deg = _pr_graph(t)
-    # force the lazy checkpoints NOW so edge-build cost is separated
+    # force the lazy checkpoint NOW so edge-build cost is separated
     # from iteration cost (e_sym is a lazy view over the e0 checkpoint;
-    # materializing it forces e0)
-    deg = deg.localCheckpoint(eager=True)
+    # materializing it forces e0; the degree aggs feeding ranks0 run
+    # off the materialized checkpoint)
     e_sym.write.format("noop").mode("overwrite").save()
+    bcast = _pr_node_bound(sf_dir) <= PR_BCAST_MAX_NODES
     ranks = deg.select(
         "node", F.lit(PR_SCALE).cast("long").alias("r"), "outdeg"
     ).localCheckpoint(eager=True)
@@ -350,7 +393,9 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
     iters_s = []
     for _ in range(PR_ITERS):
         t1 = _t.time()
-        ranks = _pr_iter(ranks, e_sym, deg).localCheckpoint(eager=True)
+        ranks = _pr_iter(ranks, e_sym, bcast=bcast).localCheckpoint(
+            eager=True
+        )
         iters_s.append(round(_t.time() - t1, 3))
     return {
         "edges_s": round(edges_s, 3),
@@ -397,22 +442,25 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is bit-identical between Spark and the oracle — the float
     formulation would hash-mismatch on summation order alone.
 
-    Scale shape: each iteration is one hash equi join (edges x ranks,
-    both sides partitioned by the join key) + one keyed aggregation
-    with map-side partial sums + one node-keyed degree re-attach join —
-    the classic distributed PageRank round. The edge list is scanned
-    once per iteration here; at 100 TB you materialize the directed
-    edge set and the degree table once (checkpoint/bucketed tables
-    partitioned by src / node) so every iteration joins co-partitioned
-    data with no re-derivation and no exchange on the edge side. The
-    degree column deliberately rides on the node-sized ranks table, not
-    the edge table: annotating 2x-edges with degree costs a full extra
-    copy of the edge set in build time and storage (see _pr_graph)."""
+    Scale shape: each iteration is ONE hash equi join (edges x ranks,
+    both sides partitioned by the join key) + ONE keyed aggregation
+    with map-side partial sums — next-round outdeg comes out of that
+    same aggregation as count(*) (= in-degree = out-degree in the
+    symmetrized graph, see _pr_iter), so there is no degree re-attach
+    join at all. The edge list is scanned once per iteration here; at
+    100 TB you materialize the directed edge set once (checkpoint /
+    bucketed table partitioned by src) so every iteration joins
+    co-partitioned data with no re-derivation and no exchange on the
+    edge side. The degree column deliberately rides on the node-sized
+    ranks table, not the edge table: annotating 2x-edges with degree
+    costs a full extra copy of the edge set in build time and storage
+    (see _pr_graph)."""
     t = load(spark, sf_dir, ("lineitem", "orders"))
     e_sym, deg = _pr_graph(t)
+    bcast = _pr_node_bound(sf_dir) <= PR_BCAST_MAX_NODES
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r"), "outdeg")
     for _ in range(PR_ITERS):
-        ranks = _pr_iter(ranks, e_sym, deg)
+        ranks = _pr_iter(ranks, e_sym, bcast=bcast)
     return (
         ranks.selectExpr(
             "node",
