@@ -84,6 +84,16 @@ def main(out_dir: str) -> None:
                    'Customer#' || lpad(CAST(c_custkey + k * {R_CUST} AS VARCHAR), 9, '0') AS c_name,
                    c_nationkey, c_acctbal, c_mktsegment
             FROM '{SRC}/customer.parquet' CROSS JOIN ks""",
+        # supplier rides along for the catalog stats some queries read
+        # from dimension-table footers (e.g. pagerank's broadcast gate,
+        # queries/webscale.py:_pr_node_bound) — without it those queries
+        # measure the conservative no-stats path at sf1, not the plan a
+        # real catalog would produce.
+        "supplier": f"""
+            SELECT s_suppkey + k * {R_SUPP} AS s_suppkey,
+                   'Supplier#' || lpad(CAST(s_suppkey + k * {R_SUPP} AS VARCHAR), 9, '0') AS s_name,
+                   s_nationkey, s_acctbal
+            FROM '{SRC}/supplier.parquet' CROSS JOIN ks""",
         "documents": f"""
             SELECT doc_id + k * {R_DOC} AS doc_id,
                    CASE WHEN k = 0 THEN text
