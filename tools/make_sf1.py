@@ -21,6 +21,15 @@ output is a pure function of the driver data):
   text replication would instead give every document 9 exact clones and
   inflate LSH candidate pairs quadratically, measuring an artifact.
   n_chars is recomputed from the perturbed text.
+- ``events``: user_id shifts per copy, the time axis does not — every
+  window holds 10x rows from 10x users at unchanged per-user density
+  (how an event stream actually grows).
+- ``embeddings``: one vec_id-dependent dimension perturbed per copy so
+  kNN never sees cross-copy exact-clone vectors.
+- ``supplier`` / ``part``: key-shifted like customer (names re-derived
+  from the shifted key); ``region`` / ``nation`` copied verbatim —
+  static dimensions under every TPC-H scale model, so dim-broadcast
+  joins stay honest.
 
 Copy 0 is byte-identical to driver sf0.1, so t(sf1)/t(driver sf0.1) is
 an apples-to-apples 10x-data ratio, directly comparable to the
@@ -45,6 +54,7 @@ COPIES = 10
 # dense 0-based key ranges of the driver sf0.1 tables (verified by
 # min/max scan; the generator re-asserts them at run time)
 R_ORDER, R_CUST, R_SUPP, R_PART, R_DOC = 150_000, 15_000, 1_000, 20_000, 5_000
+R_EVENT, R_USER, R_VEC = 100_000, 1_500, 2_000
 
 
 def main(out_dir: str) -> None:
@@ -57,7 +67,9 @@ def main(out_dir: str) -> None:
         ("lineitem", "l_orderkey", R_ORDER), ("lineitem", "l_suppkey", R_SUPP),
         ("lineitem", "l_partkey", R_PART), ("orders", "o_orderkey", R_ORDER),
         ("orders", "o_custkey", R_CUST), ("customer", "c_custkey", R_CUST),
-        ("documents", "doc_id", R_DOC),
+        ("documents", "doc_id", R_DOC), ("events", "event_id", R_EVENT),
+        ("events", "user_id", R_USER), ("embeddings", "vec_id", R_VEC),
+        ("part", "p_partkey", R_PART),
     ]
     for t, col, rng in checks:
         lo, hi = con.execute(
@@ -94,6 +106,41 @@ def main(out_dir: str) -> None:
                    'Supplier#' || lpad(CAST(s_suppkey + k * {R_SUPP} AS VARCHAR), 9, '0') AS s_name,
                    s_nationkey, s_acctbal
             FROM '{SRC}/supplier.parquet' CROSS JOIN ks""",
+        # events: shift user_id, keep the timestamp axis — every window
+        # (tumbling hour, 7-day range, session gap) then holds 10x rows
+        # from 10x users at UNCHANGED per-user density, which is how an
+        # event stream actually grows; shifting ts instead would scale
+        # the time axis and leave per-window cost constant (measuring
+        # nothing).
+        "events": f"""
+            SELECT event_id + k * {R_EVENT} AS event_id, ts,
+                   user_id + k * {R_USER} AS user_id,
+                   event_type, value, props
+            FROM '{SRC}/events.parquet' CROSS JOIN ks""",
+        # embeddings: per-copy deterministic perturbation of one
+        # vec_id-dependent dimension so no two copies share a vector
+        # (naive replication would hand brute-force/IVF kNN 9 exact
+        # clones of every neighbor and measure a degenerate top-k).
+        "embeddings": f"""
+            SELECT vec_id + k * {R_VEC} AS vec_id,
+                   CASE WHEN k = 0 THEN embedding
+                        ELSE list_transform(
+                            embedding,
+                            (x, i) -> CASE WHEN i - 1 = vec_id % 64
+                                      THEN CAST(x + k * 0.01 AS FLOAT)
+                                      ELSE x END)
+                   END AS embedding,
+                   label
+            FROM '{SRC}/embeddings.parquet' CROSS JOIN ks""",
+        "part": f"""
+            SELECT p_partkey + k * {R_PART} AS p_partkey,
+                   'Part#' || lpad(CAST(p_partkey + k * {R_PART} AS VARCHAR), 9, '0') AS p_name,
+                   p_brand, p_type, p_size, p_retailprice
+            FROM '{SRC}/part.parquet' CROSS JOIN ks""",
+        # region/nation are static dimensions in every TPC-H scale
+        # model — copied verbatim so dim-broadcast joins stay honest.
+        "region": f"SELECT * FROM '{SRC}/region.parquet'",
+        "nation": f"SELECT * FROM '{SRC}/nation.parquet'",
         "documents": f"""
             SELECT doc_id + k * {R_DOC} AS doc_id,
                    CASE WHEN k = 0 THEN text

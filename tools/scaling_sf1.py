@@ -36,7 +36,25 @@ from tracy_matdb_spark.session import get_session
 
 SMALL = "/root/testdata/sf0.1"
 LARGE = "/root/repo/.localdata/sf1"
-QUERIES = ["entity_resolution_pairs", "minhash_lsh_pairs", "pagerank_bipartite"]
+# The three worst small-decade ratios (the round-7 verdict item), then a
+# broad slice of the headline set — one per plan family — so the second
+# decade covers scan-agg, dim-join, window, text-pipeline, windowed-hash,
+# streaming-adjacent, exact-dedup and brute-force kNN shapes, not just
+# the three outliers. make_sf1 generates every table these read.
+QUERIES = [
+    "entity_resolution_pairs",
+    "minhash_lsh_pairs",
+    "pagerank_bipartite",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "orders_rolling_7d_revenue",
+    "events_tumbling_1h",
+    "corpus_e2e_rollup",
+    "corpus_export_manifest",
+    "exact_substring_spans",
+    "dedup_exact",
+    "knn_embeddings",
+]
 
 
 def run() -> dict:
@@ -60,6 +78,30 @@ def run() -> dict:
         if ratio > RATIO_THRESHOLD:
             flagged.append(name)
         print(f"{name}: {rows[name]}", flush=True)
+
+    # streaming ingest is bench-special (it builds its own availableNow
+    # micro-batch fixture from the events table), so it doesn't go
+    # through the registry; time it with the same warm best-of-2.
+    from tracy_matdb_spark.streaming.ingest import streaming_ingest_bench
+
+    def _stream_time(sf_dir: str) -> float:
+        streaming_ingest_bench(spark, sf_dir)  # warmup
+        return min(
+            streaming_ingest_bench(spark, sf_dir)["sec"] for _ in range(2)
+        )
+
+    t_small = _stream_time(SMALL)
+    t_large = _stream_time(LARGE)
+    ratio = round(t_large / max(t_small, 1e-9), 2)
+    rows["streaming_incremental_dedup"] = {
+        "sec_sf0.1": round(t_small, 3),
+        "sec_sf1": round(t_large, 3),
+        "ratio": ratio,
+        "flagged": ratio > RATIO_THRESHOLD,
+    }
+    if ratio > RATIO_THRESHOLD:
+        flagged.append("streaming_incremental_dedup")
+    print(f"streaming_incremental_dedup: {rows['streaming_incremental_dedup']}", flush=True)
     spark.stop()
     return {
         "metric": "scaling_ratio_sf0.1_to_sf1",
