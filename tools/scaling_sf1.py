@@ -13,8 +13,9 @@ driver sf0.1, so t(sf1)/t(driver sf0.1) is an honest 10x-data ratio.
 
 Times use the same warm best-of-2 protocol as scaling_check; results are
 merged into SCALING.json under the "sf1" key (scaling_check preserves it
-on rewrite). Flags ratio > RATIO_THRESHOLD, same rationale as the small
-decade.
+on rewrite). Flags ratio > 12 — linear-in-data is 10x at this decade
+(both sides are past the fixed-overhead floor, unlike the small decade
+whose threshold is 25).
 
 Usage:
     python tools/make_sf1.py          # once (~10 s, ~160 MB, gitignored)
@@ -29,7 +30,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.scaling_check import RATIO_THRESHOLD, _warm_time
+from tools.scaling_check import _warm_time
+
+# The small-decade RATIO_THRESHOLD (25) is calibrated for sf0.01 ->
+# sf0.1 where per-query fixed overhead dominates the small side and
+# inflates honest ratios. At sf0.1 -> sf1 both sides are past the
+# overhead floor, so linear-in-data is ~10x and anything much above it
+# is a real super-linear smell: flag at 12 (10x data + noise headroom).
+RATIO_THRESHOLD = 12.0
 
 from tracy_matdb_spark.queries import load_all
 from tracy_matdb_spark.session import get_session
