@@ -56,3 +56,28 @@ def test_bloom_bitset_is_broadcast(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan
     assert BLOOM_K == 4  # docstrings/oracle quote the constant
+
+
+def test_footer_stat_matches_actual_row_count(spark):
+    """catalog.table_num_rows is the stat queries trust for plan-shape
+    decisions (pagerank's broadcast gate): it must equal the real row
+    count, not an estimate."""
+    from tracy_matdb_spark.catalog import load, table_num_rows
+
+    for t in ("customer", "supplier"):
+        actual = load(spark, SF_SMOKE, (t,))[t].count()
+        assert table_num_rows(SF_SMOKE, t) == actual
+
+
+def test_pagerank_node_bound_conservative_on_missing_stats():
+    """A missing dimension table (no catalog stat) must push the gate
+    over PR_BCAST_MAX_NODES so the conservative co-partitioned join is
+    taken — never an unbounded broadcast on absent information."""
+    from tracy_matdb_spark.queries.webscale import (
+        PR_BCAST_MAX_NODES,
+        _pr_node_bound,
+    )
+
+    assert _pr_node_bound("/nonexistent/sf_dir") > PR_BCAST_MAX_NODES
+    # and at the smoke SF the stat is available and small -> broadcast
+    assert _pr_node_bound(SF_SMOKE) <= PR_BCAST_MAX_NODES
