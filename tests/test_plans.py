@@ -86,6 +86,8 @@ NLJ_ALLOWED = {
     "kmeans_fixed_point",
     # 1-row argmax merge broadcast per BPE round (in-plan winner selection)
     "bpe_train_merges",
+    # 1-row feature-total scalars broadcast onto the 512-row bucket table
+    "dsir_importance_weights",
 }
 
 

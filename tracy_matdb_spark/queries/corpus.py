@@ -1667,3 +1667,130 @@ def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY occurrences DESC, sym LIMIT {BPE_VOCAB_TOP}
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+DSIR_B = 512  # hashed n-gram feature buckets (paper uses 10k; bounded)
+DSIR_TOP = 60  # report the N raw docs most target-like
+
+
+@register(
+    "dsir_importance_weights",
+    headline=False,
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {{toks}} AS toks
+               FROM documents WHERE n_chars > 0),
+    g AS (SELECT doc_id, source, unnest(list_concat(
+              toks,
+              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          )) AS gram FROM d),
+    f AS (SELECT doc_id, source, {{h}} % {DSIR_B} AS b FROM g),
+    tc AS (SELECT b, count(*) AS cnt_t FROM f WHERE source = '{{ev}}' GROUP BY b),
+    rc AS (SELECT b, count(*) AS cnt_r FROM f WHERE source <> '{{ev}}' GROUP BY b),
+    tots AS (SELECT (SELECT count(*) FROM f WHERE source = '{{ev}}') AS tot_t,
+                    (SELECT count(*) FROM f WHERE source <> '{{ev}}') AS tot_r),
+    lr AS (SELECT coalesce(tc.b, rc.b) AS b,
+                  cast(floor(1000000.0 * ln(
+                      (cast(coalesce(cnt_t, 0) + 1 as double) * cast(tot_r + {DSIR_B} as double))
+                      / (cast(coalesce(cnt_r, 0) + 1 as double) * cast(tot_t + {DSIR_B} as double))
+                  )) as bigint) AS lr_ppm
+           FROM tc FULL JOIN rc ON tc.b = rc.b CROSS JOIN tots)
+    SELECT f.doc_id,
+           cast(count(*) as bigint) AS n_features,
+           cast(sum(lr.lr_ppm) as bigint) AS dsir_weight_ppm
+    FROM f JOIN lr ON f.b = lr.b
+    WHERE f.source <> '{{ev}}'
+    GROUP BY f.doc_id
+    ORDER BY dsir_weight_ppm DESC, doc_id
+    LIMIT {DSIR_TOP}
+    """.format(
+        toks=textops.toks_expr("duckdb"),
+        h=textops.tok_hash60("duckdb", "gram"),
+        ev=EVAL_SOURCE,
+    ),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much more likely
+    its hashed n-gram features are under the target distribution (the
+    '{EVAL_SOURCE}' benchmark-like slice, the same convention as
+    decontam) than under the raw pool, estimated by two bag-of-hashed-
+    ngram multinomials with +1 smoothing over {DSIR_B} buckets. The
+    standard pretraining-data selection operator: resample raw docs
+    with probability ∝ exp(weight) to shift the corpus toward the
+    target domain.
+
+    Features are word unigrams + bigrams hashed to 60 bits
+    (textops.tok_hash60 — cross-engine-identical md5 prefix) mod
+    {DSIR_B}; unigrams cannot collide with bigrams (bigrams contain a
+    space, unigrams never do) so one salt serves both. Per-bucket
+    log-ratios are ppm-quantized BEFORE the per-doc sum, making the
+    document weight an exact INTEGER sum — no float summation-order
+    hazard at all (one step stricter than bigram_perplexity, which
+    quantizes after the sum).
+
+    Plan shape at 100 TB: one explode -> two keyed aggregations whose
+    output is bounded by {DSIR_B} buckets -> the log-ratio table is a
+    guaranteed-broadcast dim (512 rows) joined back to the exploded
+    features -> one doc-keyed agg -> TakeOrderedAndProject. The only
+    full-data shuffles are the bucket aggs (map-side partial over
+    {DSIR_B} keys — near-zero reduce) and the final doc_id agg; the
+    scalar totals ride a 1-row broadcast crossJoin."""
+    toks = textops.toks_expr("spark")
+    h = textops.tok_hash60("spark", "gram")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    feats = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("doc_id", "source", f"{toks} AS toks")
+        .select(
+            "doc_id",
+            "source",
+            # sequence(1, 0) steps DOWNWARD in Spark, so a single-token
+            # doc must short-circuit to an empty bigram array (DuckDB's
+            # range(1, 1) is empty on its own)
+            F.explode(
+                F.expr(
+                    "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i - 1], ' ', toks[i])) "
+                    "ELSE array() END)"
+                )
+            ).alias("gram"),
+        )
+        .selectExpr("doc_id", "source", f"{h} % {DSIR_B} AS b")
+        .localCheckpoint(eager=False)  # feeds the bucket agg + scoring
+    )
+    is_t = F.col("source") == EVAL_SOURCE
+    # ONE keyed agg yields both per-bucket counts; the scalar totals are
+    # then a rollup of the B-row result, not a third scan of the grams
+    bc = feats.groupBy("b").agg(
+        F.sum(is_t.cast("long")).alias("cnt_t"),
+        F.sum((~is_t).cast("long")).alias("cnt_r"),
+    )
+    tots = bc.groupBy().agg(
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
+    )
+    lr = (
+        bc.crossJoin(F.broadcast(tots))
+        .selectExpr(
+            "b",
+            f"""cast(floor(1000000.0 * ln(
+                (cast(cnt_t + 1 as double) * cast(tot_r + {DSIR_B} as double))
+                / (cast(cnt_r + 1 as double) * cast(tot_t + {DSIR_B} as double))
+            )) as bigint) AS lr_ppm""",
+        )
+    )
+    return (
+        feats.filter(~is_t)
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("lr_ppm").cast("long").alias("dsir_weight_ppm"),
+        )
+        .orderBy(F.col("dsir_weight_ppm").desc(), "doc_id")
+        .limit(DSIR_TOP)
+    )
