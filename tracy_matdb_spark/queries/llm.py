@@ -1696,3 +1696,109 @@ def source_duplication_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sketch + distortion audit (embedding compression)
+# ---------------------------------------------------------------------------
+
+JL_D = 64  # input embedding dimensionality (driver testdata)
+JL_K = 16  # sketch dimensionality
+
+
+def _jl_sign(dialect: str) -> str:
+    """±1 projection-matrix entry R[i][j], derived from the
+    cross-engine-identical 60-bit md5 hash of 'i_j' (textops.tok_hash60,
+    salt 'jl') — the matrix is a pure function of (i, j), so both
+    engines materialize the SAME matrix without storing it."""
+    if dialect == "spark":
+        cell = "concat(cast(i as string), '_', cast(j as string))"
+    else:
+        cell = "(cast(i as varchar) || '_' || cast(j as varchar))"
+    h = textops.tok_hash60(dialect, cell, salt="jl")
+    return f"(CASE WHEN ({h}) % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH xqt AS (SELECT vec_id, label,
+                        list_transform(embedding,
+                            x -> cast(floor(cast(x as double) * 1000000.0) as bigint)) AS xq
+                 FROM embeddings),
+    proj AS (SELECT vec_id, label,
+                    cast(list_sum(list_transform(xq, x -> x * x)) as bigint) AS norm2q,
+                    list_transform(range(0, {JL_K}), j ->
+                        cast(list_sum(list_transform(range(0, {JL_D}), i ->
+                            {_jl_sign('duckdb')} * xq[i + 1])) as bigint)) AS projq
+             FROM xqt),
+    per AS (SELECT vec_id, label, norm2q,
+                   cast(list_sum(list_transform(projq, p -> p * p)) as bigint) AS pnorm2q
+            FROM proj),
+    d AS (SELECT label,
+                 cast(floor(1000000.0 * cast(pnorm2q as double)
+                      / ({JL_K}.0 * cast(norm2q as double))) as bigint) AS dist_ppm
+          FROM per WHERE norm2q > 0)
+    SELECT label, cast(count(*) as bigint) AS n_vecs,
+           cast(sum(dist_ppm) // count(*) as bigint) AS mean_dist_ppm,
+           cast(min(dist_ppm) as bigint) AS min_dist_ppm,
+           cast(max(dist_ppm) as bigint) AS max_dist_ppm
+    FROM d GROUP BY label ORDER BY label
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketching (Achlioptas 2003 ±1 database-
+    friendly projections): compress every {JL_D}-d embedding to a
+    {JL_K}-d sketch with a sign matrix derived from md5(i_j) parity,
+    and report per-label norm-preservation distortion — the acceptance
+    audit a pipeline runs before swapping full vectors for sketches in
+    a first-pass ANN or dedup stage (E[||Rx||^2] = k * ||x||^2 for ±1
+    entries; dist_ppm ~ 1e6 means perfectly preserved).
+
+    Exactness: components are ppm-quantized INTEGERS (xq = floor(x *
+    1e6)); each sketch coordinate is an exact +-xq integer sum, both
+    norms are exact integer sums of squares, and the only float op is
+    one final ratio with identical IEEE operands in both engines. The
+    per-label mean is an integer sum of per-vector ppm ratios divided
+    by count — no float accumulation anywhere.
+
+    Plan shape: ZERO joins — the projection matrix is a pure hash
+    function of (i, j), evaluated inline inside nested array lambdas
+    (whole-stage-codegen'd, embarrassingly parallel), then one keyed
+    agg on label. At 100 TB the same shape holds; if the inline
+    {JL_D}x{JL_K} hash evaluation per row ever dominates, precompute R
+    once and broadcast it — the dataflow is otherwise identical."""
+    xq = "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"
+    proj_j = (
+        f"aggregate(sequence(0, {JL_D - 1}), 0L, "
+        f"(acc, i) -> acc + {_jl_sign('spark')} * element_at(xq, i + 1))"
+    )
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    per = (
+        emb.selectExpr("vec_id", "label", f"{xq} AS xq")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "aggregate(xq, 0L, (acc, x) -> acc + x * x) AS norm2q",
+            f"aggregate(transform(sequence(0, {JL_K - 1}), j -> {proj_j}), "
+            f"0L, (acc, p) -> acc + p * p) AS pnorm2q",
+        )
+    )
+    return (
+        per.filter(F.col("norm2q") > 0)
+        .selectExpr(
+            "label",
+            f"cast(floor(1000000.0 * cast(pnorm2q as double) "
+            f"/ ({JL_K}.0 * cast(norm2q as double))) as bigint) AS dist_ppm",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("cast(sum(dist_ppm) div count(*) as bigint)").alias(
+                "mean_dist_ppm"
+            ),
+            F.min("dist_ppm").cast("long").alias("min_dist_ppm"),
+            F.max("dist_ppm").cast("long").alias("max_dist_ppm"),
+        )
+        .orderBy("label")
+    )
