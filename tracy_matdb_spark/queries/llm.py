@@ -1802,3 +1802,145 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash-LSH ingest dedup (typed-state, checkpoint-resumed)
+# ---------------------------------------------------------------------------
+
+SMD_BATCHES = 3
+
+
+def _band_rows_stateless(df: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band rows computed WITHOUT any
+    aggregation — per-permutation minhashes via array_min over the
+    shingle array instead of explode+groupBy min (identical result:
+    min over a multiset equals min over its distinct set) — so the same
+    expression chain runs on a STREAMING DataFrame, where a pre-state
+    aggregation would be illegal. Mirrors _lsh_candidate_pairs'
+    signature math exactly (same md5('p|'||shingle) space)."""
+    toks = textops.toks_expr("spark")
+    sh_arr = "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"
+    mins = [
+        f"array_min(transform(sh_arr, sh -> md5(concat('{p}|', sh)))) AS mh{p}"
+        for p in range(N_PERM)
+    ]
+    n_bands = N_PERM // BAND_SIZE
+    bands = ", ".join(
+        "named_struct('band', {b}, 'sig', md5(concat_ws('|', {cols})))".format(
+            b=band,
+            cols=", ".join(
+                f"mh{p}" for p in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+            ),
+        )
+        for band in range(n_bands)
+    )
+    return (
+        df.selectExpr("doc_id", f"{toks} AS toks")
+        .filter(F.expr("size(toks) >= 3"))
+        .selectExpr("doc_id", f"{sh_arr} AS sh_arr")
+        .selectExpr("doc_id", *mins)
+        .selectExpr("doc_id", f"explode(array({bands})) AS bs")
+        .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
+    )
+
+
+@register(
+    "streaming_minhash_dedup_tws",
+    oracle=f"""
+    WITH {_lsh_ctes_duckdb()},
+    bmin AS (SELECT band, sig, min(doc_id) AS first_doc
+             FROM bands GROUP BY band, sig),
+    res AS (SELECT b.doc_id,
+                   cast(count(*) as bigint) AS n_bands,
+                   cast(sum(CASE WHEN bmin.first_doc < b.doc_id THEN 1 ELSE 0 END) as bigint) AS n_conflicts
+            FROM bands b JOIN bmin USING (band, sig)
+            GROUP BY b.doc_id)
+    SELECT doc_id, n_bands, n_conflicts,
+           cast(CASE WHEN n_conflicts = 0 THEN 1 ELSE 0 END as bigint) AS kept
+    FROM res ORDER BY doc_id
+    """,
+    doc="Streaming greedy MinHash-LSH ingest dedup: documents arrive in "
+    "3 ascending-doc_id micro-batches across 3 SEPARATE availableNow "
+    "runs sharing one checkpoint (typed-state ValueState per LSH "
+    "band-bucket, RocksDB store) — so bucket state is persisted and "
+    "RESUMED across query restarts, the production ingest shape. A doc "
+    "conflicts in a band iff an earlier doc occupied that band-bucket; "
+    "kept iff zero conflicts, which equals the batch rule 'doc_id is "
+    "the bucket minimum in every band' verified by the oracle.",
+)
+def streaming_minhash_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See `doc`. State is sharded by (band, sig) — the same key the
+    batch LSH join shuffles on — so the state store scales with occupied
+    buckets, not stream length (streaming/windows.py:
+    streaming_lsh_first_seen). Ascending-range staging makes arrival
+    order match doc_id order, the condition under which greedy
+    first-seen equals the order-free bucket-min oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from tracy_matdb_spark.streaming.windows import streaming_lsh_first_seen
+
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    step = (int(max_id) + SMD_BATCHES) // SMD_BATCHES
+    base = tempfile.mkdtemp(prefix="smd_tws_")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stage = os.path.join(base, "stage")
+        drop = os.path.join(base, "drop")
+        ckpt = os.path.join(base, "ckpt")
+        sink = os.path.join(base, "sink")
+        os.makedirs(drop, exist_ok=True)
+        for i in range(SMD_BATCHES):
+            docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            ).write.parquet(os.path.join(stage, f"b{i}"))
+        for i in range(SMD_BATCHES):
+            shutil.move(os.path.join(stage, f"b{i}"), os.path.join(drop, f"b{i}"))
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(drop)
+            )
+            # append mode + parquet sink: the only sink family that
+            # supports RESUMING from the shared checkpoint across the
+            # three runs (memory sink rejects recovery)
+            q = (
+                streaming_lsh_first_seen(_band_rows_stateless(stream))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bands"),
+                F.sum("conflict").cast("long").alias("n_conflicts"),
+            )
+            .selectExpr(
+                "doc_id",
+                "n_bands",
+                "n_conflicts",
+                "cast(CASE WHEN n_conflicts = 0 THEN 1 ELSE 0 END as bigint) AS kept",
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(base, ignore_errors=True)
+    return out

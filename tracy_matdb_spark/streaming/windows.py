@@ -446,3 +446,76 @@ def stateful_typemap_tws(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         TypeMap(), TWS_TYPEMAP_OUT, "update", "none"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming first-seen LSH dedup (cross-batch, checkpoint-resumed state)
+# ---------------------------------------------------------------------------
+
+TWS_LSH_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("conflict", T.LongType()),
+    ]
+)
+
+
+def streaming_lsh_first_seen(band_rows: DataFrame) -> DataFrame:
+    """Per-(band, sig) bucket first-seen tracker over a STREAM of band
+    rows (doc_id, band, sig): each arriving doc row emits conflict=1
+    iff an earlier (smaller doc_id) doc already occupied this bucket —
+    the streaming half of greedy MinHash-LSH ingest dedup, with one
+    ValueState (the bucket's min doc_id) per bucket.
+
+    State is sharded BY BUCKET, the same key the batch LSH join
+    shuffles on, so at 100 TB the state store scales with the number of
+    occupied band-buckets (corpus near-dup structure), never with the
+    stream length; per-bucket state is one long. Rows within a batch
+    are processed in doc_id order so intra-batch conflicts resolve
+    identically to the batch oracle (kept iff bucket-min in EVERY
+    band); batches must arrive in ascending doc_id ranges, which the
+    ingest driver guarantees by staging (see
+    queries/llm.py:streaming_minhash_dedup_tws)."""
+    from tracy_matdb_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class BucketFirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mn = handle.getValueState("mn", "mn long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = self._mn.get()[0] if self._mn.exists() else None
+            out_doc, out_conf = [], []
+            ids: list[int] = []
+            for pdf in rows:
+                ids.extend(int(x) for x in pdf["doc_id"])
+            for did in sorted(ids):
+                out_doc.append(did)
+                out_conf.append(1 if (cur is not None and cur < did) else 0)
+                cur = did if cur is None else min(cur, did)
+            self._mn.update((cur,))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "band": [int(key[0])] * len(out_doc),
+                    "conflict": out_conf,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # timeMode "none": see stateful_user_totals_tws — timer modes never
+    # terminate under processAllAvailable on finite sources.
+    # Output mode is APPEND (each input row yields exactly one output
+    # row, once) so the result can flow to an exactly-once file sink —
+    # required for checkpoint-resumed multi-run ingest (the memory sink
+    # rejects recovery from a checkpoint).
+    return band_rows.groupBy("band", "sig").transformWithStateInPandas(
+        BucketFirstSeen(), TWS_LSH_OUT, "append", "none"
+    )
