@@ -547,3 +547,94 @@ def test_run_stateful_to_completion_empty_source(spark, tmp_path):
         S.stateful_user_totals(ev), "t_empty_source_q"
     )
     assert out.count() == 0
+
+
+def test_tws_state_ttl_inert_under_time_mode_none(spark, tmp_path):
+    """Negative-space pin for a real Spark 4 footgun, verified
+    empirically (round 8): `getValueState(..., ttlDurationMs=N)` is
+    accepted under timeMode="none" but SILENTLY INERT — state survives
+    arbitrarily far past its TTL, because TTL eviction rides the
+    processing-time machinery that timeMode enables. And timeMode
+    "processingTime" is not a fix here: it schedules timer-sweep
+    batches that never terminate on finite sources (hangs under
+    availableNow too, not just processAllAvailable — measured, 240 s
+    timeout). So on batch-style finite runs: timeMode stays "none" and
+    TTL must not be relied upon; this test fails the day Spark changes
+    either behavior, at which point the operators can revisit TTL."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from tracy_matdb_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    from pyspark.sql.streaming import StatefulProcessor
+
+    out_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("had_short_ttl_state", T.BooleanType()),
+        ]
+    )
+
+    class P(StatefulProcessor):
+        def init(self, handle):
+            self._s = handle.getValueState("s", "v long", ttlDurationMs=1000)
+
+        def handleInputRows(self, key, rows, timerValues):
+            had = self._s.exists()
+            for _pdf in rows:
+                pass
+            self._s.update((1,))
+            yield pd.DataFrame(
+                {"k": [key[0]], "had_short_ttl_state": [had]}
+            )
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ck")
+        sink = str(tmp_path / "out")
+        os.makedirs(src)
+        schema = T.StructType([T.StructField("k", T.LongType())])
+
+        def run(i: int) -> None:
+            spark.createDataFrame([(1,)], schema).coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}")
+            )
+            st = (
+                spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            q = (
+                st.groupBy("k")
+                .transformWithStateInPandas(P(), out_schema, "append", "none")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(0)
+        time.sleep(2.5)  # > 2x the declared TTL
+        run(1)
+        rows = {
+            (r.k, r.had_short_ttl_state)
+            for r in spark.read.parquet(sink).collect()
+        }
+        # run 1: no prior state; run 2: state SURVIVED its 1 s TTL
+        assert rows == {(1, False), (1, True)}, rows
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

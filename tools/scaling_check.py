@@ -80,6 +80,9 @@ SCALING_EXTRA = [
     "scd2_user_state",  # keyed change-history windows (per-user islands)
     "bpe_train_merges",  # iterative CTE chain — cost must track vocab, not corpus
     "events_typemap_tws",  # typed-state protocol round-trips per key
+    "dsir_importance_weights",  # gram explode + 512-bucket agg + broadcast
+    "jl_projection_distortion",  # zero-join nested-lambda sketch pass
+    "streaming_minhash_dedup_tws",  # per-bucket typed state across 3 resumed runs
 ]
 
 
