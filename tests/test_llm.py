@@ -97,3 +97,69 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def _micro_int_matrix(sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    mat = np.floor(
+        np.stack(emb.embedding.to_numpy()).astype("float64") * 1_000_000
+    ).astype("int64")
+    return emb.vec_id.to_numpy(), mat
+
+
+def test_pq_adc_matches_numpy(spark):
+    """knn_pq_embeddings' ADC distances must equal an independent numpy
+    recomputation of the same PQ pipeline (codebook=vec_id 1..K seed,
+    integer argmin with min-cid ties, distance-table sum)."""
+    import numpy as np
+
+    from tracy_matdb_spark.queries.llm import PQ_D, PQ_K, PQ_M, PQ_TOP
+
+    out = REGISTRY["knn_pq_embeddings"].fn(spark, SF_SMOKE).toPandas()
+    ids, mat = _micro_int_matrix(SF_SMOKE)
+    sub = mat.reshape(len(ids), PQ_M, PQ_D)
+    cb = sub[np.isin(ids, np.arange(1, PQ_K + 1))]  # (K, M, D), cid order
+    q = sub[ids == 0][0]  # (M, D)
+    # encode: per (vector, subspace) nearest centroid, ties -> min cid
+    d2 = ((sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (N, K, M)
+    codes = d2.argmin(axis=1)  # (N, M); argmin ties -> first (= min cid)
+    dtab = ((q[None, :, :] - cb) ** 2).sum(axis=2)  # (K, M)
+    ad2 = dtab[codes, np.arange(PQ_M)].sum(axis=1)  # (N,)
+    mask = ids != 0
+    order = np.lexsort((ids[mask], ad2[mask]))
+    top = [(ids[mask][i], ad2[mask][i]) for i in order[:PQ_TOP]]
+    assert list(zip(out.vec_id, out.ad2)) == top
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """16x-compressed PQ retrieval recovers a nontrivial share of the
+    exact top-10 on the isotropic synthetic corpus — the PQ worst case
+    (no cluster structure for the codebook to exploit). Measured:
+    3/10 on the sf0.001 corpus, 6/10 on sf0.01 (deterministic per
+    corpus; expected ~0.2/10 for a random 10 of 499)."""
+    out = REGISTRY["knn_pq_recall"].fn(spark, SF_SMOKE).toPandas()
+    assert out.k[0] == 10
+    assert out.n_overlap[0] >= 3, out.n_overlap[0]
+
+
+def test_maxsim_matches_numpy(spark):
+    """maxsim_late_interaction must equal the numpy MaxSim (sum over
+    query tokens of max dot against any doc token) on micro-int data."""
+    import numpy as np
+
+    from tracy_matdb_spark.queries.llm import MAXSIM_D, MAXSIM_T, MAXSIM_TOP
+
+    out = REGISTRY["maxsim_late_interaction"].fn(spark, SF_SMOKE).toPandas()
+    ids, mat = _micro_int_matrix(SF_SMOKE)
+    tok = mat.reshape(len(ids), MAXSIM_T, MAXSIM_D)
+    q = tok[ids == 0][0]  # (T, D)
+    # dots[n, u, t] = doc token u . query token t
+    dots = np.einsum("nud,td->nut", tok, q)
+    scores = dots.max(axis=1).sum(axis=1)  # max over doc tokens, sum over query
+    mask = ids != 0
+    order = np.lexsort((ids[mask], -scores[mask]))
+    top = [(ids[mask][i], scores[mask][i]) for i in order[:MAXSIM_TOP]]
+    assert list(zip(out.vec_id, out.maxsim)) == top

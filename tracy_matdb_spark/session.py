@@ -19,7 +19,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_session(app_name: str = "tracy_matdb_spark", cpus: int | None = None) -> SparkSession:
+def get_session(
+    app_name: str = "tracy_matdb_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # must run BEFORE the JVM launches: the typed-state streaming
@@ -42,6 +46,8 @@ def get_session(app_name: str = "tracy_matdb_spark", cpus: int | None = None) ->
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
