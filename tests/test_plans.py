@@ -65,6 +65,10 @@ NLJ_ALLOWED = {
     "semantic_dedup",
     # composes knn_embeddings, inheriting its 1-row query-vector broadcast
     "knn_quantization_recall",
+    # same composition: the exact-kNN side carries the 1-row broadcast
+    "knn_pq_recall",
+    # dense branch is knn_embeddings verbatim (1-row query broadcast)
+    "hybrid_rrf_retrieval",
     # one-row global-average broadcast (scalar subquery), bounded by construction
     "q22_idle_rich_customers",
     # one-row national-total threshold broadcast (Q11's scalar HAVING)
@@ -121,6 +125,10 @@ WINDOW_ALLOWED = {
     # CUSUM runs over the per-(type, day) ROLLUP — O(types x days) rows,
     # the same bounded-aggregate class as events_daily_anomaly
     "cusum_event_drift",
+    # both rank windows run AFTER TakeOrderedAndProject limits (BM25
+    # top-15, cosine top-10): inputs <= 15 rows by construction
+    # (queries/corpus.py hybrid_rrf_retrieval)
+    "hybrid_rrf_retrieval",
 }
 
 
@@ -312,3 +320,23 @@ def test_headline_plan_budgets(spark):
 def test_budget_covers_every_headline():
     missing = [n for n, q in REGISTRY.items() if q.headline and n not in PLAN_BUDGET]
     assert not missing, f"headline queries without a plan budget: {missing}"
+
+
+def test_pq_and_maxsim_single_corpus_shuffle(spark):
+    """The PQ encode->ADC and MaxSim dot->max->sum agg chains must run on
+    ONE corpus partitioning: the upfront repartition(vec_id) satisfies
+    every downstream groupBy's ClusteredDistribution, so the only
+    allowed hash exchanges are that repartition plus (for PQ) the
+    O(M*K)-row distance-table branch. Codebook/query sides broadcast."""
+    import re
+
+    for name, max_hash_exchanges in (
+        ("knn_pq_embeddings", 2),  # corpus repartition + tiny dt branch
+        ("maxsim_late_interaction", 1),  # corpus repartition only
+    ):
+        plan = _plan(spark, name)
+        hash_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        assert hash_ex <= max_hash_exchanges, f"{name}: {hash_ex} exchanges"
+        assert "BroadcastHashJoin" in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name

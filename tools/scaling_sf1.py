@@ -62,6 +62,8 @@ QUERIES = [
     "exact_substring_spans",
     "dedup_exact",
     "knn_embeddings",
+    "knn_pq_embeddings",
+    "maxsim_late_interaction",
 ]
 
 

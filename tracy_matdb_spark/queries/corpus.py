@@ -1794,3 +1794,110 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_weight_ppm").desc(), "doc_id")
         .limit(DSIR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense kNN fused by reciprocal-rank fusion
+# (Cormack, Clarke, Buettcher, "Reciprocal Rank Fusion outperforms
+# Condorcet and individual rank learning methods", SIGIR 2009). The
+# modern RAG-serving shape: a sparse lexical list and a dense vector
+# list, fused on rank alone (no score calibration needed). Contribution
+# = floor(1e9 / (K + rank)) — integer division in both engines, so the
+# fused scores are hash-exact.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the SIGIR-2009 constant
+RRF_TOP = 10
+
+
+def _rrf_sql() -> str:
+    from tracy_matdb_spark.queries.llm import _dot_expr, _norm_expr
+
+    sim = (
+        f"cast(floor(({_dot_expr('duckdb', 'embedding', 'qv')} /"
+        f" ({_norm_expr('duckdb', 'embedding')} * {_norm_expr('duckdb', 'qv')}))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    inlist = ", ".join(repr(t) for t in BM25_QUERY)
+    return f"""
+    WITH d AS (SELECT doc_id, {textops.toks_expr('duckdb')} AS toks
+               FROM documents WHERE n_chars > 0),
+    dl AS (SELECT doc_id, cast(len(toks) as bigint) AS dl FROM d),
+    n AS (SELECT cast(count(*) as bigint) AS N,
+                 cast(sum(len(toks)) as bigint) AS tot FROM d),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    qt AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf FROM t
+           WHERE term IN ({inlist}) GROUP BY doc_id, term),
+    tdf AS (SELECT term, cast(count(DISTINCT doc_id) as bigint) AS df
+            FROM t WHERE term IN ({inlist}) GROUP BY term),
+    scored AS (SELECT qt.doc_id, round(sum({_bm25_sql('duckdb')}), 6) AS bm25
+               FROM qt JOIN tdf ON qt.term = tdf.term
+               JOIN dl ON dl.doc_id = qt.doc_id
+               CROSS JOIN n GROUP BY qt.doc_id),
+    bm AS (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15),
+    bmr AS (SELECT doc_id,
+                   cast(row_number() OVER (ORDER BY bm25 DESC, doc_id) as bigint)
+                       AS bm25_rank FROM bm),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (SELECT vec_id, {sim} AS sim_q
+             FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+    kn AS (SELECT vec_id, sim_q FROM sims ORDER BY sim_q DESC, vec_id LIMIT 10),
+    knr AS (SELECT vec_id AS doc_id,
+                   cast(row_number() OVER (ORDER BY sim_q DESC, vec_id) as bigint)
+                       AS cos_rank FROM kn),
+    fused AS (SELECT coalesce(bmr.doc_id, knr.doc_id) AS doc_id,
+                     bm25_rank, cos_rank
+              FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id)
+    SELECT doc_id,
+           cast(coalesce(1000000000 // ({RRF_K} + bm25_rank), 0)
+              + coalesce(1000000000 // ({RRF_K} + cos_rank), 0) as bigint)
+               AS rrf_score,
+           bm25_rank, cos_rank
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+@register("hybrid_rrf_retrieval", oracle=_rrf_sql())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by reciprocal-rank fusion:
+    the BM25 top-15 (bm25_top_docs' exact plan) and the brute-force
+    cosine top-10 (knn_embeddings' exact plan; vec_id IS the doc_id of
+    the embedded corpus prefix — the driver tables share the key space
+    at sf<=0.01 and the embedded subset below it), full-outer joined on
+    doc_id with contribution floor(1e9/({RRF_K}+rank)) per list.
+
+    Scale shape: both retrieval branches keep their own optimal plans
+    (query-term-restricted agg + TakeOrdered; broadcast query vector +
+    TakeOrdered); everything after the two top-k cuts touches <= 25
+    rows total, so the rank windows and the full-outer fusion join are
+    O(k) driver-adjacent work, not data-scale work — fusion cost is
+    independent of corpus size by construction."""
+    sparse = bm25_top_docs(spark, sf_dir)
+    from tracy_matdb_spark.queries.llm import knn_embeddings
+
+    dense = knn_embeddings(spark, sf_dir)
+    bmr = sparse.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    knr = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("sim_q").desc(), "vec_id"))
+        .cast("long")
+        .alias("cos_rank"),
+    )
+    contrib = (
+        f"cast(coalesce(1000000000 div ({RRF_K} + bm25_rank), 0)"
+        f" + coalesce(1000000000 div ({RRF_K} + cos_rank), 0) as bigint)"
+    )
+    return (
+        bmr.join(knr, "doc_id", "full_outer")
+        .selectExpr("doc_id", f"{contrib} AS rrf_score", "bm25_rank", "cos_rank")
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )
