@@ -69,6 +69,20 @@ def test_footer_stat_matches_actual_row_count(spark):
         assert table_num_rows(SF_SMOKE, t) == actual
 
 
+def test_footer_stat_raises_on_empty_directory(tmp_path):
+    """A directory with ZERO part-files (partially written / cleaned
+    table) has no stats: table_num_rows must raise, not return 0 — a 0
+    would flip size-gated plans to 'broadcast' on absent information,
+    violating the conservative-path contract."""
+    import pytest
+
+    from tracy_matdb_spark.catalog import table_num_rows
+
+    (tmp_path / "ghost.parquet").mkdir()  # empty dir, zero part-files
+    with pytest.raises(OSError):
+        table_num_rows(str(tmp_path), "ghost")
+
+
 def test_pagerank_node_bound_conservative_on_missing_stats():
     """A missing dimension table (no catalog stat) must push the gate
     over PR_BCAST_MAX_NODES so the conservative co-partitioned join is

@@ -48,17 +48,22 @@ def table_num_rows(sf_dir: str, name: str) -> int:
     choices (e.g. broadcast-vs-shuffle) at points where a checkpoint
     boundary hides the stats from Catalyst. Handles both a single
     .parquet file and a directory of part-files; raises OSError for a
-    missing table (callers treat any failure as "stat unavailable" and
-    take the conservative path)."""
+    missing table AND for a directory with zero part-files (a partially
+    written or cleaned table has no stats — returning 0 would flip
+    size-gated plans to 'broadcast' on absent information; callers
+    treat any failure as "stat unavailable" and take the conservative
+    path)."""
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, name)
     if os.path.isdir(path):
-        total = 0
-        for entry in os.listdir(path):
-            if entry.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(path, entry)).metadata.num_rows
-        return total
+        parts = [e for e in os.listdir(path) if e.endswith(".parquet")]
+        if not parts:
+            raise FileNotFoundError(f"no .parquet part-files in {path}")
+        return sum(
+            pq.ParquetFile(os.path.join(path, entry)).metadata.num_rows
+            for entry in parts
+        )
     return pq.ParquetFile(path).metadata.num_rows
 
 

@@ -1950,8 +1950,8 @@ def streaming_minhash_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product-quantized kNN (PQ/ADC) — the compressed-index ANN scale path
 # (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
 # Search", TPAMI 2011). Next to the scalar-quantized path (SQ8, 4x
-# compression) and the IVF coarse path, PQ is the 32x-compression tier:
-# the 64-dim float vector (256 bytes) becomes M=8 one-byte codes. All
+# compression) and the IVF coarse path, PQ is the 16x-compression tier:
+# the 64-dim float vector (256 bytes) becomes M=16 one-byte codes. All
 # arithmetic is micro-unit integer fixed point, so the entire
 # train->encode->ADC-search pipeline hash-verifies against DuckDB.
 # ---------------------------------------------------------------------------
@@ -2038,7 +2038,7 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; encode is one narrow explode + partial-agg argmin keyed
     by (vec_id, m) — co-partitioned end to end; top-k is
     TakeOrderedAndProject. At 100 TB the codes table is the materialized
-    index (written once, bucketed), and a query is ONE scan of the 32x-
+    index (written once, bucketed), and a query is ONE scan of the 16x-
     smaller codes with a broadcast hash join against its M*K-row table —
     the plan stays shuffle-free per query."""
     sub = _pq_sub_df(spark, sf_dir)
@@ -2099,7 +2099,7 @@ def _pq_recall_sql() -> str:
 @register("knn_pq_recall", oracle=_pq_recall_sql())
 def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{PQ_TOP} of PQ/ADC retrieval against exact float cosine —
-    the accuracy-vs-32x-compression readout every PQ deployment measures
+    the accuracy-vs-16x-compression readout every PQ deployment measures
     before shipping the index. Both retrievals are the registered
     queries' own plans (knn_pq_embeddings, knn_embeddings), composed and
     joined; deterministic because both top-k lists are integer-keyed
