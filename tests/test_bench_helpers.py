@@ -20,6 +20,27 @@ def test_pagerank_iteration_telemetry_shape(spark):
     assert out["edges_s"] > 0 and all(t >= 0 for t in out["iters_s"])
 
 
+def test_median_iqr():
+    """bench.py's dispersion readout: median of the interleaved reps
+    plus the middle-three envelope at n=5 — the noise floor every
+    round-over-round delta is judged against."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    med, spread = bench.median_iqr([0.9, 1.0, 1.1, 1.3, 5.0])
+    assert med == 1.1  # median ignores the 5.0 GC outlier
+    assert spread == 0.3  # sorted[3]-sorted[1] envelope
+    med3, spread3 = bench.median_iqr([2.0, 1.0, 3.0])
+    assert med3 == 2.0 and spread3 == 2.0
+    med1, spread1 = bench.median_iqr([0.5])
+    assert med1 == 0.5 and spread1 == 0.0
+
+
 def test_streaming_ingest_bench_dedupes(spark):
     from tracy_matdb_spark.streaming.ingest import streaming_ingest_bench
 
