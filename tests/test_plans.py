@@ -340,3 +340,24 @@ def test_pq_and_maxsim_single_corpus_shuffle(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "TakeOrderedAndProject" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_planaudit_artifact_covers_registry():
+    """PLANAUDIT.md must cover exactly the registered queries — it went
+    stale two rounds running (r7: 4 missing; r8: 4 missing again)
+    because regeneration was manual. This gate fails the moment someone
+    registers a query without re-running tools/plan_audit.py."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANAUDIT.md")
+    with open(path) as f:
+        text = f.read()
+    audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
+    registered = set(REGISTRY)
+    missing = registered - audited
+    extra = audited - registered
+    assert not missing and not extra, (
+        f"PLANAUDIT.md stale — regenerate with tools/plan_audit.py. "
+        f"missing={sorted(missing)} extra={sorted(extra)}"
+    )
