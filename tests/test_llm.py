@@ -111,38 +111,77 @@ def _micro_int_matrix(sf_dir):
 
 
 def test_pq_adc_matches_numpy(spark):
-    """knn_pq_embeddings' ADC distances must equal an independent numpy
-    recomputation of the same PQ pipeline (codebook=vec_id 1..K seed,
-    integer argmin with min-cid ties, distance-table sum)."""
+    """knn_pq_embeddings must equal an independent numpy recomputation
+    of the full PQ pipeline: seed codebook -> PQ_LLOYD_ITERS k-means
+    rounds (floor-mean update, empty clusters keep the seed) -> integer
+    argmin encode with min-cid ties -> ADC shortlist -> exact micro-int
+    cosine re-rank of the top-PQ_RERANK."""
     import numpy as np
+    import pandas as pd
 
-    from tracy_matdb_spark.queries.llm import PQ_D, PQ_K, PQ_M, PQ_TOP
+    from tracy_matdb_spark.queries.llm import (
+        PQ_D,
+        PQ_K,
+        PQ_LLOYD_ITERS,
+        PQ_M,
+        PQ_RERANK,
+        PQ_TOP,
+    )
 
     out = REGISTRY["knn_pq_embeddings"].fn(spark, SF_SMOKE).toPandas()
     ids, mat = _micro_int_matrix(SF_SMOKE)
     sub = mat.reshape(len(ids), PQ_M, PQ_D)
-    cb = sub[np.isin(ids, np.arange(1, PQ_K + 1))]  # (K, M, D), cid order
+    cb0 = sub[np.isin(ids, np.arange(1, PQ_K + 1))]  # (K, M, D), cid order
     q = sub[ids == 0][0]  # (M, D)
-    # encode: per (vector, subspace) nearest centroid, ties -> min cid
-    d2 = ((sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (N, K, M)
-    codes = d2.argmin(axis=1)  # (N, M); argmin ties -> first (= min cid)
+    corpus = sub[ids != 0]  # training set (query excluded)
+
+    def encode(cb):
+        # per (vector, subspace) nearest centroid, ties -> min cid
+        d2 = ((corpus[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        return d2.argmin(axis=1)  # (Nc, M); argmin ties -> first (= min cid)
+
+    cb = cb0
+    for _ in range(PQ_LLOYD_ITERS):
+        codes = encode(cb)
+        new = cb0.copy()
+        for m in range(PQ_M):
+            for j in range(len(cb0)):
+                members = corpus[codes[:, m] == j, m, :]
+                if len(members):
+                    new[j, m, :] = np.floor(
+                        members.sum(axis=0).astype("float64") / len(members)
+                    ).astype("int64")
+        cb = new
+    codes = encode(cb)
     dtab = ((q[None, :, :] - cb) ** 2).sum(axis=2)  # (K, M)
-    ad2 = dtab[codes, np.arange(PQ_M)].sum(axis=1)  # (N,)
-    mask = ids != 0
-    order = np.lexsort((ids[mask], ad2[mask]))
-    top = [(ids[mask][i], ad2[mask][i]) for i in order[:PQ_TOP]]
-    assert list(zip(out.vec_id, out.ad2)) == top
+    ad2 = dtab[codes, np.arange(PQ_M)].sum(axis=1)  # (Nc,)
+    cids = ids[ids != 0]
+    order = np.lexsort((cids, ad2))[:PQ_RERANK]
+    short = dict(zip(cids[order], ad2[order]))
+    # exact re-rank: micro-int cosine from the RAW float embeddings
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    raw = np.stack(emb.embedding.to_numpy()).astype("float64")
+    rids = emb.vec_id.to_numpy()
+    qv = raw[rids == 0][0]
+    sims = np.floor(
+        (raw @ qv) / (np.sqrt((raw**2).sum(axis=1)) * np.sqrt(qv @ qv)) * 1_000_000
+    ).astype("int64")
+    simmap = dict(zip(rids, sims))
+    rr = sorted(((-simmap[i], i) for i in short), key=lambda t: (t[0], t[1]))
+    top = [(i, short[i], -neg) for neg, i in rr[:PQ_TOP]]
+    assert list(zip(out.vec_id, out.ad2, out.sim_q)) == top
 
 
 def test_pq_recall_vs_brute_force(spark):
-    """16x-compressed PQ retrieval recovers a nontrivial share of the
-    exact top-10 on the isotropic synthetic corpus — the PQ worst case
-    (no cluster structure for the codebook to exploit). Measured:
-    3/10 on the sf0.001 corpus, 6/10 on sf0.01 (deterministic per
-    corpus; expected ~0.2/10 for a random 10 of 499)."""
+    """The full PQ pipeline (ADC shortlist + exact re-rank, Jegou 2011
+    §V) must recover >= 8 of the exact top-10 even on the isotropic
+    synthetic corpus — the PQ worst case (no cluster structure for the
+    codebook to exploit). Measured: 10/10 at sf0.001 and sf0.01 with
+    one Lloyd round and R=30; pure ADC plateaued at 6-7/10, which is
+    exactly why the re-rank stage exists."""
     out = REGISTRY["knn_pq_recall"].fn(spark, SF_SMOKE).toPandas()
     assert out.k[0] == 10
-    assert out.n_overlap[0] >= 3, out.n_overlap[0]
+    assert out.n_overlap[0] >= 8, out.n_overlap[0]
 
 
 def test_maxsim_matches_numpy(spark):

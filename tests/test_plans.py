@@ -67,6 +67,8 @@ NLJ_ALLOWED = {
     "knn_quantization_recall",
     # same composition: the exact-kNN side carries the 1-row broadcast
     "knn_pq_recall",
+    # re-rank stage: 1-row query-vector broadcast over the R-row shortlist
+    "knn_pq_embeddings",
     # dense branch is knn_embeddings verbatim (1-row query broadcast)
     "hybrid_rrf_retrieval",
     # one-row global-average broadcast (scalar subquery), bounded by construction
@@ -327,17 +329,22 @@ def test_pq_and_maxsim_single_corpus_shuffle(spark):
     ONE corpus partitioning: the upfront repartition(vec_id) satisfies
     every downstream groupBy's ClusteredDistribution, so the only
     allowed hash exchanges are that repartition plus (for PQ) the
-    O(M*K)-row distance-table branch. Codebook/query sides broadcast."""
+    O(M*K)-row distance-table branch and the shortlist/limit boundary.
+    The Lloyd-trained codebook is checkpointed (trained once, known-size
+    stats), so it must appear downstream only as broadcasts — a
+    SortMergeJoin anywhere means the codebook lost its stats."""
     import re
 
     for name, max_hash_exchanges in (
-        ("knn_pq_embeddings", 2),  # corpus repartition + tiny dt branch
+        # corpus repartition + tiny dt branch + shortlist single-partition
+        ("knn_pq_embeddings", 3),
         ("maxsim_late_interaction", 1),  # corpus repartition only
     ):
         plan = _plan(spark, name)
         hash_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
         assert hash_ex <= max_hash_exchanges, f"{name}: {hash_ex} exchanges"
         assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
         assert "TakeOrderedAndProject" in plan, name
         assert "CartesianProduct" not in plan, name
 

@@ -104,3 +104,29 @@ def test_byte_scaling_compare_and_flags():
     # zero small-side shuffle: ratio undefined, never flagged
     assert q["zero"]["bytes_ratio"] is None and not q["zero"]["flagged"]
     assert out["flagged"] == ["bytes_ratio:quadratic", "spill_large:quadratic"]
+
+
+def test_shuffle_artifact_covers_registry_and_is_clean():
+    """SHUFFLE.json must cover the full registry (round-9 extension: the
+    48-query sample left blind spots) and carry zero flags — the same
+    stale-artifact gate as PLANAUDIT's. Fails when a query is registered
+    without re-running tools/shuffle_audit.py, or when any audited query
+    spills / over-shuffles at sf0.1."""
+    import json
+    import os
+
+    from tracy_matdb_spark.queries import load_all
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SHUFFLE.json")
+    with open(path) as f:
+        art = json.load(f)
+    audited = set(art["queries"])
+    registered = set(load_all())
+    missing = registered - audited
+    extra = audited - registered
+    assert not missing and not extra, (
+        f"SHUFFLE.json stale — regenerate with tools/shuffle_audit.py. "
+        f"missing={sorted(missing)} extra={sorted(extra)}"
+    )
+    assert art["flagged"] == [], art["flagged"]
+    assert not [n for n, r in art["queries"].items() if "error" in r]

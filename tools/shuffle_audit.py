@@ -52,7 +52,10 @@ UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4050"))
 RATIO_FLAG = 10.0
 MIN_SHUFFLE_MB = 64.0
 
-# The audit set: every bench headline query plus the candidate-pair /
+# The sf0.1 sweep audits the FULL registry (round-9 extension — shuffle
+# bytes are the best early warning for scale-killers, so sampling left
+# blind spots). The sf1 second-decade compare keeps the focused subset
+# below: every bench headline query plus the candidate-pair /
 # explode-topology queries the scaling harness watches — the same class
 # whose shuffle volume is the first thing to degenerate.
 from tools.scaling_check import SCALING_EXTRA  # noqa: E402
@@ -115,14 +118,46 @@ def row_flags(name: str, row: dict) -> list[str]:
     return out
 
 
-def run(out_path: str | None = None, sf_dir: str = SF_DIR) -> dict:
+def _drain_listener_bus(sc) -> None:
+    """Block until the listener bus has delivered all queued events.
+    The AppStatusStore the /stages REST endpoint reads is updated
+    ASYNCHRONOUSLY by the listener bus — without a drain, stages from
+    query N that complete just before the snapshot can land in the
+    store just after it and get attributed to query N+1. Private JVM
+    API via py4j (both overloads tried); falls back to a short sleep
+    when unavailable so the audit still runs, just with the old
+    best-effort attribution."""
+    try:
+        bus = sc._jsc.sc().listenerBus()
+        try:
+            bus.waitUntilEmpty(30000)
+        except Exception:  # noqa: BLE001 — overload varies by version
+            bus.waitUntilEmpty()
+    except Exception:  # noqa: BLE001
+        import time
+
+        time.sleep(0.5)
+
+
+def run(
+    out_path: str | None = None,
+    sf_dir: str = SF_DIR,
+    names: list[str] | None = None,
+) -> dict:
     registry = load_all()
-    names = [n for n, q in registry.items() if q.headline]
-    names += [n for n in SCALING_EXTRA + EXTRA if n in registry and n not in names]
+    if names is None:
+        names = sorted(registry)  # full registry: no sampling blind spots
 
     spark = get_session(
         "shuffle_audit",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            # a full-registry sweep completes thousands of stages; the
+            # default retention (1000) would silently evict early
+            # queries' stages from the store and drop them from totals
+            "spark.ui.retainedStages": "50000",
+        },
     )
     sc = spark.sparkContext
     base_url = sc.uiWebUrl
@@ -130,6 +165,7 @@ def run(out_path: str | None = None, sf_dir: str = SF_DIR) -> dict:
 
     rows: dict[str, dict] = {}
     flagged: list[str] = []
+    _drain_listener_bus(sc)
     seen = _completed_stages(base_url, app_id)
     for name in sorted(names):
         fn = registry[name].fn
@@ -139,6 +175,7 @@ def run(out_path: str | None = None, sf_dir: str = SF_DIR) -> dict:
             rows[name] = {"error": str(e)[:200]}
             flagged.append(f"error:{name}")
             continue
+        _drain_listener_bus(sc)
         now = _completed_stages(base_url, app_id)
         new = [s for k, s in now.items() if k not in seen]
         seen = now
@@ -156,6 +193,7 @@ def run(out_path: str | None = None, sf_dir: str = SF_DIR) -> dict:
     result = {
         "metric": "stage_bytes_per_query",
         "sf_dir": sf_dir,
+        "n_queries": len(rows),
         "ratio_flag": RATIO_FLAG,
         "min_shuffle_mb": MIN_SHUFFLE_MB,
         "queries": rows,
