@@ -638,3 +638,63 @@ def test_tws_state_ttl_inert_under_time_mode_none(spark, tmp_path):
         assert rows == {(1, False), (1, True)}, rows
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_lsh_guard_rejects_out_of_order_batches(spark, tmp_path):
+    """The greedy first-seen LSH dedup equals the order-free bucket-min
+    oracle ONLY when batches arrive in ascending doc_id ranges
+    (queries/llm.py stages them so). This pins the failure mode: a
+    LATER run delivering a SMALLER doc_id into an occupied bucket must
+    fail the query loudly (the processor's max-seen guard), never emit
+    a silently-wrong conflict flag."""
+    import pyspark.errors
+
+    import pytest
+
+    from tracy_matdb_spark.queries.llm import _band_rows_stateless
+    from tracy_matdb_spark.streaming.windows import streaming_lsh_first_seen
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # identical text -> identical shingles -> same band buckets
+        txt = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [(100, txt, "en", "t", len(txt)), (5, txt, "en", "t", len(txt))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        drop = tmp_path / "drop"
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        # batch 1: doc 100; batch 2: doc 5 — DESCENDING ranges (the
+        # violation); ascending staging would write doc 5 first
+        for i, did in enumerate((100, 5)):
+            docs.filter(f"doc_id = {did}").coalesce(1).write.parquet(
+                str(drop / f"b{i}")
+            )
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(drop))
+            )
+            q = (
+                streaming_lsh_first_seen(_band_rows_stateless(stream))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if i == 0:
+                q.awaitTermination()
+            else:
+                with pytest.raises(
+                    pyspark.errors.StreamingQueryException,
+                    match="out-of-order arrival",
+                ):
+                    q.awaitTermination()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

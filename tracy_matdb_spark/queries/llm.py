@@ -1924,6 +1924,21 @@ def streaming_minhash_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+            # PINNED ASSUMPTION: each staged range must be consumed in
+            # ONE micro-batch — doc_ids are hash-distributed across
+            # part-files, so a split run (maxFilesPerTrigger set, or a
+            # future default change) could feed a bucket a larger
+            # doc_id before a smaller one from the same range. The
+            # processor's own max-seen guard catches the divergence
+            # per-bucket; this asserts the precondition per-run so a
+            # behavior change fails here first, with a clear message.
+            fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(fed) != 1:
+                raise RuntimeError(
+                    f"streaming_minhash_dedup_tws: staged run {i} executed "
+                    f"{len(fed)} non-empty micro-batches (expected 1); "
+                    "greedy first-seen ordering precondition violated"
+                )
         out = (
             spark.read.parquet(sink)
             .groupBy("doc_id")

@@ -485,20 +485,41 @@ def streaming_lsh_first_seen(band_rows: DataFrame) -> DataFrame:
     class BucketFirstSeen(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._mn = handle.getValueState("mn", "mn long")
+            # max doc_id ever seen in this bucket: the ordering
+            # precondition's tripwire (see the guard below)
+            self._mx = handle.getValueState("mx", "mx long")
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
 
             cur = self._mn.get()[0] if self._mn.exists() else None
+            mx = self._mx.get()[0] if self._mx.exists() else None
             out_doc, out_conf = [], []
             ids: list[int] = []
             for pdf in rows:
                 ids.extend(int(x) for x in pdf["doc_id"])
-            for did in sorted(ids):
+            ids.sort()
+            # ORDERING GUARD: greedy first-seen equals the order-free
+            # bucket-min oracle ONLY when batches arrive in ascending
+            # doc_id ranges — an id below a previously processed batch's
+            # max means an already-emitted conflict flag may be wrong
+            # and cannot be retracted. Fail the query loudly instead of
+            # silently diverging (a source that splits a staged range
+            # across micro-batches, or mis-ordered staging, lands here).
+            if ids and mx is not None and ids[0] < mx:
+                raise ValueError(
+                    f"streaming_lsh_first_seen: out-of-order arrival in "
+                    f"bucket {key}: doc_id {ids[0]} after max-seen {mx}; "
+                    "greedy first-seen flags are only valid for ascending "
+                    "batch ranges"
+                )
+            for did in ids:
                 out_doc.append(did)
                 out_conf.append(1 if (cur is not None and cur < did) else 0)
                 cur = did if cur is None else min(cur, did)
             self._mn.update((cur,))
+            if ids:
+                self._mx.update((max(ids) if mx is None else max(mx, ids[-1]),))
             yield pd.DataFrame(
                 {
                     "doc_id": out_doc,
