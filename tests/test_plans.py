@@ -69,6 +69,8 @@ NLJ_ALLOWED = {
     "knn_pq_recall",
     # re-rank stage: 1-row query-vector broadcast over the R-row shortlist
     "knn_pq_embeddings",
+    # batch serving shape: Q-row query-table broadcast over the corpus scan
+    "knn_batch_embeddings",
     # dense branch is knn_embeddings verbatim (1-row query broadcast)
     "hybrid_rrf_retrieval",
     # one-row global-average broadcast (scalar subquery), bounded by construction

@@ -159,5 +159,51 @@ def main(out_dir: str) -> None:
         print(f"{table}: {n} rows -> {dst}", flush=True)
 
 
+def documents_sf10(out_dir: str, copies: int = 100) -> None:
+    """Third-decade documents table: `copies` key-shifted copies of the
+    driver sf0.1 documents (sf10 at copies=100, ~10x the sf1 corpus).
+    Every token is suffixed with the FIXED-WIDTH zero-padded copy
+    number — fixed width means two tokens from different copies can
+    never collide (equal strings would need equal suffixes => same
+    copy), so cross-copy documents share zero word-3-gram shingles and
+    zero exact substrings; the within-copy duplicate/span structure is
+    preserved exactly. Copy 00 keeps a suffix too (unlike make-sf1's
+    copy 0) so every copy pays identical per-token costs — the
+    sf1-vs-sf10 ratio then compares structurally identical corpora.
+    Width is pinned to 2 for every copy count <= 100 so the 10-copy
+    comparison corpus (scaling_sf10's small side) is per-copy
+    byte-identical to the first 10 copies of the 100-copy one."""
+    assert copies <= 100
+    os.makedirs(out_dir, exist_ok=True)
+    width = 2
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ks AS SELECT unnest(range({copies})) AS k")
+    lo, hi = con.execute(
+        f"SELECT min(doc_id), max(doc_id) FROM '{SRC}/documents.parquet'"
+    ).fetchone()
+    if lo < 0 or hi >= R_DOC:
+        raise SystemExit(f"make_sf1: doc_id range [{lo},{hi}] outside [0,{R_DOC})")
+    sql = f"""
+        SELECT doc_id + k * {R_DOC} AS doc_id,
+               regexp_replace(text, '(\\S+)',
+                   '\\1' || lpad(CAST(k AS VARCHAR), {width}, '0'), 'g') AS text,
+               lang, source,
+               length(regexp_replace(text, '(\\S+)',
+                   '\\1' || lpad(CAST(k AS VARCHAR), {width}, '0'), 'g')) AS n_chars
+        FROM '{SRC}/documents.parquet' CROSS JOIN ks"""
+    dst = os.path.join(out_dir, "documents.parquet")
+    con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+    print(f"documents: {n} rows -> {dst}", flush=True)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--sf10-documents" in sys.argv[1:]:
+        # both sides of the third-decade compare, same generator
+        documents_sf10(args[0] if args else "/root/repo/.localdata/sf10", copies=100)
+        documents_sf10(
+            args[1] if len(args) > 1 else "/root/repo/.localdata/sf1d", copies=10
+        )
+    else:
+        main(args[0] if args else "/root/repo/.localdata/sf1")

@@ -1,0 +1,94 @@
+"""sf1 -> sf10 (third decade) scaling spot-check for the near-linear
+text queries.
+
+The round-8 verdict flagged `exact_substring_spans` (7.41x) and
+`corpus_e2e_rollup` (6.91x) as close-to-linear at sf0.1 -> sf1 while
+the sf1 corpus (~160 MB) is entirely page-cached — thin evidence at the
+decade where memory pressure starts to matter. This adds the third
+decade for exactly those queries on a documents-only dataset
+(tools/make_sf1.py --sf10-documents): 100 fixed-width token-suffixed
+copies of the driver sf0.1 documents (~50k -> 500k docs), compared
+against the structurally identical 10-copy corpus (sf1d) built by the
+same generator — per-copy byte-identical text on both sides, so the
+ratio is a pure 10x-rows effect.
+
+Merged into SCALING.json under "sf10_documents" (scaling_check
+preserves foreign keys on rewrite). Flag threshold matches the sf1
+block: 12 (linear is 10x at this decade).
+
+Usage:
+    python tools/make_sf1.py --sf10-documents   # once (~2 min, gitignored)
+    python tools/scaling_sf10.py                # updates SCALING.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_check import _warm_time  # noqa: E402
+from tracy_matdb_spark.queries import load_all  # noqa: E402
+from tracy_matdb_spark.session import get_session  # noqa: E402
+
+SMALL = "/root/repo/.localdata/sf1d"
+LARGE = "/root/repo/.localdata/sf10"
+RATIO_THRESHOLD = 12.0
+QUERIES = ["exact_substring_spans", "corpus_e2e_rollup"]
+
+
+def run() -> dict:
+    for d in (SMALL, LARGE):
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            raise SystemExit("scaling_sf10: run tools/make_sf1.py --sf10-documents first")
+    registry = load_all()
+    spark = get_session("scaling_sf10")
+    rows: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in QUERIES:
+        fn = registry[name].fn
+        t_small = _warm_time(spark, fn, SMALL)
+        t_large = _warm_time(spark, fn, LARGE)
+        ratio = round(t_large / max(t_small, 1e-9), 2)
+        rows[name] = {
+            "sec_sf1d": round(t_small, 3),
+            "sec_sf10": round(t_large, 3),
+            "ratio": ratio,
+            "flagged": ratio > RATIO_THRESHOLD,
+        }
+        if ratio > RATIO_THRESHOLD:
+            flagged.append(name)
+        print(f"{name}: {rows[name]}", flush=True)
+    spark.stop()
+    return {
+        "metric": "scaling_ratio_sf1_to_sf10_documents",
+        "data_ratio": 10.0,
+        "dataset": "tools/make_sf1.py --sf10-documents (100 vs 10 fixed-width "
+        "token-suffixed copies of driver sf0.1 documents)",
+        "queries": rows,
+        "flagged": flagged,
+    }
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SCALING.json")
+    result = run()
+    try:
+        with open(path) as fh:
+            full = json.load(fh)
+    except (OSError, ValueError):
+        full = {}
+    full["sf10_documents"] = result
+    with open(path, "w") as fh:
+        json.dump(full, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"sf10_flagged": result["flagged"]}))
+    if result["flagged"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

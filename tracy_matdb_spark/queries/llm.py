@@ -2342,3 +2342,151 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maxsim").desc(), "vec_id")
         .limit(MAXSIM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-query retrieval — the serving-scale shape. Single-query top-k
+# (knn_embeddings, maxsim_late_interaction) is the unit semantics; a
+# real retrieval tier scores a BATCH of Q queries per corpus pass: one
+# broadcast of all Q query representations, one corpus scan, exact
+# top-k PER QUERY. Per-query top-k uses the two-phase sharded rank
+# (operators/rank.py per_group_topk) instead of a single-task
+# window-per-query — at 100 TB a per-query partition would be one task
+# sorting the whole score column.
+# ---------------------------------------------------------------------------
+
+BATCH_NQ = 4  # query batch: vec_id 0..3; corpus: vec_id >= 4
+BATCH_TOP = 10
+BATCH_SHARDS = 8
+
+
+def _knn_batch_sql() -> str:
+    sim = (
+        f"cast(floor(({_dot_expr('duckdb', 'e.embedding', 'q.qv')} /"
+        f" ({_norm_expr('duckdb', 'e.embedding')} * {_norm_expr('duckdb', 'q.qv')}))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {BATCH_NQ}),
+    sims AS (SELECT q.qid, e.vec_id, {sim} AS sim_q
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id >= {BATCH_NQ}),
+    ranked AS (SELECT qid, vec_id, sim_q,
+                      cast(row_number() OVER (PARTITION BY qid
+                           ORDER BY sim_q DESC, vec_id) as bigint) AS rnk
+               FROM sims)
+    SELECT qid, vec_id, sim_q, rnk FROM ranked
+    WHERE rnk <= {BATCH_TOP} ORDER BY qid, rnk
+    """
+
+
+@register("knn_batch_embeddings", oracle=_knn_batch_sql())
+def knn_batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{BATCH_TOP} for a BATCH of {BATCH_NQ}
+    query vectors in one corpus pass: broadcast the Q-row query table,
+    score every (corpus, query) pair in the scan's project (no
+    shuffle), then exact per-query top-k via the two-phase sharded
+    rank. At 100 TB the score pass stays one scan regardless of Q; the
+    rank's phase-1 discards all but Q*shards*k rows before any
+    per-query sort."""
+    from tracy_matdb_spark.operators.rank import per_group_topk
+
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") < BATCH_NQ).selectExpr(
+        "vec_id AS qid", "embedding AS qv"
+    )
+    sim = (
+        f"cast(floor(({_dot_expr('spark', 'embedding', 'qv')} / "
+        f"({_norm_expr('spark', 'embedding')} * {_norm_expr('spark', 'qv')})) "
+        f"* cast(1000000 as double)) as bigint)"
+    )
+    sims = (
+        emb.filter(F.col("vec_id") >= BATCH_NQ)
+        .crossJoin(F.broadcast(q))
+        .selectExpr("qid", "vec_id", f"{sim} AS sim_q")
+    )
+    return per_group_topk(
+        sims,
+        ["qid"],
+        [F.col("sim_q").desc()],
+        ["vec_id"],
+        BATCH_TOP,
+        shard_on="vec_id",
+        n_shards=BATCH_SHARDS,
+    ).orderBy("qid", "rnk")
+
+
+def _maxsim_batch_sql() -> str:
+    return f"""
+    WITH pos AS (SELECT unnest(generate_series(1, {MAXSIM_T * MAXSIM_D})) AS p),
+    tok AS (SELECT vec_id,
+                   cast((p - 1) // {MAXSIM_D} as bigint) AS t,
+                   cast((p - 1) % {MAXSIM_D} as bigint) AS i,
+                   cast(floor(cast(embedding[p] as double) * 1000000) as bigint) AS qv
+            FROM embeddings CROSS JOIN pos),
+    qtok AS (SELECT vec_id AS qid, t AS qt, i, qv AS qval FROM tok
+             WHERE vec_id < {BATCH_NQ}),
+    dots AS (SELECT d.vec_id, q.qid, d.t AS dt, q.qt, sum(d.qv * q.qval) AS dot
+             FROM tok d JOIN qtok q ON d.i = q.i
+             WHERE d.vec_id >= {BATCH_NQ}
+             GROUP BY d.vec_id, q.qid, d.t, q.qt),
+    best AS (SELECT vec_id, qid, qt, max(dot) AS best_dot
+             FROM dots GROUP BY vec_id, qid, qt),
+    score AS (SELECT qid, vec_id, cast(sum(best_dot) as bigint) AS maxsim
+              FROM best GROUP BY qid, vec_id),
+    ranked AS (SELECT qid, vec_id, maxsim,
+                      cast(row_number() OVER (PARTITION BY qid
+                           ORDER BY maxsim DESC, vec_id) as bigint) AS rnk
+               FROM score)
+    SELECT qid, vec_id, maxsim, rnk FROM ranked
+    WHERE rnk <= {BATCH_TOP} ORDER BY qid, rnk
+    """
+
+
+@register("maxsim_batch_late_interaction", oracle=_maxsim_batch_sql())
+def maxsim_batch_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim late-interaction for a BATCH of {BATCH_NQ} queries in one
+    corpus pass: ALL Q query token matrices ride one broadcast
+    ({BATCH_NQ} * {MAXSIM_T} * {MAXSIM_D} rows), and the dot -> max ->
+    sum chain gains a qid key — every groupBy still has vec_id as its
+    leading key, so the whole score computation runs shuffle-free on
+    the single corpus repartition exactly like the single-query plan.
+    Per-query exact top-k via the two-phase sharded rank. This is the
+    join the serving workload needs: corpus cost amortizes across the
+    query batch instead of rescanning per query."""
+    from tracy_matdb_spark.operators.rank import per_group_topk
+
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    tok = emb.select("vec_id", F.posexplode("embedding").alias("p0", "v")).selectExpr(
+        "vec_id",
+        f"cast(p0 div {MAXSIM_D} as bigint) AS t",
+        f"cast(p0 % {MAXSIM_D} as bigint) AS i",
+        "cast(floor(cast(v as double) * 1000000) as bigint) AS qv",
+    )
+    qtok = tok.filter(F.col("vec_id") < BATCH_NQ).selectExpr(
+        "vec_id AS qid", "t AS qt", "i", "qv AS qval"
+    )
+    dots = (
+        tok.filter(F.col("vec_id") >= BATCH_NQ)
+        .repartition(F.col("vec_id"))
+        .join(F.broadcast(qtok), "i")
+        .groupBy("vec_id", "qid", "t", "qt")
+        .agg(F.sum(F.expr("qv * qval")).alias("dot"))
+    )
+    score = (
+        dots.groupBy("vec_id", "qid", "qt")
+        .agg(F.max("dot").alias("best_dot"))
+        .groupBy("vec_id", "qid")
+        .agg(F.sum("best_dot").cast("long").alias("maxsim"))
+        .select("qid", "vec_id", "maxsim")
+    )
+    return per_group_topk(
+        score,
+        ["qid"],
+        [F.col("maxsim").desc()],
+        ["vec_id"],
+        BATCH_TOP,
+        shard_on="vec_id",
+        n_shards=BATCH_SHARDS,
+    ).orderBy("qid", "rnk")

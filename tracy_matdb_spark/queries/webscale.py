@@ -39,6 +39,10 @@ from tracy_matdb_spark.queries import register
 # Exact-substring duplicated spans (Lee et al. 2022 style)
 # ---------------------------------------------------------------------------
 
+ESS_BCAST_MAX_DOCS = 100_000  # exact_substring_spans dup-side broadcast
+# gate: at 50k docs (sf1) the duplicated-hash set broadcasts fine; at
+# 500k (sf10) the broadcast build exhausts the 8g driver — measured, see
+# tools/scaling_sf10.py. Above the gate the join is hinted shuffle-hash.
 SPAN_K = 8  # window width in tokens (Lee et al. use 50 BPE tokens; the
 # synthetic docs are <=99 whitespace tokens, so 8 keeps multi-window
 # spans observable while staying well above chance-collision length)
@@ -104,9 +108,7 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join back to positions: lazily local-checkpoint so the
         # tokenize+explode+md5 pipeline runs once, not once per branch
         # (measured 2.5s -> 0.9s at sf0.1; same single_scan trade-offs
-        # as operators/rank.py). The dup side is left to AQE: it
-        # broadcast-converts at this scale, and falls back to a shuffle
-        # join when the duplicated-hash set is itself huge at 100 TB.
+        # as operators/rank.py).
         .localCheckpoint(eager=False)
     )
     dup = (
@@ -117,7 +119,22 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__nd") >= 2)
         .select("wh")
     )
-    hit = win.join(dup, "wh").select("doc_id", "i")
+    # Join strategy for dup, gated on an O(1) footer stat (same pattern
+    # as pagerank's broadcast gate): the duplicated-hash set grows
+    # linearly with the corpus, and "leave it to AQE" was MEASURED WRONG
+    # at the third decade — at 500k docs AQE broadcast-converted the
+    # ~linear dup side and died with "Not enough memory to build and
+    # broadcast" (tools/scaling_sf10.py found it). Below the gate the
+    # dup set is comfortably broadcast material and AQE converts; above
+    # it, an explicit shuffle-hash hint keeps the join co-shuffled on
+    # wh (dup is always the smaller, build side). Stat failure takes
+    # the conservative shuffle path.
+    try:
+        n_docs = table_num_rows(sf_dir, "documents")
+    except Exception:  # noqa: BLE001 — any stat failure -> don't broadcast
+        n_docs = 1 << 62
+    dup_side = dup if n_docs <= ESS_BCAST_MAX_DOCS else dup.hint("shuffle_hash")
+    hit = win.join(dup_side, "wh").select("doc_id", "i")
     byik = Window.partitionBy("doc_id").orderBy("i")
     isl = (
         hit.withColumn("prev", F.lag("i").over(byik))
