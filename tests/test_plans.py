@@ -71,6 +71,8 @@ NLJ_ALLOWED = {
     "knn_pq_embeddings",
     # batch serving shape: Q-row query-table broadcast over the corpus scan
     "knn_batch_embeddings",
+    # same batch shape, label-mismatch predicate on the scored scan
+    "hard_negative_mining",
     # dense branch is knn_embeddings verbatim (1-row query broadcast)
     "hybrid_rrf_retrieval",
     # one-row global-average broadcast (scalar subquery), bounded by construction
@@ -121,6 +123,9 @@ def test_no_quadratic_joins_in_registered_queries(spark):
 #                          (O(hours in range), independent of data size)
 WINDOW_ALLOWED = {
     "mixture_weights",
+    # same bounded class: unpartitioned window over the per-source
+    # rollup (O(sources) rows), never the corpus
+    "temperature_sampling_weights",
     "events_daily_anomaly",
     "events_gap_fill_locf",
     # rank window runs AFTER a TakeOrderedAndProject limit(CM_TOP): its

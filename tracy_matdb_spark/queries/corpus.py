@@ -1901,3 +1901,80 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(RRF_TOP)
     )
+
+
+SAMPLING_TAU_MILLI = 500  # tau = 0.5, the XLM-R / mT5 multilingual standard
+
+
+@register(
+    "temperature_sampling_weights",
+    oracle=f"""
+    WITH s AS (SELECT source,
+                      cast(count(*) as bigint) AS n_docs,
+                      cast(sum(len({{toks}})) as bigint) AS n_tokens
+               FROM documents WHERE n_chars > 0 GROUP BY source),
+    sc AS (SELECT source, n_docs, n_tokens,
+                  cast(floor(sqrt(cast(n_tokens as double)) * 1000.0) as bigint)
+                      AS score
+           FROM s)
+    SELECT source, n_docs, n_tokens,
+           cast(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM sc) as bigint)
+               AS prop_ppm,
+           cast(score * 1000000 // (SELECT sum(score) FROM sc) as bigint)
+               AS temp_ppm
+    FROM sc ORDER BY source
+    """.format(toks=textops.toks_expr("duckdb")),
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (tau = 0.5): the multilingual
+    pre-training standard (XLM-R, mT5) that interpolates between
+    proportional (tau=1) and uniform (tau=0) sampling — q(s) is
+    proportional to p(s)^tau, i.e. sqrt(token count) at tau=0.5, which
+    up-samples small sources without drowning large ones. Complements
+    mixture_weights (the uniform-equalizing limit). Integer-exact
+    cross-engine: score = floor(sqrt(n_tokens) * 1000) (identical IEEE
+    sqrt on identical integers in both engines), then ppm shares via
+    integer division over the integer score sum — the
+    quantize-before-normalize discipline, no float summation anywhere.
+
+    Scale shape: ONE keyed aggregation over the corpus (map-side
+    combined) to a per-source rollup (O(sources) ~ 20 rows); the
+    normalizing totals ride an unpartitioned window over that rollup,
+    never the corpus."""
+    from pyspark.sql import Window
+
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"]
+    s = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("source", f"cast(size({toks}) as bigint) AS n_toks")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .withColumn(
+            "score",
+            F.expr("cast(floor(sqrt(cast(n_tokens as double)) * 1000.0) as bigint)"),
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        s.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000").alias("__pnum"),
+            F.expr("score * 1000000").alias("__tnum"),
+            F.sum("n_tokens").over(w).alias("__ptot"),
+            F.sum("score").over(w).alias("__ttot"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "cast(__pnum div __ptot as bigint) AS prop_ppm",
+            "cast(__tnum div __ttot as bigint) AS temp_ppm",
+        )
+        .orderBy("source")
+    )

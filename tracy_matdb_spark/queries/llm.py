@@ -2490,3 +2490,64 @@ def maxsim_batch_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame
         shard_on="vec_id",
         n_shards=BATCH_SHARDS,
     ).orderBy("qid", "rnk")
+
+
+def _hard_negative_sql() -> str:
+    sim = (
+        f"cast(floor(({_dot_expr('duckdb', 'e.embedding', 'q.qv')} /"
+        f" ({_norm_expr('duckdb', 'e.embedding')} * {_norm_expr('duckdb', 'q.qv')}))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < {BATCH_NQ}),
+    sims AS (SELECT q.qid, e.vec_id, {sim} AS sim_q
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id >= {BATCH_NQ} AND e.label <> q.qlabel),
+    ranked AS (SELECT qid, vec_id, sim_q,
+                      cast(row_number() OVER (PARTITION BY qid
+                           ORDER BY sim_q DESC, vec_id) as bigint) AS rnk
+               FROM sims)
+    SELECT qid, vec_id, sim_q, rnk FROM ranked
+    WHERE rnk <= {BATCH_TOP} ORDER BY qid, rnk
+    """
+
+
+@register("hard_negative_mining", oracle=_hard_negative_sql())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor in the query batch, the top-{BATCH_TOP} most-similar corpus
+    vectors whose LABEL DIFFERS from the anchor's — the near-boundary
+    negatives that make a contrastive batch informative (the easy
+    random negatives contribute ~zero gradient). Same one-pass batch
+    shape as knn_batch_embeddings with the label-mismatch predicate
+    pushed into the scored scan (filtered before any top-k state), and
+    the same two-phase sharded per-anchor top-k. At 100 TB this is the
+    nightly mining pass that regenerates training triplets: one corpus
+    scan for the whole anchor batch."""
+    from tracy_matdb_spark.operators.rank import per_group_topk
+
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.filter(F.col("vec_id") < BATCH_NQ).selectExpr(
+        "vec_id AS qid", "embedding AS qv", "label AS qlabel"
+    )
+    sim = (
+        f"cast(floor(({_dot_expr('spark', 'embedding', 'qv')} / "
+        f"({_norm_expr('spark', 'embedding')} * {_norm_expr('spark', 'qv')})) "
+        f"* cast(1000000 as double)) as bigint)"
+    )
+    sims = (
+        emb.filter(F.col("vec_id") >= BATCH_NQ)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .selectExpr("qid", "vec_id", f"{sim} AS sim_q")
+    )
+    return per_group_topk(
+        sims,
+        ["qid"],
+        [F.col("sim_q").desc()],
+        ["vec_id"],
+        BATCH_TOP,
+        shard_on="vec_id",
+        n_shards=BATCH_SHARDS,
+    ).orderBy("qid", "rnk")
