@@ -285,3 +285,40 @@ def test_zorder_beats_linear_layout(spark):
     # zonemap soundness: pruning never scans fewer rows than match
     for r in rows.values():
         assert r["rows_scanned"] >= r["rows_matching"]
+
+
+def test_per_group_topk_matches_naive_window(spark):
+    """The two-phase sharded per-group top-k (phase 1: local top-k per
+    hash shard, phase 2: exact rank over survivors) must equal the
+    naive single-task window for every group — including groups smaller
+    than k and duplicate order values resolved by the tiebreak."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.operators.rank import per_group_topk
+
+    # 4 groups x 250 rows with heavy score ties; group 4 has 3 rows (< k)
+    df = spark.range(1003).selectExpr(
+        "cast(CASE WHEN id >= 1000 THEN 4 ELSE id % 4 END as bigint) AS g",
+        "id AS item",
+        "cast((id * 37) % 50 as bigint) AS score",
+    )
+    got = (
+        per_group_topk(
+            df, ["g"], [F.col("score").desc()], ["item"], 7,
+            shard_on="item", n_shards=4,
+        )
+        .orderBy("g", "rnk")
+        .collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), "item")
+    want = (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 7)
+        .orderBy("g", "rnk")
+        .collect()
+    )
+    assert [(r.g, r.item, r.score, r.rnk) for r in got] == [
+        (r.g, r.item, r.score, r.rnk) for r in want
+    ]
+    assert len(got) == 4 * 7 + 3  # short group yields all its rows
