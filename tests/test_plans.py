@@ -73,6 +73,8 @@ NLJ_ALLOWED = {
     "knn_batch_embeddings",
     # same batch shape, label-mismatch predicate on the scored scan
     "hard_negative_mining",
+    # dense branch is knn_batch_embeddings verbatim (Q-row broadcast)
+    "hybrid_rrf_batch",
     # dense branch is knn_embeddings verbatim (1-row query broadcast)
     "hybrid_rrf_retrieval",
     # one-row global-average broadcast (scalar subquery), bounded by construction

@@ -83,6 +83,10 @@ SCALING_EXTRA = [
     "dsir_importance_weights",  # gram explode + 512-bucket agg + broadcast
     "jl_projection_distortion",  # zero-join nested-lambda sketch pass
     "streaming_minhash_dedup_tws",  # per-bucket typed state across 3 resumed runs
+    "knn_batch_embeddings",  # Q-query batch scan + two-phase sharded top-k
+    "maxsim_batch_late_interaction",  # batched late-interaction agg chain
+    "hard_negative_mining",  # label-filtered batch mining pass
+    "temperature_sampling_weights",  # corpus rollup + ppm normalize
 ]
 
 

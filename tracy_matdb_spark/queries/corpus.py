@@ -1978,3 +1978,156 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Batched hybrid retrieval: 4 queries, each a (term set, embedding) pair;
+# embedding qid = vec_id 0..3 (the knn_batch_embeddings convention).
+RRF_BATCH_TERMS: dict[int, tuple[str, ...]] = {
+    0: ("scan", "join", "merge"),  # == BM25_QUERY, for continuity
+    1: ("filter", "sort", "group"),
+    2: ("stream", "window", "batch"),
+    3: ("hash", "vector", "query"),
+}
+BM25_BATCH_TOP = 15
+
+
+def _rrf_batch_sql() -> str:
+    from tracy_matdb_spark.queries.llm import (
+        BATCH_NQ,
+        _dot_expr,
+        _norm_expr,
+    )
+
+    sim = (
+        f"cast(floor(({_dot_expr('duckdb', 'e.embedding', 'q.qv')} /"
+        f" ({_norm_expr('duckdb', 'e.embedding')} * {_norm_expr('duckdb', 'q.qv')}))"
+        f" * cast(1000000 as double)) as bigint)"
+    )
+    union_terms = sorted({t for ts in RRF_BATCH_TERMS.values() for t in ts})
+    inlist = ", ".join(repr(t) for t in union_terms)
+    values = ", ".join(
+        f"({qid}, {t!r})" for qid, ts in RRF_BATCH_TERMS.items() for t in ts
+    )
+    return f"""
+    WITH qmap AS (SELECT cast(v.q as bigint) AS qid, v.term
+                  FROM (VALUES {values}) v(q, term)),
+    d AS (SELECT doc_id, {textops.toks_expr('duckdb')} AS toks
+          FROM documents WHERE n_chars > 0),
+    dl AS (SELECT doc_id, cast(len(toks) as bigint) AS dl FROM d),
+    n AS (SELECT cast(count(*) as bigint) AS N,
+                 cast(sum(len(toks)) as bigint) AS tot FROM d),
+    t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    qt AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf FROM t
+           WHERE term IN ({inlist}) GROUP BY doc_id, term),
+    tdf AS (SELECT term, cast(count(DISTINCT doc_id) as bigint) AS df
+            FROM t WHERE term IN ({inlist}) GROUP BY term),
+    scored AS (SELECT qmap.qid, qt.doc_id,
+                      round(sum({_bm25_sql('duckdb')}), 6) AS bm25
+               FROM qt JOIN tdf ON qt.term = tdf.term
+               JOIN qmap ON qmap.term = qt.term
+               JOIN dl ON dl.doc_id = qt.doc_id
+               CROSS JOIN n GROUP BY qmap.qid, qt.doc_id),
+    bmr AS (SELECT qid, doc_id, bm25_rank FROM
+              (SELECT qid, doc_id,
+                      cast(row_number() OVER (PARTITION BY qid
+                           ORDER BY bm25 DESC, doc_id) as bigint) AS bm25_rank
+               FROM scored)
+            WHERE bm25_rank <= {BM25_BATCH_TOP}),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < {BATCH_NQ}),
+    sims AS (SELECT q.qid, e.vec_id, {sim} AS sim_q
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id >= {BATCH_NQ}),
+    knr AS (SELECT qid, doc_id, cos_rank FROM
+              (SELECT qid, vec_id AS doc_id,
+                      cast(row_number() OVER (PARTITION BY qid
+                           ORDER BY sim_q DESC, vec_id) as bigint) AS cos_rank
+               FROM sims)
+            WHERE cos_rank <= 10),
+    fused AS (SELECT coalesce(b.qid, k.qid) AS qid,
+                     coalesce(b.doc_id, k.doc_id) AS doc_id,
+                     bm25_rank, cos_rank
+              FROM bmr b FULL OUTER JOIN knr k
+                ON b.qid = k.qid AND b.doc_id = k.doc_id),
+    r AS (SELECT qid, doc_id,
+                 cast(coalesce(1000000000 // ({RRF_K} + bm25_rank), 0)
+                    + coalesce(1000000000 // ({RRF_K} + cos_rank), 0) as bigint)
+                     AS rrf_score,
+                 bm25_rank, cos_rank
+          FROM fused)
+    SELECT qid, doc_id, rrf_score, bm25_rank, cos_rank, rrf_rank FROM
+      (SELECT *, cast(row_number() OVER (PARTITION BY qid
+                      ORDER BY rrf_score DESC, doc_id) as bigint) AS rrf_rank
+       FROM r)
+    WHERE rrf_rank <= {RRF_TOP}
+    ORDER BY qid, rrf_rank
+    """
+
+
+@register("hybrid_rrf_batch", oracle=_rrf_batch_sql())
+def hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval: {len(RRF_BATCH_TERMS)} queries, each a
+    (term set, embedding) pair, fused by reciprocal-rank fusion — the
+    serving-tier shape where BOTH branches amortize one corpus pass
+    across the whole query batch.
+
+    Sparse branch: tf/df/per-term BM25 contributions are computed ONCE
+    over the union of all query terms (scan-side IN filter), then a
+    12-row broadcast (qid, term) map fans contributions out to queries
+    — term stats are never recomputed per query. Dense branch is
+    knn_batch_embeddings' plan verbatim. Per-query top-k on both
+    branches and on the fused list uses the two-phase sharded rank;
+    the fusion join touches <= Q * 25 rows. Integer-exact RRF."""
+    from tracy_matdb_spark.operators.rank import per_group_topk
+    from tracy_matdb_spark.queries.llm import knn_batch_embeddings
+
+    toks = textops.toks_expr("spark")
+    docs = load(spark, sf_dir, ("documents",))["documents"].filter(F.col("n_chars") > 0)
+    d = docs.selectExpr("doc_id", f"{toks} AS toks")
+    scalars = d.selectExpr("count(*) AS N", "sum(size(toks)) AS tot").first()
+    n_docs, tot = int(scalars["N"]), int(scalars["tot"])
+    union_terms = sorted({t for ts in RRF_BATCH_TERMS.values() for t in ts})
+    inlist = ", ".join(repr(t) for t in union_terms)
+    terms = d.selectExpr(
+        "doc_id", "cast(size(toks) as bigint) AS dl", "explode(toks) AS term"
+    ).filter(F.expr(f"term IN ({inlist})"))
+    qt = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = (
+        terms.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in RRF_BATCH_TERMS.items() for t in ts],
+        "qid long, term string",
+    )
+    contrib = qt.join(F.broadcast(df_), "term").withColumn(
+        "c", F.expr(_bm25_sql("spark", n=str(n_docs), tot=str(tot)))
+    )
+    scored = (
+        contrib.join(F.broadcast(qmap), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+    )
+    bmr = per_group_topk(
+        scored, ["qid"], [F.col("bm25").desc()], ["doc_id"],
+        BM25_BATCH_TOP, shard_on="doc_id", rank_col="bm25_rank",
+    ).select("qid", "doc_id", "bm25_rank")
+    knr = knn_batch_embeddings(spark, sf_dir).selectExpr(
+        "qid", "vec_id AS doc_id", "rnk AS cos_rank"
+    )
+    fused = bmr.join(knr, ["qid", "doc_id"], "full_outer")
+    rrf = fused.selectExpr(
+        "qid",
+        "doc_id",
+        f"cast(coalesce(1000000000 div ({RRF_K} + bm25_rank), 0)"
+        f" + coalesce(1000000000 div ({RRF_K} + cos_rank), 0) as bigint)"
+        " AS rrf_score",
+        "bm25_rank",
+        "cos_rank",
+    )
+    return per_group_topk(
+        rrf, ["qid"], [F.col("rrf_score").desc()], ["doc_id"],
+        RRF_TOP, shard_on="doc_id", rank_col="rrf_rank",
+    ).orderBy("qid", "rrf_rank")
