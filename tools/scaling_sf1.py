@@ -64,6 +64,10 @@ QUERIES = [
     "knn_embeddings",
     "knn_pq_embeddings",
     "maxsim_late_interaction",
+    # round-9 batch serving shapes: one corpus pass per query batch
+    "knn_batch_embeddings",
+    "maxsim_batch_late_interaction",
+    "hybrid_rrf_batch",
 ]
 
 
