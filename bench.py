@@ -173,15 +173,21 @@ def main() -> None:
                 print(f"bench error streaming_incremental_dedup: {e}", file=sys.stderr)
     times: dict[str, float] = {}
     iqr: dict[str, float] = {}
+    # warm-min per query, for continuity with the round-1..8 artifacts
+    # (those reported min-of-2 back-to-back; interleaved MEDIANS sit
+    # systematically above mins, so cross-era ratios must be min-to-min)
+    mins: dict[str, float] = {}
     for name, _ in headline:
         if samples[name]:
             times[name], iqr[name] = median_iqr(samples[name])
+            mins[name] = round(min(samples[name]), 3)
         else:
             times[name] = -1.0
     if s_samples:
         med, spread = median_iqr([r["sec"] for r in s_samples])
         times["streaming_incremental_dedup"] = med
         iqr["streaming_incremental_dedup"] = spread
+        mins["streaming_incremental_dedup"] = round(min(r["sec"] for r in s_samples), 3)
         streaming_detail = min(s_samples, key=lambda r: abs(r["sec"] - med))
     else:
         times["streaming_incremental_dedup"] = -1.0
@@ -209,6 +215,9 @@ def main() -> None:
                 # query: a delta vs last round is real only if it
                 # exceeds this
                 "queries_iqr": iqr,
+                # warm-min per query: the number comparable to the
+                # min-of-2 protocol of rounds 1-8
+                "queries_min": mins,
                 "reps": REPS,
                 "streaming_detail": streaming_detail,
                 "pagerank_breakdown": pr_breakdown,
