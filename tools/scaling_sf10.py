@@ -36,7 +36,19 @@ from tracy_matdb_spark.session import get_session  # noqa: E402
 SMALL = "/root/repo/.localdata/sf1d"
 LARGE = "/root/repo/.localdata/sf10"
 RATIO_THRESHOLD = 12.0
-QUERIES = ["exact_substring_spans", "corpus_e2e_rollup"]
+# The LSH-verify family joined the list after the sweep
+# (tools/stress_sf10.py) caught its plan-time broadcast of the
+# 3.7 GiB shingle table (now gated, see queries/llm.py
+# LSH_VERIFY_BCAST_MAX_DOCS). Run with SPARK_GRAFT_DRIVER_MEM=24g:
+# the 45M-shingle sf10 working set needs the cluster-profile heap
+# (cluster_conf ships 48g executors); the 8g local default is the
+# single-JVM ceiling, not a plan property.
+QUERIES = [
+    "exact_substring_spans",
+    "corpus_e2e_rollup",
+    "ngram_jaccard_pairs",
+    "dedup_keep_best",
+]
 
 
 def run() -> dict:
@@ -67,6 +79,7 @@ def run() -> dict:
         "data_ratio": 10.0,
         "dataset": "tools/make_sf1.py --sf10-documents (100 vs 10 fixed-width "
         "token-suffixed copies of driver sf0.1 documents)",
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "queries": rows,
         "flagged": flagged,
     }

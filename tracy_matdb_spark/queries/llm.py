@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.catalog import load, table_num_rows
 from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.operators.graph import connected_components
 from tracy_matdb_spark.queries import register
@@ -468,6 +468,31 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_MIN_Q = 200_000  # 0.2 quantized
 
 
+LSH_VERIFY_BCAST_MAX_DOCS = 20_000  # shingle/size join-side broadcast gate
+# for the LSH verify stage: the lazily-checkpointed shingle table INHERITS
+# its pre-checkpoint size estimate, which for explode-over-compressed-
+# parquet undercounts ~60x (sf10 measured: 57 MB estimate, 3.7 GiB
+# materialized — the plan-time BroadcastHashJoin GC-thrashed the JVM to
+# death; tools/stress_sf10.py found it). Below the gate the shingle table
+# is genuinely broadcast material; above it, a MERGE hint pins sort-merge
+# — the only strategy that spills gracefully at this size (shuffle-hash
+# was tried and failed at sf10: 32 concurrent build-side hash maps
+# exhausted the execution pool, "Can't acquire 67108864 bytes memory to
+# build hash relation"). Stat failure -> conservative.
+
+
+def _corpus_scaled_side(df: DataFrame, sf_dir: str) -> DataFrame:
+    """A join side whose true size scales with the corpus: allow the
+    planner's broadcast only below the docs-count gate, else pin a
+    spillable sort-merge join (never a broadcast, never an in-memory
+    hash build)."""
+    try:
+        n_docs = table_num_rows(sf_dir, "documents")
+    except Exception:  # noqa: BLE001 — stat unavailable -> don't broadcast
+        n_docs = 1 << 62
+    return df if n_docs <= LSH_VERIFY_BCAST_MAX_DOCS else df.hint("merge")
+
+
 def _jaccard_ctes_duckdb() -> str:
     """LSH CTE chain extended with exact-Jaccard verification: jpairs =
     candidate pairs whose word-3-gram Jaccard >= threshold. Shared by the
@@ -507,8 +532,10 @@ def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     over LSH candidates only — the 100 TB shape. The raw shingle self-join
     would fan out quadratically on hot shingles; gating on minhash
     candidates makes the verify stage linear in the candidate count. No
-    broadcast hints: sizes and candidates are unbounded relations, AQE
-    picks the join strategy."""
+    blanket broadcast hints: every corpus-scaling join side goes through
+    _corpus_scaled_side (broadcast below the docs gate, shuffle-hash
+    above — see LSH_VERIFY_BCAST_MAX_DOCS for the sf10 failure that
+    motivated it)."""
     # the shingle table feeds the LSH candidate stage AND both sides of
     # the common-shingle verify AND the size rollup (~5 plan references):
     # cut lineage so tokenize+shingle runs once (2.5 -> 1.7 s at sf0.1;
@@ -516,16 +543,17 @@ def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = _shingles_df(spark, sf_dir).localCheckpoint(eager=False)
     cands = _lsh_candidate_pairs(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    sca = lambda df: _corpus_scaled_side(df, sf_dir)  # noqa: E731
     common = (
-        cands.join(shingles.selectExpr("doc_id AS doc_a", "sh"), "doc_a")
-        .join(shingles.selectExpr("doc_id AS doc_b", "sh"), ["doc_b", "sh"])
+        cands.join(sca(shingles.selectExpr("doc_id AS doc_a", "sh")), "doc_a")
+        .join(sca(shingles.selectExpr("doc_id AS doc_b", "sh")), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = textops.quant_ratio_expr("common", "(na + nb - common)")
     return (
-        common.join(sizes.selectExpr("doc_id AS doc_a", "nsh AS na"), "doc_a")
-        .join(sizes.selectExpr("doc_id AS doc_b", "nsh AS nb"), "doc_b")
+        common.join(sca(sizes.selectExpr("doc_id AS doc_a", "nsh AS na")), "doc_a")
+        .join(sca(sizes.selectExpr("doc_id AS doc_b", "nsh AS nb")), "doc_b")
         .withColumn("jaccard_q", F.expr(jac))
         .filter(F.col("jaccard_q") >= JACCARD_MIN_Q)
         .select("doc_a", "doc_b", "jaccard_q")
@@ -1411,17 +1439,18 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = _shingles_df(spark, sf_dir).localCheckpoint(eager=False)
     cands = _lsh_candidate_pairs(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    sca = lambda df: _corpus_scaled_side(df, sf_dir)  # noqa: E731
     common = (
-        cands.join(shingles.selectExpr("doc_id AS doc_a", "sh"), "doc_a")
-        .join(shingles.selectExpr("doc_id AS doc_b", "sh"), ["doc_b", "sh"])
+        cands.join(sca(shingles.selectExpr("doc_id AS doc_a", "sh")), "doc_a")
+        .join(sca(shingles.selectExpr("doc_id AS doc_b", "sh")), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     ca = textops.quant_ratio_expr("common", "na")
     cb = textops.quant_ratio_expr("common", "nb")
     return (
-        common.join(sizes.selectExpr("doc_id AS doc_a", "nsh AS na"), "doc_a")
-        .join(sizes.selectExpr("doc_id AS doc_b", "nsh AS nb"), "doc_b")
+        common.join(sca(sizes.selectExpr("doc_id AS doc_a", "nsh AS na")), "doc_a")
+        .join(sca(sizes.selectExpr("doc_id AS doc_b", "nsh AS nb")), "doc_b")
         .withColumn("contain_a_q", F.expr(ca))
         .withColumn("contain_b_q", F.expr(cb))
         .filter(
