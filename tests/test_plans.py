@@ -377,3 +377,24 @@ def test_planaudit_artifact_covers_registry():
         f"PLANAUDIT.md stale — regenerate with tools/plan_audit.py. "
         f"missing={sorted(missing)} extra={sorted(extra)}"
     )
+
+
+def test_scaling_artifact_keeps_all_decades():
+    """SCALING.json must retain every recorded decade. The round-9
+    rewrite path in tools/scaling_check.py preserved only the 'sf1'
+    key, so a re-run would silently drop the committed sf10 evidence
+    (round-9 ADVICE). scaling_check now copies every foreign top-level
+    key forward; this gate fails if a decade block ever disappears."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
+    with open(path) as f:
+        data = json.load(f)
+    required = {"queries", "skew_stress", "sf1", "sf10_documents"}
+    missing = required - set(data)
+    assert not missing, (
+        f"SCALING.json lost decade blocks {sorted(missing)} — a rewrite "
+        f"dropped foreign keys; regenerate the missing decade with "
+        f"tools/scaling_sf1.py / tools/scaling_sf10.py"
+    )

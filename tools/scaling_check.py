@@ -265,13 +265,18 @@ def run(out_path: str | None = None) -> dict:
         "flagged": sorted(flagged),
     }
     if out_path:
-        # preserve the sf0.1 -> sf1 spot-check block (tools/scaling_sf1.py)
-        # across rewrites of the small-decade sweep
+        # preserve every top-level key this run does not itself produce
+        # (the sf0.1 -> sf1 block from tools/scaling_sf1.py, the
+        # sf1 -> sf10 blocks from tools/scaling_sf10.py, and any future
+        # decade) across rewrites of the small-decade sweep — a rewrite
+        # that kept only 'sf1' silently dropped the committed
+        # third-decade evidence (round-9 ADVICE)
         try:
             with open(out_path) as fh:
                 prev = json.load(fh)
-            if "sf1" in prev:
-                result["sf1"] = prev["sf1"]
+            for key, val in prev.items():
+                if key not in result:
+                    result[key] = val
         except (OSError, ValueError):
             pass
         with open(out_path, "w") as fh:

@@ -52,18 +52,11 @@ UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4050"))
 RATIO_FLAG = 10.0
 MIN_SHUFFLE_MB = 64.0
 
-# The sf0.1 sweep audits the FULL registry (round-9 extension — shuffle
+# Both sweeps audit the FULL registry (round-9 extension — shuffle
 # bytes are the best early warning for scale-killers, so sampling left
-# blind spots). The sf1 second-decade compare keeps the focused subset
-# below: every bench headline query plus the candidate-pair /
-# explode-topology queries the scaling harness watches — the same class
-# whose shuffle volume is the first thing to degenerate.
-from tools.scaling_check import SCALING_EXTRA  # noqa: E402
-
-EXTRA = [
-    "knn_pq_embeddings",
-    "maxsim_late_interaction",
-]
+# blind spots): the sf0.1 run and the --sf1 second-decade compare call
+# run() with names=None. The byte_scaling compare then pairs whatever
+# queries both artifacts share.
 
 _METRIC_FIELDS = {
     "input_bytes": "inputBytes",
@@ -201,13 +194,16 @@ def run(
         "flagged": sorted(flagged),
     }
     if out_path:
-        # preserve the sf1 byte-scaling block (--sf1 mode) across
-        # rewrites of the sf0.1 sweep
+        # preserve every top-level key this run does not itself produce
+        # (the --sf1 byte-scaling block and any future decade) across
+        # rewrites of the sf0.1 sweep — same discipline as
+        # tools/scaling_check.py after the round-9 ADVICE
         try:
             with open(out_path) as fh:
                 prev = json.load(fh)
-            if "sf1_bytes" in prev:
-                result["sf1_bytes"] = prev["sf1_bytes"]
+            for key, val in prev.items():
+                if key not in result:
+                    result[key] = val
         except (OSError, ValueError):
             pass
         with open(out_path, "w") as fh:

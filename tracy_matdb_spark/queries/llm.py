@@ -533,9 +533,10 @@ def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     would fan out quadratically on hot shingles; gating on minhash
     candidates makes the verify stage linear in the candidate count. No
     blanket broadcast hints: every corpus-scaling join side goes through
-    _corpus_scaled_side (broadcast below the docs gate, shuffle-hash
-    above — see LSH_VERIFY_BCAST_MAX_DOCS for the sf10 failure that
-    motivated it)."""
+    _corpus_scaled_side (broadcast below the docs gate, spillable
+    sort-merge above — see LSH_VERIFY_BCAST_MAX_DOCS for the sf10
+    failure that motivated it; shuffle-hash was tried there and its
+    in-memory build OOM'd too)."""
     # the shingle table feeds the LSH candidate stage AND both sides of
     # the common-shingle verify AND the size rollup (~5 plan references):
     # cut lineage so tokenize+shingle runs once (2.5 -> 1.7 s at sf0.1;
