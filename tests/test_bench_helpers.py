@@ -14,10 +14,26 @@ def test_pagerank_iteration_telemetry_shape(spark):
     )
 
     out = pagerank_iteration_telemetry(spark, SF_SMOKE)
-    assert set(out) == {"edges_s", "iters_s", "n_iters"}
+    assert set(out) == {
+        "total_s",
+        "build_s",
+        "exec_s",
+        "edges_noop_s",
+        "iters_s",
+        "tail_s",
+        "parts_sum_s",
+        "n_iters",
+    }
     assert out["n_iters"] == PR_ITERS
     assert len(out["iters_s"]) == PR_ITERS
-    assert out["edges_s"] > 0 and all(t >= 0 for t in out["iters_s"])
+    assert out["build_s"] > 0 and out["exec_s"] > 0
+    assert out["edges_noop_s"] > 0 and all(t >= 0 for t in out["iters_s"])
+    # the round-10 contract: the decomposition must account for the
+    # whole measured path — parts and total within 35% of each other
+    # even on the tiny smoke sf, where fixed overheads dominate and
+    # jitter is proportionally larger (at sf0.1 they agree within 10%)
+    assert out["parts_sum_s"] <= 1.35 * out["total_s"] + 0.3
+    assert out["parts_sum_s"] >= 0.65 * out["total_s"] - 0.3
 
 
 def test_median_iqr():
