@@ -640,16 +640,15 @@ def test_tws_state_ttl_inert_under_time_mode_none(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
-def test_streaming_lsh_guard_rejects_out_of_order_batches(spark, tmp_path):
-    """The greedy first-seen LSH dedup equals the order-free bucket-min
-    oracle ONLY when batches arrive in ascending doc_id ranges
-    (queries/llm.py stages them so). This pins the failure mode: a
-    LATER run delivering a SMALLER doc_id into an occupied bucket must
-    fail the query loudly (the processor's max-seen guard), never emit
-    a silently-wrong conflict flag."""
-    import pyspark.errors
-
-    import pytest
+def test_streaming_lsh_out_of_order_batches_reconcile(spark, tmp_path):
+    """Until round 9 the first-seen LSH dedup required ascending
+    doc_id arrival and failed loudly on violation; the round-10
+    processor is ORDER-FREE — a LATER run delivering a SMALLER doc_id
+    into an occupied bucket emits a reconciliation delta that flips
+    the old owner's conflict flag, so the aggregated output equals the
+    order-free bucket-min oracle under the worst-case DESCENDING
+    arrival this test stages."""
+    from pyspark.sql import functions as F
 
     from tracy_matdb_spark.queries.llm import _band_rows_stateless
     from tracy_matdb_spark.streaming.windows import streaming_lsh_first_seen
@@ -669,7 +668,8 @@ def test_streaming_lsh_guard_rejects_out_of_order_batches(spark, tmp_path):
         ckpt = str(tmp_path / "ckpt")
         sink = str(tmp_path / "sink")
         # batch 1: doc 100; batch 2: doc 5 — DESCENDING ranges (the
-        # violation); ascending staging would write doc 5 first
+        # order the round-9 guard rejected); ascending staging would
+        # write doc 5 first
         for i, did in enumerate((100, 5)):
             docs.filter(f"doc_id = {did}").coalesce(1).write.parquet(
                 str(drop / f"b{i}")
@@ -688,13 +688,24 @@ def test_streaming_lsh_guard_rejects_out_of_order_batches(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            if i == 0:
-                q.awaitTermination()
-            else:
-                with pytest.raises(
-                    pyspark.errors.StreamingQueryException,
-                    match="out-of-order arrival",
-                ):
-                    q.awaitTermination()
+            q.awaitTermination()
+        agg = {
+            r.doc_id: (r.n_bands, r.n_conflicts)
+            for r in spark.read.parquet(sink)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("arrival").alias("n_bands"),
+                F.sum("conflict").alias("n_conflicts"),
+            )
+            .collect()
+        }
+        n_bands_5, n_conf_5 = agg[5]
+        n_bands_100, n_conf_100 = agg[100]
+        # identical text -> same buckets in every band; the late doc 5
+        # is the true bucket-min: kept (0 conflicts), and doc 100's
+        # initially-clean flags are reconciled to a conflict per band
+        assert n_bands_5 == n_bands_100 > 0
+        assert n_conf_5 == 0
+        assert n_conf_100 == n_bands_100
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

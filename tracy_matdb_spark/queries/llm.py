@@ -1890,22 +1890,27 @@ def _band_rows_stateless(df: DataFrame) -> DataFrame:
            cast(CASE WHEN n_conflicts = 0 THEN 1 ELSE 0 END as bigint) AS kept
     FROM res ORDER BY doc_id
     """,
-    doc="Streaming greedy MinHash-LSH ingest dedup: documents arrive in "
-    "3 ascending-doc_id micro-batches across 3 SEPARATE availableNow "
+    doc="Streaming MinHash-LSH ingest dedup: documents arrive in "
+    "3 staged micro-batches across 3 SEPARATE availableNow "
     "runs sharing one checkpoint (typed-state ValueState per LSH "
     "band-bucket, RocksDB store) — so bucket state is persisted and "
     "RESUMED across query restarts, the production ingest shape. A doc "
-    "conflicts in a band iff an earlier doc occupied that band-bucket; "
+    "conflicts in a band iff a smaller doc_id occupies that band-bucket; "
     "kept iff zero conflicts, which equals the batch rule 'doc_id is "
-    "the bucket minimum in every band' verified by the oracle.",
+    "the bucket minimum in every band' verified by the oracle. The "
+    "processor emits delta rows (late smaller ids reconcile the old "
+    "bucket owner), so the sums below match the oracle under ANY "
+    "arrival order.",
 )
 def streaming_minhash_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See `doc`. State is sharded by (band, sig) — the same key the
     batch LSH join shuffles on — so the state store scales with occupied
     buckets, not stream length (streaming/windows.py:
-    streaming_lsh_first_seen). Ascending-range staging makes arrival
-    order match doc_id order, the condition under which greedy
-    first-seen equals the order-free bucket-min oracle."""
+    streaming_lsh_first_seen). Since round 10 the processor is
+    ORDER-FREE (reconciliation deltas instead of an ascending-arrival
+    guard), so the staged ranges need no ordering discipline; ascending
+    staging is kept because it's the natural ingest shape, not a
+    correctness requirement."""
     import os
     import shutil
     import tempfile
@@ -1954,26 +1959,16 @@ def streaming_minhash_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            # PINNED ASSUMPTION: each staged range must be consumed in
-            # ONE micro-batch — doc_ids are hash-distributed across
-            # part-files, so a split run (maxFilesPerTrigger set, or a
-            # future default change) could feed a bucket a larger
-            # doc_id before a smaller one from the same range. The
-            # processor's own max-seen guard catches the divergence
-            # per-bucket; this asserts the precondition per-run so a
-            # behavior change fails here first, with a clear message.
-            fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
-            if len(fed) != 1:
-                raise RuntimeError(
-                    f"streaming_minhash_dedup_tws: staged run {i} executed "
-                    f"{len(fed)} non-empty micro-batches (expected 1); "
-                    "greedy first-seen ordering precondition violated"
-                )
+            # No micro-batch-count pin anymore: the round-9 version
+            # required each staged range to land in ONE micro-batch
+            # (ascending-arrival precondition); the order-free
+            # reconciliation processor makes any split or reordering
+            # produce the same sums.
         out = (
             spark.read.parquet(sink)
             .groupBy("doc_id")
             .agg(
-                F.count(F.lit(1)).cast("long").alias("n_bands"),
+                F.sum("arrival").cast("long").alias("n_bands"),
                 F.sum("conflict").cast("long").alias("n_conflicts"),
             )
             .selectExpr(

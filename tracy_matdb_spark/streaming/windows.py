@@ -456,27 +456,39 @@ TWS_LSH_OUT = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("band", T.IntegerType()),
+        T.StructField("arrival", T.LongType()),
         T.StructField("conflict", T.LongType()),
     ]
 )
 
 
 def streaming_lsh_first_seen(band_rows: DataFrame) -> DataFrame:
-    """Per-(band, sig) bucket first-seen tracker over a STREAM of band
-    rows (doc_id, band, sig): each arriving doc row emits conflict=1
-    iff an earlier (smaller doc_id) doc already occupied this bucket —
-    the streaming half of greedy MinHash-LSH ingest dedup, with one
-    ValueState (the bucket's min doc_id) per bucket.
+    """Per-(band, sig) bucket-min tracker over a STREAM of band rows
+    (doc_id, band, sig), ORDER-FREE: the emitted rows are DELTAS whose
+    per-doc sums equal the batch bucket-min oracle under ANY arrival
+    order (round-10; until round 9 this operator guarded an
+    ascending-arrival precondition and failed loudly on violation —
+    the stronger operator accepts the violation and reconciles).
+
+    Each arriving doc emits one row with arrival=1 and conflict=1 iff
+    the bucket already holds a smaller doc_id. When a SMALLER doc_id
+    arrives late into an occupied bucket, ownership changes: the new
+    doc emits (arrival=1, conflict=0) and one extra RECONCILIATION row
+    (old_owner, arrival=0, conflict=1) flips the previous owner's flag
+    — at any moment exactly one doc per bucket (the current min) has a
+    zero conflict sum, so sum(conflict) per (doc, band) is 1 iff the
+    doc is not the bucket minimum, which is the oracle's rule. The
+    consumer aggregates n_bands = sum(arrival), n_conflicts =
+    sum(conflict); both are order-independent sums, the same trick the
+    integer PageRank uses for hash-parity.
 
     State is sharded BY BUCKET, the same key the batch LSH join
     shuffles on, so at 100 TB the state store scales with the number of
     occupied band-buckets (corpus near-dup structure), never with the
-    stream length; per-bucket state is one long. Rows within a batch
-    are processed in doc_id order so intra-batch conflicts resolve
-    identically to the batch oracle (kept iff bucket-min in EVERY
-    band); batches must arrive in ascending doc_id ranges, which the
-    ingest driver guarantees by staging (see
-    queries/llm.py:streaming_minhash_dedup_tws)."""
+    stream length; per-bucket state is one long (the current min).
+    Ownership changes emit at most one reconciliation row per bucket
+    per batch (intra-batch rows are processed in ascending doc_id
+    order, so only the batch minimum can take ownership)."""
     from tracy_matdb_spark.vendor import ensure_protobuf
 
     ensure_protobuf()
@@ -485,45 +497,35 @@ def streaming_lsh_first_seen(band_rows: DataFrame) -> DataFrame:
     class BucketFirstSeen(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._mn = handle.getValueState("mn", "mn long")
-            # max doc_id ever seen in this bucket: the ordering
-            # precondition's tripwire (see the guard below)
-            self._mx = handle.getValueState("mx", "mx long")
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
 
             cur = self._mn.get()[0] if self._mn.exists() else None
-            mx = self._mx.get()[0] if self._mx.exists() else None
-            out_doc, out_conf = [], []
             ids: list[int] = []
             for pdf in rows:
                 ids.extend(int(x) for x in pdf["doc_id"])
             ids.sort()
-            # ORDERING GUARD: greedy first-seen equals the order-free
-            # bucket-min oracle ONLY when batches arrive in ascending
-            # doc_id ranges — an id below a previously processed batch's
-            # max means an already-emitted conflict flag may be wrong
-            # and cannot be retracted. Fail the query loudly instead of
-            # silently diverging (a source that splits a staged range
-            # across micro-batches, or mis-ordered staging, lands here).
-            if ids and mx is not None and ids[0] < mx:
-                raise ValueError(
-                    f"streaming_lsh_first_seen: out-of-order arrival in "
-                    f"bucket {key}: doc_id {ids[0]} after max-seen {mx}; "
-                    "greedy first-seen flags are only valid for ascending "
-                    "batch ranges"
-                )
+            out_doc, out_arr, out_conf = [], [], []
             for did in ids:
-                out_doc.append(did)
-                out_conf.append(1 if (cur is not None and cur < did) else 0)
-                cur = did if cur is None else min(cur, did)
-            self._mn.update((cur,))
+                if cur is None:
+                    cur = did
+                    out_doc.append(did), out_arr.append(1), out_conf.append(0)
+                elif did > cur:
+                    out_doc.append(did), out_arr.append(1), out_conf.append(1)
+                else:
+                    # late smaller id: it takes the bucket; the previous
+                    # owner's conflict=0 is reconciled with a +1 delta
+                    out_doc.append(did), out_arr.append(1), out_conf.append(0)
+                    out_doc.append(cur), out_arr.append(0), out_conf.append(1)
+                    cur = did
             if ids:
-                self._mx.update((max(ids) if mx is None else max(mx, ids[-1]),))
+                self._mn.update((cur,))
             yield pd.DataFrame(
                 {
                     "doc_id": out_doc,
                     "band": [int(key[0])] * len(out_doc),
+                    "arrival": out_arr,
                     "conflict": out_conf,
                 }
             )
