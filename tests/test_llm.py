@@ -17,9 +17,45 @@ def test_lsh_candidates_subset_of_exact(spark):
     lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))
     assert lsh_pairs <= exact_pairs  # LSH must never invent pairs
     recall = len(lsh_pairs) / max(len(exact_pairs), 1)
-    # banded sign-LSH at cos>=0.4 is a coarse prefilter; just assert it
-    # finds a nontrivial fraction and document the measured recall.
-    assert recall > 0.05, f"recall {recall:.2%}"
+    # banded sign-LSH at cos>=0.4 is a coarse prefilter on this
+    # near-orthogonal corpus (max pair sim_q is ~0.48 — no high-cos
+    # regime exists here; test_lsh_planted_high_cos_pairs covers that).
+    # Measured 0.318 at SF_SMOKE; pinned to measured-minus-margin so a
+    # banding regression fails instead of sliding under a 5% floor.
+    assert recall >= 0.25, f"recall {recall:.2%}"
+
+
+def test_lsh_planted_high_cos_pairs(spark, tmp_path):
+    """The high-similarity regime the smoke corpus lacks: plant 20
+    pairs at cos≈0.97 among 200 random 64-dim vectors and require the
+    banded sign-LSH to recover ≥90% (measured 1.0; a single-band
+    regression predicts ~0.5 here — per-dim sign-flip prob at cos 0.97
+    is acos(0.97)/pi≈0.078, so one 8-bit band matches with
+    0.922^8≈0.52 — and fails this threshold)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 200
+    base = rng.randn(n, 64).astype("float32")
+    rows = [(i, base[i].tolist(), 0) for i in range(n)]
+    planted = []
+    vid = n
+    for i in range(20):
+        w = rng.randn(64)
+        w /= np.linalg.norm(w)
+        v = base[i] / np.linalg.norm(base[i])
+        v2 = 0.97 * v + np.sqrt(1 - 0.97**2) * w
+        planted.append((i, vid))
+        rows.append((vid, v2.astype("float32").tolist(), 0))
+        vid += 1
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        str(tmp_path / "embeddings.parquet"), index=False
+    )
+    out = REGISTRY["embedding_lsh_near_dup"].fn(spark, str(tmp_path)).toPandas()
+    found = set(zip(out.vec_a, out.vec_b))
+    hits = sum(1 for a, b in planted if (a, b) in found or (b, a) in found)
+    assert hits / len(planted) >= 0.9, f"planted recall {hits}/{len(planted)}"
 
 
 def test_minhash_candidates_capture_high_jaccard(spark):
@@ -80,7 +116,10 @@ def test_ivf_recall_vs_brute_force(spark):
         if r.vec_id in bf_sims:
             assert bf_sims[r.vec_id] == r.sim_q
     recall = len(set(ivf.vec_id) & set(bf.vec_id)) / len(bf)
-    assert recall >= 0.3, recall
+    # measured 0.7 at SF_SMOKE (nprobe=2 of 8 cells on near-orthogonal
+    # vectors); pinned to measured-minus-margin — a single-probe or
+    # mis-assignment regression lands well below this
+    assert recall >= 0.6, recall
 
 
 def test_connected_components_known_graph(spark):
