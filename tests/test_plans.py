@@ -54,64 +54,114 @@ def test_generators_have_no_python_eval(spark):
 
 
 # Bounded-literal fan-outs where a broadcast nested-loop is the *intended*
-# physical op: a 1-row query vector (knn), a tiny literal perm table
-# (prototypes), and the K-centroid/1-query broadcasts of IVF (K=8 rows by
-# construction). Everything else must be hash/sort-merge joinable.
+# physical op. Membership is NOT enough (round-9 verdict #8: the list kept
+# growing with no size bound, so it could quietly admit an unbounded
+# side): every entry maps to a BOUND-EVIDENCE regex that must match the
+# build-side subtree of EVERY BroadcastNestedLoopJoin the query plans —
+# the query's own plan constant (a 1-row key-equality filter, a <=K
+# centroid range, a keys=[] scalar aggregate, a literal local table)
+# proving the broadcast side is O(1) in the data size. The patterns
+# interpolate the queries' module constants (BATCH_NQ, IVF_K, KM_K) so a
+# constant bump is tracked, and an entry whose query no longer plans a
+# BNL fails as stale.
+from tracy_matdb_spark.queries.llm import BATCH_NQ, IVF_K, KM_K  # noqa: E402
+
+_ONE_ROW_QUERY_VEC = r"vec_id#\d+L? = 0\)"  # 1-row query-vector filter
+_SCALAR_AGG = r"(Hash|Sort|ObjectHash)Aggregate\(keys=\[\]"  # exactly 1 row
 NLJ_ALLOWED = {
-    "knn_embeddings",
-    "prototypes_crossjoin",
-    "knn_ivf_embeddings",
+    "knn_embeddings": _ONE_ROW_QUERY_VEC,
+    # literal 2-row perm local table (queries/domain.py prototypes)
+    "prototypes_crossjoin": r"Scan ExistingRDD\[perm#\d+\]",
+    # 1-row query vector OR the vec_id 1..IVF_K seed-centroid range
+    "knn_ivf_embeddings": rf"({_ONE_ROW_QUERY_VEC}|vec_id#\d+L? <= {IVF_K}\))",
     # SemDeDup centroid assignment: same bounded K-centroid broadcast as IVF
-    "semantic_dedup",
-    # composes knn_embeddings, inheriting its 1-row query-vector broadcast
-    "knn_quantization_recall",
-    # same composition: the exact-kNN side carries the 1-row broadcast
-    "knn_pq_recall",
-    # re-rank stage: 1-row query-vector broadcast over the R-row shortlist
-    "knn_pq_embeddings",
-    # batch serving shape: Q-row query-table broadcast over the corpus scan
-    "knn_batch_embeddings",
-    # same batch shape, label-mismatch predicate on the scored scan
-    "hard_negative_mining",
-    # dense branch is knn_batch_embeddings verbatim (Q-row broadcast)
-    "hybrid_rrf_batch",
+    "semantic_dedup": rf"vec_id#\d+L? <= {IVF_K}\)",
+    # compose knn_embeddings, inheriting its 1-row query-vector broadcast
+    "knn_quantization_recall": _ONE_ROW_QUERY_VEC,
+    "knn_pq_recall": _ONE_ROW_QUERY_VEC,
+    "knn_pq_embeddings": _ONE_ROW_QUERY_VEC,
+    # batch serving shape: the BATCH_NQ-row query-table broadcast over the
+    # corpus scan
+    "knn_batch_embeddings": rf"vec_id#\d+L? < {BATCH_NQ}\)",
+    "hard_negative_mining": rf"vec_id#\d+L? < {BATCH_NQ}\)",
+    "hybrid_rrf_batch": rf"vec_id#\d+L? < {BATCH_NQ}\)",
     # dense branch is knn_embeddings verbatim (1-row query broadcast)
-    "hybrid_rrf_retrieval",
-    # one-row global-average broadcast (scalar subquery), bounded by construction
-    "q22_idle_rich_customers",
-    # one-row national-total threshold broadcast (Q11's scalar HAVING)
-    "q11_important_parts",
-    # one-row basket-count broadcast (the PMI normalizer N)
-    "basket_pair_pmi",
-    # one-row sampling-table normalizer broadcast (sum of quantized weights)
-    "unigram_sampling_table",
-    # one-row max-observed-week broadcast (right-censoring cutoff)
-    "weekly_churn",
-    # one-row totals broadcast (Catalyst folds the constant join key to a
-    # trivially-true condition; the build side is a single aggregate row)
-    "skew_profile_users",
-    # 1-row point-estimate x 1-row CI join (both bounded aggregates)
-    "bootstrap_ci_revenue",
-    # 1-row leakage-count broadcast joined onto the 2-row split rollup
-    "entity_consistent_split",
-    # broadcast K-row centroid table per assignment round (IVF pattern)
-    "kmeans_fixed_point",
-    # 1-row argmax merge broadcast per BPE round (in-plan winner selection)
-    "bpe_train_merges",
-    # 1-row feature-total scalars broadcast onto the 512-row bucket table
-    "dsir_importance_weights",
+    "hybrid_rrf_retrieval": _ONE_ROW_QUERY_VEC,
+    # one-row scalar-aggregate broadcasts (global average / national total /
+    # normalizer / censoring cutoff / totals / CI / leakage count / feature
+    # totals) — all keys=[] aggregates, exactly one row by construction
+    "q22_idle_rich_customers": _SCALAR_AGG,
+    "q11_important_parts": _SCALAR_AGG,
+    "basket_pair_pmi": _SCALAR_AGG,
+    "unigram_sampling_table": _SCALAR_AGG,
+    "weekly_churn": _SCALAR_AGG,
+    "skew_profile_users": _SCALAR_AGG,
+    "bootstrap_ci_revenue": _SCALAR_AGG,
+    "entity_consistent_split": _SCALAR_AGG,
+    "dsir_importance_weights": _SCALAR_AGG,
+    # K-centroid broadcast per assignment round: centroids aggregate over
+    # cid drawn from the vec_id 1..KM_K seed range (the bounded generator
+    # is in the same build subtree)
+    "kmeans_fixed_point": rf"vec_id#\d+L? <= {KM_K}\)",
+    # NOTE bpe_train_merges was removed round 10: its argmax winner
+    # selection no longer plans a BNL (stale entry caught by the new
+    # must-plan-a-BNL assertion).
 }
+
+
+def _plan_children(node):
+    if node.nodeName() == "AdaptiveSparkPlan":
+        return [node.initialPlan()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _plan_walk(node):
+    yield node
+    for c in _plan_children(node):
+        yield from _plan_walk(c)
+
+
+def _bnl_build_subtrees(spark, name: str) -> list[str]:
+    """One text blob (head line of every node) per BroadcastNestedLoopJoin
+    BUILD-side subtree in the query's physical plan."""
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    root = df._jdf.queryExecution().executedPlan()
+    out = []
+    for node in _plan_walk(root):
+        if node.nodeName() != "BroadcastNestedLoopJoin":
+            continue
+        kids = _plan_children(node)
+        build = kids[0] if node.buildSide().toString() == "BuildLeft" else kids[1]
+        out.append(
+            "\n".join(n.toString().splitlines()[0] for n in _plan_walk(build))
+        )
+    return out
 
 
 def test_no_quadratic_joins_in_registered_queries(spark):
     """No registered query may plan a CartesianProduct, and only the
     bounded-literal allowlist may plan a BroadcastNestedLoopJoin — the
-    scale gate from the round-1 verdict (O(n^2) stages are scale-killers)."""
+    scale gate from the round-1 verdict (O(n^2) stages are scale-killers).
+    Allowlisted queries must additionally PROVE the bound: every BNL's
+    build-side subtree must match the entry's bound-evidence regex (a
+    plan constant showing the broadcast side is O(1) in data size), and
+    an entry whose query plans no BNL at all is stale and fails."""
+    import re
+
     for name in REGISTRY:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         if name not in NLJ_ALLOWED:
             assert "BroadcastNestedLoopJoin" not in plan, name
+    for name, bound_re in NLJ_ALLOWED.items():
+        builds = _bnl_build_subtrees(spark, name)
+        assert builds, f"{name}: NLJ_ALLOWED entry is stale (no BNL planned)"
+        for text in builds:
+            assert re.search(bound_re, text), (
+                f"{name}: BNL build side lacks bound evidence "
+                f"/{bound_re}/ — subtree:\n{text[:600]}"
+            )
 
 
 # Windows whose input is a bounded AGGREGATE (not row-level data), so the
