@@ -66,3 +66,35 @@ def test_streaming_ingest_bench_dedupes(spark):
     assert out["rows_offered"] > out["rows_source"]
     assert out["rows_ingested"] == out["rows_source"]
     assert out["batches"] == 3 and out["sec"] > 0
+
+
+def test_bench_compare_verdicts():
+    """tools/bench_compare.py: deltas are judged against the recorded
+    IQR envelope with a floor; broken (-1.0) entries never get a
+    numeric verdict; protocol mismatch is surfaced."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench_compare.py"),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    old = {
+        "metric": "m1",
+        "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": -1.0},
+        "queries_iqr": {"a": 0.3},
+    }
+    new = {
+        "metric": "m2",
+        "queries": {"a": 1.2, "b": 1.2, "c": 1.02, "d": 0.5},
+        "queries_iqr": {},
+    }
+    out = bc.compare(old, new)
+    assert out["protocol_mismatch"] is True
+    assert out["queries"]["a"]["verdict"] == "noise"  # 0.2 < iqr 0.3
+    assert out["queries"]["b"]["verdict"] == "real"  # 0.2 > floor 0.05
+    assert out["queries"]["c"]["verdict"] == "noise"  # 0.02 < floor
+    assert out["queries"]["d"]["verdict"] == "broken"
+    assert out["n_real"] == 1 and out["n_common"] == 4
