@@ -50,6 +50,23 @@ QUERIES = [
     "dedup_keep_best",
 ]
 
+# --full mode (round-10): the join/events/ANN families, which had NO
+# third-decade evidence while sf10 was documents-only — and the spans
+# OOM proved that class of bug only shows up there. Small side is the
+# full-schema sf1 (tools/make_sf1.py), large the full-schema sf10
+# (tools/make_sf1.py --sf10-full): 10x rows on every table.
+SF1_FULL = "/root/repo/.localdata/sf1"
+QUERIES_FULL = [
+    "q5_local_supplier_volume",  # multi-dim broadcast join chain
+    "q18_large_volume_customers",  # large-agg semi join
+    "q21_sole_returning_supplier",  # multi-self-join on lineitem
+    "entity_resolution_pairs",  # blocking join (block-skew hazard)
+    "events_salted_type_join",  # salted hot-key join
+    "events_session_10m",  # session windowing over 10M events
+    "knn_pq_embeddings",  # ADC scan at 200k vectors (PQ at corpus scale)
+    "knn_batch_embeddings",  # batched brute-force corpus pass
+]
+
 
 def run() -> dict:
     for d in (SMALL, LARGE):
@@ -85,20 +102,65 @@ def run() -> dict:
     }
 
 
+def run_full() -> dict:
+    """Third decade for the join/events/ANN families over the FULL
+    star schema: sf1 (10 copies of driver sf0.1) vs sf10 (100 copies),
+    both from the same key-shift generator — a pure 10x-rows ratio on
+    every table at once, the regime where a join-side broadcast or a
+    skewed shuffle actually breaks."""
+    for d, t in ((SF1_FULL, "lineitem"), (LARGE, "lineitem")):
+        if not os.path.exists(os.path.join(d, f"{t}.parquet")):
+            raise SystemExit(
+                "scaling_sf10 --full: run tools/make_sf1.py and "
+                "tools/make_sf1.py --sf10-full first"
+            )
+    registry = load_all()
+    spark = get_session("scaling_sf10_full")
+    rows: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in QUERIES_FULL:
+        fn = registry[name].fn
+        t_small = _warm_time(spark, fn, SF1_FULL)
+        t_large = _warm_time(spark, fn, LARGE)
+        ratio = round(t_large / max(t_small, 1e-9), 2)
+        rows[name] = {
+            "sec_sf1": round(t_small, 3),
+            "sec_sf10": round(t_large, 3),
+            "ratio": ratio,
+            "flagged": ratio > RATIO_THRESHOLD,
+        }
+        if ratio > RATIO_THRESHOLD:
+            flagged.append(name)
+        print(f"{name}: {rows[name]}", flush=True)
+    spark.stop()
+    return {
+        "metric": "scaling_ratio_sf1_to_sf10_full_schema",
+        "data_ratio": 10.0,
+        "dataset": "tools/make_sf1.py vs --sf10-full (10 vs 100 key-shifted "
+        "copies of driver sf0.1, every table)",
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "queries": rows,
+        "flagged": flagged,
+    }
+
+
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SCALING.json")
-    result = run()
+    if "--full" in sys.argv[1:]:
+        key, result = "sf10_full", run_full()
+    else:
+        key, result = "sf10_documents", run()
     try:
         with open(path) as fh:
             full = json.load(fh)
     except (OSError, ValueError):
         full = {}
-    full["sf10_documents"] = result
+    full[key] = result
     with open(path, "w") as fh:
         json.dump(full, fh, indent=2, sort_keys=True)
         fh.write("\n")
-    print(json.dumps({"sf10_flagged": result["flagged"]}))
+    print(json.dumps({f"{key}_flagged": result["flagged"]}))
     if result["flagged"]:
         sys.exit(1)
 
