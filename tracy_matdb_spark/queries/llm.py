@@ -897,6 +897,61 @@ LSH_BAND_BITS = 8  # 8 bands x 8 sign-bits = all 64 dims; 2^8 buckets per
 # its within-bucket join degenerated toward all-pairs as N grew) while
 # 8 band chances keep recall ~99% for cos >= 0.95 pairs.
 
+# ANY fixed bucket count degenerates eventually: with 2^8 buckets/band,
+# per-bucket load grows with the corpus and candidate pairs grow
+# QUADRATICALLY — measured by the round-10 full-schema sf10 sweep: 7M
+# candidate pairs at 20k vectors -> 702M at 200k (100x pairs on 10x
+# data), the same class as the round-4 simhash bug. The footer-stat
+# gate below widens each band's signature with EXTRA pair-difference
+# hyperplane bits so expected bucket load stays ~LSH_TARGET_BUCKET_LOAD
+# and candidates scale LINEARLY. At the oracle scale factors the gate
+# yields 0 extra bits, so the DuckDB twin needs no scale branch.
+# Recall trade (documented, inherent to LSH): per-band match prob at
+# cos 0.95 is 0.899^bits — 8 bands of 8+6 bits give ~87% vs ~99% at 8
+# bits; at 100 TB you'd buy recall back with more bands, the standard
+# dial.
+LSH_TARGET_BUCKET_LOAD = 16
+LSH_EXTRA_BITS_MAX = 16
+
+
+def _lsh_extra_bits(sf_dir: str) -> int:
+    """Extra sign-bits per band so that 2^(8+extra) buckets keep the
+    expected bucket load near LSH_TARGET_BUCKET_LOAD. O(1) parquet
+    footer read, no Spark job (the pagerank/spans gate pattern). Stat
+    failure returns 0 — the scan itself would fail on an unreadable
+    table, so there is no scale exposure on that path."""
+    import math
+
+    try:
+        n = table_num_rows(sf_dir, "embeddings")
+    except Exception:  # noqa: BLE001
+        return 0
+    base_buckets = 1 << LSH_BAND_BITS
+    if n <= LSH_TARGET_BUCKET_LOAD * base_buckets:
+        return 0
+    return min(
+        LSH_EXTRA_BITS_MAX,
+        math.ceil(math.log2(n / (LSH_TARGET_BUCKET_LOAD * base_buckets))),
+    )
+
+
+def _lsh_extra_bit_exprs(band: int, extra: int) -> list[str]:
+    """Pair-difference hyperplane bits widening `band`'s signature:
+    bit e is sign(x[i] - x[j]) with (i, j) drawn deterministically from
+    (band, e) — a valid random-hyperplane family (normal e_i - e_j)
+    that is linearly independent of the single-dimension base bits, so
+    the widened buckets split evenly. Cheap: two element_at per bit."""
+    exprs = []
+    for e in range(extra):
+        i = (LSH_BAND_BITS * band + e) % 64
+        j = (i + 17 + 3 * e) % 64  # offset never 0 mod 64 for e <= 15
+        exprs.append(
+            f"(CASE WHEN cast(element_at(embedding, {i + 1}) as double) - "
+            f"cast(element_at(embedding, {j + 1}) as double) > 0 "
+            f"THEN {1 << (LSH_BAND_BITS + e)} ELSE 0 END)"
+        )
+    return exprs
+
 
 def _embedding_lsh_sql_duckdb() -> str:
     """DuckDB twin of the banded sign-LSH near-dup — the bucketing is fully
@@ -941,15 +996,27 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands -> higher recall, more candidates. The candidate join is on
     (band, bucket) — bounded fan-out, no O(n^2) stage. The bucketing is
     deterministic, so a DuckDB oracle verifies it exactly; recall vs the
-    exact baseline is measured in tests/test_llm.py."""
+    exact baseline is measured in tests/test_llm.py.
+
+    Corpus-scaling gate: above LSH_TARGET_BUCKET_LOAD * 2^8 vectors the
+    band signatures gain _lsh_extra_bits footer-gated hyperplane bits,
+    keeping bucket load (and hence the candidate join) LINEAR in the
+    corpus — the fixed-2^8 version measured 702M candidate pairs at
+    200k vectors (see the LSH_TARGET_BUCKET_LOAD comment). The gate is
+    0 at every oracle scale factor, so this plan and the DuckDB twin
+    stay bit-identical where the driver hash-compares them."""
     emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
     n = emb.selectExpr("vec_id", "embedding", f"{_norm_expr('spark', 'embedding')} AS nrm")
+    extra = _lsh_extra_bits(sf_dir)
     band_rows = []
     for band in range(LSH_BANDS):
         bits = " + ".join(
-            f"(CASE WHEN cast(element_at(embedding, {band * LSH_BAND_BITS + i + 1}) as double) > 0"
-            f" THEN {1 << i} ELSE 0 END)"
-            for i in range(LSH_BAND_BITS)
+            [
+                f"(CASE WHEN cast(element_at(embedding, {band * LSH_BAND_BITS + i + 1}) as double) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+                for i in range(LSH_BAND_BITS)
+            ]
+            + _lsh_extra_bit_exprs(band, extra)
         )
         band_rows.append(f"struct(cast({band} as int) AS band, ({bits}) AS bucket)")
     # bands carry only (vec_id, band, bucket): the candidate self-join
