@@ -2022,9 +2022,18 @@ def median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECURSIVE_BOM_SQL = """
     WITH RECURSIVE
     e AS (
+        -- one equi-join per child arity, unioned: the OR-of-equalities
+        -- form has no hash-joinable key, so Spark planned a nested-loop
+        -- comparison of part x part — fine at sf0.1 (200k parts), but
+        -- the round-10 full-schema sf10 sweep measured it still running
+        -- after 50 minutes at 2M parts (~4e12 comparisons). Each UNION
+        -- branch is a plain equi hash join: linear, shuffle-partitioned.
         SELECT p.p_partkey AS parent, c.p_partkey AS child
-        FROM {part} p JOIN {part} c
-          ON c.p_partkey = p.p_partkey * 2 OR c.p_partkey = p.p_partkey * 2 + 1
+        FROM {part} p JOIN {part} c ON c.p_partkey = p.p_partkey * 2
+        WHERE p.p_partkey >= 1
+        UNION ALL
+        SELECT p.p_partkey AS parent, c.p_partkey AS child
+        FROM {part} p JOIN {part} c ON c.p_partkey = p.p_partkey * 2 + 1
         WHERE p.p_partkey >= 1
     ),
     reach(root, node, depth) AS (
@@ -2055,6 +2064,12 @@ RECURSIVE_BOM_SQL = """
     "DuckDB as the oracle.",
 )
 def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the default recursion guardrail (spark.sql.cteRecursionRowLimit,
+    # 1M rows) trips at sf10: the 10-root closure over a 2M-key binary
+    # tree accumulates ~6.7M reach rows — legitimate output, not a
+    # runaway. Raise the ceiling well past any tested decade; the level
+    # limit (100) stays, which is the guard that catches true cycles.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1 << 30))
     part = load(spark, sf_dir, ("part",))["part"]
     part.createOrReplaceTempView("__bom_part")
     return spark.sql(RECURSIVE_BOM_SQL.format(part="__bom_part"))
