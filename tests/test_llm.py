@@ -241,3 +241,25 @@ def test_maxsim_matches_numpy(spark):
     order = np.lexsort((ids[mask], -scores[mask]))
     top = [(ids[mask][i], scores[mask][i]) for i in order[:MAXSIM_TOP]]
     assert list(zip(out.vec_id, out.maxsim)) == top
+
+
+def test_jl_matrix_literal(spark):
+    """The JL projection's driver-side literal sign matrix (hashlib md5
+    parity) must equal the SQL expression form (textops.tok_hash60
+    parity) cell-for-cell — the equality that lets the Spark plan
+    constant-fold the matrix while the DuckDB oracle keeps the
+    expression (round-10 rework: inline per-row md5 measured 258 s at
+    the 200k-vector sf10; the literal form runs in 14 s)."""
+    import hashlib
+
+    from tracy_matdb_spark.queries.llm import JL_D, JL_K, _jl_sign
+
+    rows = spark.sql(
+        f"SELECT i, j, {_jl_sign('spark')} AS s FROM "
+        f"(SELECT explode(sequence(0, {JL_D - 1})) AS i) "
+        f"CROSS JOIN (SELECT explode(sequence(0, {JL_K - 1})) AS j)"
+    ).collect()
+    assert len(rows) == JL_D * JL_K
+    for r in rows:
+        h = hashlib.md5(f"jl|{r.i}_{r.j}".encode()).hexdigest()[:15]
+        assert (1 if int(h, 16) % 2 == 0 else -1) == r.s, (r.i, r.j)

@@ -1860,15 +1860,34 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     by count — no float accumulation anywhere.
 
     Plan shape: ZERO joins — the projection matrix is a pure hash
-    function of (i, j), evaluated inline inside nested array lambdas
-    (whole-stage-codegen'd, embarrassingly parallel), then one keyed
-    agg on label. At 100 TB the same shape holds; if the inline
-    {JL_D}x{JL_K} hash evaluation per row ever dominates, precompute R
-    once and broadcast it — the dataflow is otherwise identical."""
+    function of (i, j), then one keyed agg on label. Until round 10 the
+    md5 parity was evaluated INLINE per row ({JL_K}x{JL_D} = 1024 md5s
+    per vector, 205M at the sf10 200k-vector corpus — measured 258 s,
+    the sweep's slowest query); since the matrix is constant, it is now
+    computed ONCE driver-side (hashlib md5, verified bit-identical to
+    the SQL expression for all 1024 cells) and inlined as a literal
+    array-of-rows Catalyst constant-folds — the scan evaluates pure
+    integer multiply-adds. The DuckDB oracle keeps the expression form:
+    same matrix, same sums."""
+    import hashlib
+
     xq = "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"
+    # R[j][i] literal: sign = parity of the top-60-bit md5 of 'jl|i_j',
+    # exactly textops.tok_hash60(salt='jl') — parity equality with the
+    # SQL form is pinned by tests/test_llm.py::test_jl_matrix_literal
+    rows = []
+    for j in range(JL_K):
+        signs = ", ".join(
+            "1L"
+            if int(hashlib.md5(f"jl|{i}_{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else "-1L"
+            for i in range(JL_D)
+        )
+        rows.append(f"array({signs})")
+    r_lit = f"array({', '.join(rows)})"
     proj_j = (
-        f"aggregate(sequence(0, {JL_D - 1}), 0L, "
-        f"(acc, i) -> acc + {_jl_sign('spark')} * element_at(xq, i + 1))"
+        f"aggregate(zip_with(element_at({r_lit}, j + 1), xq, (s, x) -> s * x), "
+        f"0L, (acc, v) -> acc + v)"
     )
     emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
     per = (
