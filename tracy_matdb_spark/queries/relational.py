@@ -1399,9 +1399,17 @@ def revenue_gini_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("status")
         .agg(
             n.cast("bigint").alias("n_orders"),
+            # (n+1)*sum(cents) overflows int64 at sf10 (1.5e7 orders x
+            # 3e14 total cents ~ 4.5e21 > 2^63; caught by the round-10
+            # full-schema sweep under ANSI mode) — compute the factored
+            # terms in double: they feed a 6-decimal ratio, where the
+            # 2^-53 relative error is ~1e-16, far under the rounding
             F.round(
-                (F.sum(2.0 * F.col("i") * F.col("cents")) - (n + 1) * F.sum("cents"))
-                / (n * F.sum("cents").cast("double")),
+                (
+                    F.sum(2.0 * F.col("i") * F.col("cents"))
+                    - (n.cast("double") + 1.0) * F.sum("cents").cast("double")
+                )
+                / (n.cast("double") * F.sum("cents").cast("double")),
                 6,
             ).alias("gini"),
         )
