@@ -65,6 +65,8 @@ QUERIES_FULL = [
     "events_session_10m",  # session windowing over 10M events
     "knn_pq_embeddings",  # ADC scan at 200k vectors (PQ at corpus scale)
     "knn_batch_embeddings",  # batched brute-force corpus pass
+    "pagerank_bipartite",  # iterative fixed-point over the 15M-order graph
+    "triangle_part_graph",  # wedge-join graph analytics at 60M lineitem
 ]
 
 
