@@ -263,3 +263,51 @@ def test_jl_matrix_literal(spark):
     for r in rows:
         h = hashlib.md5(f"jl|{r.i}_{r.j}".encode()).hexdigest()[:15]
         assert (1 if int(h, 16) % 2 == 0 else -1) == r.s, (r.i, r.j)
+
+
+def test_lsh_widened_bands_keep_high_cos_recall(spark, tmp_path, monkeypatch):
+    """The corpus-scaling gate (extra hyperplane bits per band) has no
+    effect at test scale factors by design, so this forces it: with
+    LSH_TARGET_BUCKET_LOAD patched to 1, a 620-vector corpus widens
+    each band by ceil(log2(620/256)) = 2 bits. The widened plan must
+    (a) actually take the widened path, (b) still never invent pairs,
+    and (c) keep >=0.9 recall on 20 planted cos~0.97 pairs — the
+    property the extra bits must not break (cos 0.97 sign-flip prob
+    ~0.078/dim; 8 bands of 10 bits match with 1-(1-0.922^10)^8 ~ 0.98)."""
+    import numpy as np
+    import pandas as pd
+
+    import tracy_matdb_spark.queries.llm as llm
+
+    monkeypatch.setattr(llm, "LSH_TARGET_BUCKET_LOAD", 1)
+    # i != j in every pair-difference hyperplane, all bands/bits
+    for band in range(llm.LSH_BANDS):
+        for e, expr in enumerate(llm._lsh_extra_bit_exprs(band, 16)):
+            i = (llm.LSH_BAND_BITS * band + e) % 64
+            j = (i + 17 + 3 * e) % 64
+            assert i != j and f"element_at(embedding, {i + 1})" in expr
+
+    rng = np.random.RandomState(11)
+    n = 600
+    base = rng.randn(n, 64).astype("float32")
+    rows = [(i, base[i].tolist(), 0) for i in range(n)]
+    planted = []
+    vid = n
+    for i in range(20):
+        w = rng.randn(64)
+        w /= np.linalg.norm(w)
+        v = base[i] / np.linalg.norm(base[i])
+        v2 = 0.97 * v + np.sqrt(1 - 0.97**2) * w
+        planted.append((i, vid))
+        rows.append((vid, v2.astype("float32").tolist(), 0))
+        vid += 1
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        str(tmp_path / "embeddings.parquet"), index=False
+    )
+    assert llm._lsh_extra_bits(str(tmp_path)) == 2  # the gate fired
+    out = llm.embedding_lsh_near_dup(spark, str(tmp_path)).toPandas()
+    exact = llm.embedding_near_dup_exact(spark, str(tmp_path)).toPandas()
+    assert set(zip(out.vec_a, out.vec_b)) <= set(zip(exact.vec_a, exact.vec_b))
+    found = set(zip(out.vec_a, out.vec_b))
+    hits = sum(1 for a, b in planted if (a, b) in found or (b, a) in found)
+    assert hits / len(planted) >= 0.9, f"widened recall {hits}/{len(planted)}"
