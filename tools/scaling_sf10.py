@@ -134,6 +134,28 @@ def run_full() -> dict:
         if ratio > RATIO_THRESHOLD:
             flagged.append(name)
         print(f"{name}: {rows[name]}", flush=True)
+
+    # streaming ingest (SURVEY 2.11): same warm best-of-2 via its own
+    # availableNow fixture, mirroring the sf1 block — the third decade
+    # for the streaming family (10M events at sf10)
+    from tracy_matdb_spark.streaming.ingest import streaming_ingest_bench
+
+    def _stream_time(sf_dir: str) -> float:
+        streaming_ingest_bench(spark, sf_dir)  # warmup
+        return min(streaming_ingest_bench(spark, sf_dir)["sec"] for _ in range(2))
+
+    t_small = _stream_time(SF1_FULL)
+    t_large = _stream_time(LARGE)
+    ratio = round(t_large / max(t_small, 1e-9), 2)
+    rows["streaming_incremental_dedup"] = {
+        "sec_sf1": round(t_small, 3),
+        "sec_sf10": round(t_large, 3),
+        "ratio": ratio,
+        "flagged": ratio > RATIO_THRESHOLD,
+    }
+    if ratio > RATIO_THRESHOLD:
+        flagged.append("streaming_incremental_dedup")
+    print(f"streaming_incremental_dedup: {rows['streaming_incremental_dedup']}", flush=True)
     spark.stop()
     return {
         "metric": "scaling_ratio_sf1_to_sf10_full_schema",
