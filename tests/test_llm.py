@@ -20,9 +20,11 @@ def test_lsh_candidates_subset_of_exact(spark):
     # banded sign-LSH at cos>=0.4 is a coarse prefilter on this
     # near-orthogonal corpus (max pair sim_q is ~0.48 — no high-cos
     # regime exists here; test_lsh_planted_high_cos_pairs covers that).
-    # Measured 0.318 at SF_SMOKE; pinned to measured-minus-margin so a
-    # banding regression fails instead of sliding under a 5% floor.
-    assert recall >= 0.25, f"recall {recall:.2%}"
+    # The fixture and plan are deterministic, so the measured 0.318 is
+    # exact run-to-run: pin just under it — a one-band regression
+    # (roughly halves low-cos recall) fails here, and any floor loose
+    # enough that a mostly-broken LSH passes is gone (r10 verdict #4).
+    assert recall >= 0.30, f"recall {recall:.2%}"
 
 
 def test_lsh_planted_high_cos_pairs(spark, tmp_path):

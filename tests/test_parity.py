@@ -23,6 +23,7 @@ def test_query_parity(name, spark, duck):
     if q.oracle is None:
         assert len(spark_pdf) >= 0  # rows-only check
         return
-    duck_pdf = duck.execute(q.oracle).df()
+    oracle = q.oracle_fn(SF_SMOKE) if q.oracle_fn is not None else q.oracle
+    duck_pdf = duck.execute(oracle).df()
     problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"

@@ -80,6 +80,18 @@ def compare(old: dict, new: dict, use_min: bool = False) -> dict:
     key = "queries_min" if use_min else "queries"
     qo = old.get(key) or old["queries"]
     qn = new.get(key) or new["queries"]
+    if use_min:
+        # an artifact without queries_min silently falling back to the
+        # medians block would compare unlike bases (min vs median)
+        # without the protocol warning — say so explicitly
+        for label, art in (("old", old), ("new", new)):
+            if not art.get(key):
+                print(
+                    f"WARNING: --min requested but the {label} artifact has "
+                    "no queries_min block; falling back to its medians — "
+                    "min-vs-median deltas are NOT comparable",
+                    file=sys.stderr,
+                )
     io_ = old.get("queries_iqr", {})
     in_ = new.get("queries_iqr", {})
     rows: dict[str, dict] = {}
@@ -135,9 +147,10 @@ def main() -> None:
         if r["verdict"] == "broken":
             print(f"{name:<{w}}  BROKEN ({r['old_s']} -> {r['new_s']})", file=sys.stderr)
             continue
+        pct = f"{r['delta_pct']:+6.1f}%" if r["delta_pct"] is not None else "   n/a"
         print(
             f"{name:<{w}}  {r['old_s']:>7.3f} -> {r['new_s']:>7.3f}  "
-            f"{r['delta_s']:+7.3f} ({r['delta_pct']:+6.1f}%)  "
+            f"{r['delta_s']:+7.3f} ({pct})  "
             f"iqr±{r['iqr_envelope_s']:.3f}  {r['verdict']}",
             file=sys.stderr,
         )

@@ -105,8 +105,9 @@ def main() -> int:
             if not ok:
                 failures += 1
             continue
+        oracle = q.oracle_fn(sf_dir) if q.oracle_fn is not None else q.oracle
         try:
-            duck_pdf = con.execute(q.oracle).df()
+            duck_pdf = con.execute(oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1

@@ -27,6 +27,12 @@ class Query:
     oracle: str | None
     headline: bool = False  # included in bench.py's timed set
     doc: str = ""
+    # Scale-dependent oracle: f(sf_dir) -> SQL, for queries whose plan
+    # is footer-stat-gated (e.g. embedding-LSH band widening). The
+    # static ``oracle`` stays the driver-facing string (the gate is 0
+    # at every driver SF); local parity tools prefer ``oracle_fn`` so
+    # hash parity holds at sf1+ too, not only below the gate.
+    oracle_fn: Callable[[str], str] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -40,11 +46,24 @@ INVALIDATED_BEFORE: dict[str, int] = {
 }
 
 
-def register(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    doc: str = "",
+    oracle_fn: Callable[[str], str] | None = None,
+):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, headline=headline, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            headline=headline,
+            doc=doc or (fn.__doc__ or ""),
+            oracle_fn=oracle_fn,
+        )
         return fn
 
     return deco

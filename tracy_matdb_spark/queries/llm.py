@@ -918,14 +918,25 @@ def _lsh_extra_bits(sf_dir: str) -> int:
     """Extra sign-bits per band so that 2^(8+extra) buckets keep the
     expected bucket load near LSH_TARGET_BUCKET_LOAD. O(1) parquet
     footer read, no Spark job (the pagerank/spans gate pattern). Stat
-    failure returns 0 — the scan itself would fail on an unreadable
-    table, so there is no scale exposure on that path."""
+    failure assumes a LARGE corpus (max widening) — the conservative
+    direction, matching _corpus_scaled_side's 'stat unavailable ->
+    huge' convention: a footer read Spark's scan tolerates (part-files
+    without .parquet suffix, a pyarrow quirk) must not silently
+    re-expose the quadratic candidate blowup; narrow-recall on a small
+    corpus fails loudly in parity, quadratic candidates at 100 TB
+    fail the cluster."""
     import math
+    import warnings
 
     try:
         n = table_num_rows(sf_dir, "embeddings")
-    except Exception:  # noqa: BLE001
-        return 0
+    except Exception as e:  # noqa: BLE001
+        warnings.warn(
+            f"embeddings footer stat failed under {sf_dir!r} ({e}); "
+            "assuming large corpus (max LSH band widening)",
+            stacklevel=2,
+        )
+        return LSH_EXTRA_BITS_MAX
     base_buckets = 1 << LSH_BAND_BITS
     if n <= LSH_TARGET_BUCKET_LOAD * base_buckets:
         return 0
@@ -953,13 +964,31 @@ def _lsh_extra_bit_exprs(band: int, extra: int) -> list[str]:
     return exprs
 
 
-def _embedding_lsh_sql_duckdb() -> str:
+def _embedding_lsh_sql_duckdb(extra: int = 0) -> str:
     """DuckDB twin of the banded sign-LSH near-dup — the bucketing is fully
-    deterministic (dimension signs), so the scale path is hash-verifiable."""
+    deterministic (dimension signs), so the scale path is hash-verifiable.
+
+    ``extra`` mirrors _lsh_extra_bits: the widened pair-difference
+    hyperplane bits are the same pure-Python formula on both dialects
+    (band is a SQL column here, unrolled Python there — identical
+    (i, j) per (band, e)), so oracle parity holds at EVERY corpus size,
+    not only where the gate is 0. The static registration keeps
+    extra=0 (true at all driver SFs); tools/check_parity.py and the
+    parity tests use the registered oracle_fn, which threads the live
+    footer-gated count."""
+    extra_bits = [
+        f"(CASE WHEN cast(embedding[((band * {LSH_BAND_BITS} + {e}) % 64) + 1] as double)"
+        f" - cast(embedding[(((band * {LSH_BAND_BITS} + {e}) % 64) + {17 + 3 * e}) % 64 + 1] as double) > 0"
+        f" THEN {1 << (LSH_BAND_BITS + e)} ELSE 0 END)"
+        for e in range(extra)
+    ]
     bucket = " + ".join(
-        f"(CASE WHEN cast(embedding[band * {LSH_BAND_BITS} + {i + 1}] as double) > 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i in range(LSH_BAND_BITS)
+        [
+            f"(CASE WHEN cast(embedding[band * {LSH_BAND_BITS} + {i + 1}] as double) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BAND_BITS)
+        ]
+        + extra_bits
     )
     sim = (
         f"cast(floor(({_dot_expr('duckdb', 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm))"
@@ -988,7 +1017,11 @@ def _embedding_lsh_sql_duckdb() -> str:
     """
 
 
-@register("embedding_lsh_near_dup", oracle=_embedding_lsh_sql_duckdb())
+@register(
+    "embedding_lsh_near_dup",
+    oracle=_embedding_lsh_sql_duckdb(),
+    oracle_fn=lambda sf_dir: _embedding_lsh_sql_duckdb(_lsh_extra_bits(sf_dir)),
+)
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRIMARY near-dup query — banded sign-LSH. Each vector gets
     LSH_BANDS buckets (LSH_BAND_BITS dimension-signs each); pairs sharing

@@ -2077,10 +2077,22 @@ def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tree accumulates ~6.7M reach rows — legitimate output, not a
     # runaway. Raise the ceiling well past any tested decade; the level
     # limit (100) stays, which is the guard that catches true cycles.
+    # The conf is read at EXECUTION time (measured: restore-before-
+    # action loses the override), so to keep the raised ceiling from
+    # leaking to every later recursive CTE on the shared session, run
+    # the recursion eagerly inside the raised scope (the closure
+    # aggregates to ~10 rows — the checkpoint is trivially small) and
+    # restore the prior value in the finally.
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(1 << 30))
-    part = load(spark, sf_dir, ("part",))["part"]
-    part.createOrReplaceTempView("__bom_part")
-    return spark.sql(RECURSIVE_BOM_SQL.format(part="__bom_part"))
+    try:
+        part = load(spark, sf_dir, ("part",))["part"]
+        part.createOrReplaceTempView("__bom_part")
+        return spark.sql(RECURSIVE_BOM_SQL.format(part="__bom_part")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 @register(

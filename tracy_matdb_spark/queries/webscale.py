@@ -456,8 +456,12 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
     t1 = _t.time()
     _mat(tail)
     full_tail_s = _t.time() - t1
-    iters_s = [round(cums[0], 3)] + [
-        round(cums[k] - cums[k - 1], 3) for k in range(1, PR_ITERS)
+    # clamp at 0: per-iteration cost is a DIFFERENCE of cumulative
+    # noop-job wall times, and at smoke SF the marginal cost sits below
+    # per-job scheduler jitter, so cums[k] < cums[k-1] is plausible —
+    # telemetry-only values, a tiny negative is jitter, not time travel
+    iters_s = [round(max(0.0, cums[0]), 3)] + [
+        round(max(0.0, cums[k] - cums[k - 1]), 3) for k in range(1, PR_ITERS)
     ]
     tail_s = full_tail_s - cums[-1]
     return {
