@@ -67,6 +67,19 @@ QUERIES_FULL = [
     "knn_batch_embeddings",  # batched brute-force corpus pass
     "pagerank_bipartite",  # iterative fixed-point over the 15M-order graph
     "triangle_part_graph",  # wedge-join graph analytics at 60M lineitem
+    # the widened-LSH gate fires for real here (200k vectors -> extra
+    # band bits): track the linear-candidates behavior as a ratio, not
+    # a one-off STRESS_SF10 note (round-10 verdict item #6)
+    "embedding_lsh_near_dup",
+]
+
+# Typed-state streaming rows carry STATE TELEMETRY alongside wall time:
+# occupied state rows at each decade, so "state scales with near-dup
+# structure / key count, not stream length" (streaming_lsh_first_seen's
+# docstring claim) is a measured fact (round-10 verdict item #5).
+QUERIES_TWS = [
+    "streaming_minhash_dedup_tws",  # per-bucket ValueState across 3 resumed runs
+    "events_stateful_totals_tws",  # per-user typed state over 10M events
 ]
 
 
@@ -129,6 +142,40 @@ def run_full() -> dict:
             "sec_sf1": round(t_small, 3),
             "sec_sf10": round(t_large, 3),
             "ratio": ratio,
+            "flagged": ratio > RATIO_THRESHOLD,
+        }
+        if ratio > RATIO_THRESHOLD:
+            flagged.append(name)
+        print(f"{name}: {rows[name]}", flush=True)
+
+    # typed-state (transformWithStateInPandas) rows with state-store
+    # telemetry: time like any query, then read the state-row count the
+    # stream's final progress recorded (windows.LAST_STREAM_PROGRESS)
+    from tracy_matdb_spark.streaming import windows as _w
+
+    for name in QUERIES_TWS:
+        fn = registry[name].fn
+        out: dict[str, dict] = {}
+        for sf_label, sf_dir in (("sf1", SF1_FULL), ("sf10", LARGE)):
+            t = _warm_time(spark, fn, sf_dir)
+            prog = _w.LAST_STREAM_PROGRESS.get(name, {})
+            out[sf_label] = {
+                "sec": round(t, 3),
+                "state_rows": prog.get("state_rows_total", -1),
+            }
+        ratio = round(out["sf10"]["sec"] / max(out["sf1"]["sec"], 1e-9), 2)
+        srow_ratio = (
+            round(out["sf10"]["state_rows"] / max(out["sf1"]["state_rows"], 1), 2)
+            if out["sf1"]["state_rows"] > 0
+            else -1.0
+        )
+        rows[name] = {
+            "sec_sf1": out["sf1"]["sec"],
+            "sec_sf10": out["sf10"]["sec"],
+            "ratio": ratio,
+            "state_rows_sf1": out["sf1"]["state_rows"],
+            "state_rows_sf10": out["sf10"]["state_rows"],
+            "state_rows_ratio": srow_ratio,
             "flagged": ratio > RATIO_THRESHOLD,
         }
         if ratio > RATIO_THRESHOLD:

@@ -2078,6 +2078,15 @@ def streaming_minhash_dedup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+            if i == SMD_BATCHES - 1:
+                # final resumed run: its state store holds EVERY
+                # occupied (band, sig) bucket across all three runs —
+                # the number the "state scales with occupied buckets,
+                # not stream length" claim is checked against
+                # (tools/scaling_sf10.py reads this)
+                from tracy_matdb_spark.streaming.windows import record_stream_progress
+
+                record_stream_progress(q, "streaming_minhash_dedup_tws")
             # No micro-batch-count pin anymore: the round-9 version
             # required each staged range to land in ONE micro-batch
             # (ascending-arrival precondition); the order-free

@@ -29,6 +29,32 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+# Last-terminated-stream telemetry, keyed by query name: state-store
+# row counts so claims like "state scales with occupied buckets, not
+# stream length" (streaming_lsh_first_seen) are MEASURED per run, not
+# asserted. Populated by every run_*_to_completion helper and by
+# record_stream_progress for hand-rolled query loops; consumed by
+# tools/scaling_sf10.py's tws rows. Telemetry only — never read by a
+# query's own plan.
+LAST_STREAM_PROGRESS: dict[str, dict] = {}
+
+
+def record_stream_progress(q, query_name: str) -> None:
+    """Stash state-operator row counts from a (possibly terminated)
+    StreamingQuery's last progress. Safe to call after awaitTermination;
+    swallows everything — telemetry must never fail a query."""
+    try:
+        p = q.lastProgress or {}
+        ops = p.get("stateOperators") or []
+        LAST_STREAM_PROGRESS[query_name] = {
+            "state_rows_total": sum(int(o.get("numRowsTotal") or 0) for o in ops),
+            "state_rows_updated": sum(int(o.get("numRowsUpdated") or 0) for o in ops),
+            "n_state_operators": len(ops),
+        }
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, normalized to
     (ts_ns BIGINT nanos, ts TimestampType micros) like catalog.load_events.
@@ -116,6 +142,7 @@ def run_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        record_stream_progress(q, query_name)
     finally:
         q.stop()
     return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
@@ -187,6 +214,7 @@ def run_stateful_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
         data_batches = sum(
             1 for p in q.recentProgress if p["numInputRows"] > 0
         )
+        record_stream_progress(q, query_name)
     finally:
         q.stop()
     if data_batches > 1:
@@ -269,6 +297,7 @@ def run_append_to_completion(df: DataFrame, query_name: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        record_stream_progress(q, query_name)
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}")
