@@ -231,6 +231,12 @@ def main() -> None:
                 "broken": sorted(broken),
                 "queries_n_samples": n_samples,
                 "reps": REPS,
+                # exact per-round run order (BENCH_DRIFT_r11: run
+                # position carries ±30-50% bias on sub-second queries —
+                # cross-artifact per-query deltas are only comparable
+                # under matched order, so the order is now recorded)
+                "run_order": [name for name, _ in headline]
+                + ["streaming_incremental_dedup"],
                 "streaming_detail": streaming_detail,
                 "pagerank_breakdown": pr_breakdown,
                 "sf": sf,

@@ -709,3 +709,23 @@ def test_streaming_lsh_out_of_order_batches_reconcile(spark, tmp_path):
         assert n_conf_100 == n_bands_100
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_progress_keyed_by_registry_name(spark):
+    """tools/scaling_sf10.py reads LAST_STREAM_PROGRESS by REGISTRY name,
+    while the run_* helpers sink under short memory-table names — the
+    round-11 key mismatch made state_rows silently read -1 for
+    events_stateful_totals_tws. Pin the contract: after each stateful
+    registry query runs, its registry name maps to positive state rows."""
+    tws_queries = [
+        "events_stateful_totals",
+        "events_stateful_totals_tws",
+        "events_typemap_tws",
+        "streaming_minhash_dedup_tws",
+    ]
+    for name in tws_queries:
+        S.LAST_STREAM_PROGRESS.pop(name, None)
+        REGISTRY[name].fn(spark, SF_SMOKE).collect()
+        prog = S.LAST_STREAM_PROGRESS.get(name)
+        assert prog is not None, f"{name}: no LAST_STREAM_PROGRESS entry under registry name"
+        assert prog["state_rows_total"] > 0, f"{name}: non-positive state rows {prog}"

@@ -114,12 +114,19 @@ def compare(old: dict, new: dict, use_min: bool = False) -> dict:
             "verdict": ("real" if real else "noise"),
         }
     common = [r for r in rows.values() if r["verdict"] != "broken"]
+    # BENCH_DRIFT_r11: run position biases sub-second queries ±30-50%,
+    # so per-query deltas are only attributable under matched run order.
+    # Artifacts before round 12 don't record order — that's "unknown",
+    # which is also not a matched-order comparison.
+    oo, no = old.get("run_order"), new.get("run_order")
+    order_known = oo is not None and no is not None
     return {
         "metric": "bench_compare",
         "basis": key,
         "old_metric": old.get("metric"),
         "new_metric": new.get("metric"),
         "protocol_mismatch": old.get("metric") != new.get("metric"),
+        "run_order_match": (oo == no) if order_known else None,
         "n_common": len(rows),
         "n_real": n_real,
         "total_old_s": round(sum(r["old_s"] for r in common), 3),
@@ -140,6 +147,22 @@ def main() -> None:
             f"{result['new_metric']}) — medians are not comparable across "
             "the r8->r9 protocol change; rerun with --min for the "
             "cross-era min-to-min basis",
+            file=sys.stderr,
+        )
+    if result["run_order_match"] is False:
+        print(
+            "WARNING: run orders differ between the artifacts — "
+            "BENCH_DRIFT_r11 measured ±30-50% run-position bias on "
+            "sub-second queries; per-query verdicts below are NOT "
+            "attributable to code",
+            file=sys.stderr,
+        )
+    elif result["run_order_match"] is None:
+        print(
+            "note: at least one artifact predates run-order recording "
+            "(round <12); matched-order comparison cannot be verified. "
+            "Per-query deltas under ~0.3s are not actionable on this box "
+            "(BENCH_DRIFT_r11)",
             file=sys.stderr,
         )
     w = max((len(n) for n in result["queries"]), default=10)

@@ -159,9 +159,21 @@ def run_full() -> dict:
         for sf_label, sf_dir in (("sf1", SF1_FULL), ("sf10", LARGE)):
             t = _warm_time(spark, fn, sf_dir)
             prog = _w.LAST_STREAM_PROGRESS.get(name, {})
+            state_rows = prog.get("state_rows_total", -1)
+            if state_rows < 0:
+                # the whole point of this block is MEASURED state growth;
+                # a missing/negative reading means the query stopped
+                # recording progress under its registry name — publishing
+                # -1 would silently void the measurement
+                raise SystemExit(
+                    f"scaling_sf10 --full: {name} recorded no state-row "
+                    f"telemetry under its registry name at {sf_label} "
+                    "(LAST_STREAM_PROGRESS key missing or negative); "
+                    "refusing to publish a -1 state_rows row"
+                )
             out[sf_label] = {
                 "sec": round(t, 3),
-                "state_rows": prog.get("state_rows_total", -1),
+                "state_rows": state_rows,
             }
         ratio = round(out["sf10"]["sec"] / max(out["sf1"]["sec"], 1e-9), 2)
         srow_ratio = (

@@ -240,7 +240,11 @@ def events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_events_stream(spark, sf_dir)
-    out = run_stateful_to_completion(stateful_user_totals(ev), "stateful_totals_q")
+    out = run_stateful_to_completion(
+        stateful_user_totals(ev),
+        "stateful_totals_q",
+        registry_name="events_stateful_totals",
+    )
     return out.orderBy("user_id")
 
 
@@ -365,7 +369,9 @@ def events_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = read_events_stream(spark, sf_dir)
         out = run_stateful_to_completion(
-            stateful_user_totals_tws(ev), "stateful_totals_tws_q"
+            stateful_user_totals_tws(ev),
+            "stateful_totals_tws_q",
+            registry_name="events_stateful_totals_tws",
         )
         # the memory-sink table survives the provider reset below; the
         # returned plan reads from it, not from the stream
@@ -412,7 +418,9 @@ def events_typemap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ev = read_events_stream(spark, sf_dir)
         out = run_stateful_to_completion(
-            stateful_typemap_tws(ev), "typemap_tws_q"
+            stateful_typemap_tws(ev),
+            "typemap_tws_q",
+            registry_name="events_typemap_tws",
         )
         out = out.orderBy("user_id").localCheckpoint(eager=True)
     finally:

@@ -463,7 +463,7 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
     iters_s = [round(max(0.0, cums[0]), 3)] + [
         round(max(0.0, cums[k] - cums[k - 1]), 3) for k in range(1, PR_ITERS)
     ]
-    tail_s = full_tail_s - cums[-1]
+    tail_s = max(0.0, full_tail_s - cums[-1])
     return {
         "total_s": round(build_s + exec_s, 3),
         # driver-visible construction cost: AQE stage materialization of

@@ -39,18 +39,25 @@ EVENTS_SCHEMA = T.StructType(
 LAST_STREAM_PROGRESS: dict[str, dict] = {}
 
 
-def record_stream_progress(q, query_name: str) -> None:
+def record_stream_progress(q, query_name: str, registry_name: str | None = None) -> None:
     """Stash state-operator row counts from a (possibly terminated)
     StreamingQuery's last progress. Safe to call after awaitTermination;
-    swallows everything — telemetry must never fail a query."""
+    swallows everything — telemetry must never fail a query.
+
+    `query_name` is the memory-sink name; consumers (tools/scaling_sf10.py)
+    look up by REGISTRY name, so callers whose sink name differs must pass
+    `registry_name` — the entry is recorded under both keys."""
     try:
         p = q.lastProgress or {}
         ops = p.get("stateOperators") or []
-        LAST_STREAM_PROGRESS[query_name] = {
+        entry = {
             "state_rows_total": sum(int(o.get("numRowsTotal") or 0) for o in ops),
             "state_rows_updated": sum(int(o.get("numRowsUpdated") or 0) for o in ops),
             "n_state_operators": len(ops),
         }
+        LAST_STREAM_PROGRESS[query_name] = entry
+        if registry_name and registry_name != query_name:
+            LAST_STREAM_PROGRESS[registry_name] = entry
     except Exception:  # noqa: BLE001
         pass
 
@@ -131,7 +138,9 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
-def run_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
+def run_to_completion(
+    agg: DataFrame, query_name: str, registry_name: str | None = None
+) -> DataFrame:
     """Drive a streaming aggregation over a finite file source to completion
     and return the final result as a batch DataFrame (memory sink)."""
     q = (
@@ -142,7 +151,7 @@ def run_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        record_stream_progress(q, query_name)
+        record_stream_progress(q, query_name, registry_name)
     finally:
         q.stop()
     return agg.sparkSession.sql(f"SELECT * FROM {query_name}")
@@ -195,7 +204,9 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stateful_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
+def run_stateful_to_completion(
+    agg: DataFrame, query_name: str, registry_name: str | None = None
+) -> DataFrame:
     """Drive an update-mode stateful stream over a finite source; the
     memory sink holds one row per key per micro-batch that touched the
     key, so the result is only the final state if exactly one batch
@@ -214,7 +225,7 @@ def run_stateful_to_completion(agg: DataFrame, query_name: str) -> DataFrame:
         data_batches = sum(
             1 for p in q.recentProgress if p["numInputRows"] > 0
         )
-        record_stream_progress(q, query_name)
+        record_stream_progress(q, query_name, registry_name)
     finally:
         q.stop()
     if data_batches > 1:
@@ -285,7 +296,9 @@ def interval_join_stream(events: DataFrame, range_secs: int = 600, watermark: st
     return err.join(clk, cond, "inner").select("err_id", "click_id")
 
 
-def run_append_to_completion(df: DataFrame, query_name: str) -> DataFrame:
+def run_append_to_completion(
+    df: DataFrame, query_name: str, registry_name: str | None = None
+) -> DataFrame:
     """Drive an append-mode stream (joins, dedup, row-level transforms)
     over a finite source to completion; memory sink accumulates all
     appended rows."""
@@ -297,7 +310,7 @@ def run_append_to_completion(df: DataFrame, query_name: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
-        record_stream_progress(q, query_name)
+        record_stream_progress(q, query_name, registry_name)
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}")
