@@ -194,6 +194,19 @@ def run_full() -> dict:
             flagged.append(name)
         print(f"{name}: {rows[name]}", flush=True)
 
+    # pagerank per-iteration attribution (round-10 verdict item #3 /
+    # round-11 item #2): run the instrumented twin at both decades so
+    # the block-worst pagerank_bipartite ratio decomposes into build vs
+    # per-iteration vs tail, and record whether the PR_BCAST_MAX_NODES
+    # gate flipped between them
+    from tracy_matdb_spark.queries.webscale import pagerank_iteration_telemetry
+
+    pr_tel: dict[str, dict] = {}
+    for sf_label, sf_dir in (("sf1", SF1_FULL), ("sf10", LARGE)):
+        pagerank_iteration_telemetry(spark, sf_dir)  # warmup
+        pr_tel[sf_label] = pagerank_iteration_telemetry(spark, sf_dir)
+        print(f"pagerank_telemetry[{sf_label}]: {pr_tel[sf_label]}", flush=True)
+
     # streaming ingest (SURVEY 2.11): same warm best-of-2 via its own
     # availableNow fixture, mirroring the sf1 block — the third decade
     # for the streaming family (10M events at sf10)
@@ -223,6 +236,7 @@ def run_full() -> dict:
         "copies of driver sf0.1, every table)",
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "queries": rows,
+        "pagerank_telemetry": pr_tel,
         "flagged": flagged,
     }
 

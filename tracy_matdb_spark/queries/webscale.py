@@ -465,6 +465,11 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
     ]
     tail_s = max(0.0, full_tail_s - cums[-1])
     return {
+        # the broadcast-gate decision and the footer-stat bound it was
+        # made from, so a cross-decade telemetry diff can say whether
+        # the PR_BCAST_MAX_NODES gate flipped between the runs
+        "bcast": bcast,
+        "node_bound": _pr_node_bound(sf_dir),
         "total_s": round(build_s + exec_s, 3),
         # driver-visible construction cost: AQE stage materialization of
         # the e0 join+distinct forced by the lazy localCheckpoint, plus
