@@ -58,7 +58,9 @@ def unpersist_all(spark) -> int:
     the next query plans."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     dropped = 0
-    for jrdd in jmap.values().toArray():
+    # py4j exposes the Java map with the Python Mapping protocol:
+    # values() yields JavaRDD proxies directly
+    for jrdd in list(jmap.values()):
         try:
             jrdd.unpersist(False)
             dropped += 1
