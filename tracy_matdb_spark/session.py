@@ -45,6 +45,14 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # generated-class cache (static conf, default 100 entries): a
+        # session serving many distinct queries churns it — measured on
+        # the 19-query interleaved bench, every pagerank rep after a
+        # full pass re-Janino-compiled 47 wholestage segments for +1.1 s
+        # (~40% of its wall; BENCH_PR_PROBE_r12.json). 2000 entries
+        # holds the whole registry's codegen resident for megabytes of
+        # bytecode.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -104,4 +112,9 @@ def cluster_conf(
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.shuffle.file.buffer": "1m",
         "spark.reducer.maxSizeInFlight": "96m",
+        # driver-side generated-class cache: a long-lived session running
+        # a mixed query workload evicts the 100-entry default and pays
+        # Janino recompiles per query (measured +1.1 s on the iterative
+        # pagerank plan, BENCH_PR_PROBE_r12.json)
+        "spark.sql.codegen.cache.maxEntries": "2000",
     }
