@@ -15,6 +15,8 @@ def test_pagerank_iteration_telemetry_shape(spark):
 
     out = pagerank_iteration_telemetry(spark, SF_SMOKE)
     assert set(out) == {
+        "bcast",
+        "node_bound",
         "total_s",
         "build_s",
         "exec_s",
@@ -28,6 +30,8 @@ def test_pagerank_iteration_telemetry_shape(spark):
     assert len(out["iters_s"]) == PR_ITERS
     assert out["build_s"] > 0 and out["exec_s"] > 0
     assert out["edges_noop_s"] > 0 and all(t >= 0 for t in out["iters_s"])
+    assert isinstance(out["bcast"], bool) and out["node_bound"] > 0
+    assert out["tail_s"] >= 0
     # the round-10 contract: the decomposition must account for the
     # whole measured path — parts and total within 35% of each other
     # even on the tiny smoke sf, where fixed overheads dominate and

@@ -296,7 +296,11 @@ def test_json_props_extraction_stays_jvm_side(spark):
 # A legitimate plan change updates the budget IN THE SAME COMMIT.
 PLAN_BUDGET = {
     "corpus_e2e_rollup": (0, 3),
-    "exact_substring_spans": (1, 4),
+    # r12: dup detection folded into a min!=max window over the hash key
+    # — the localCheckpoint + distinct + agg + gated join-back of r9-r11
+    # is gone (its ~450M-row executor-storage checkpoint OOMed the
+    # fourth decade); single scan, 0 joins, wh window -> doc_id window
+    "exact_substring_spans": (0, 3),
     # r8 (second rework): each iteration is ONE join + ONE agg — the
     # per-round degree re-attach join is gone (outdeg = count(*) riding
     # the contribution shuffle, valid because in-degree == out-degree

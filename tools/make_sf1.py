@@ -165,7 +165,7 @@ def main(out_dir: str, copies: int = COPIES, skip_documents: bool = False) -> No
         print(f"{table}: {n} rows -> {dst}", flush=True)
 
 
-def documents_sf10(out_dir: str, copies: int = 100) -> None:
+def documents_sf10(out_dir: str, copies: int = 100, width: int = 2) -> None:
     """Third-decade documents table: `copies` key-shifted copies of the
     driver sf0.1 documents (sf10 at copies=100, ~10x the sf1 corpus).
     Every token is suffixed with the FIXED-WIDTH zero-padded copy
@@ -176,12 +176,13 @@ def documents_sf10(out_dir: str, copies: int = 100) -> None:
     preserved exactly. Copy 00 keeps a suffix too (unlike make-sf1's
     copy 0) so every copy pays identical per-token costs — the
     sf1-vs-sf10 ratio then compares structurally identical corpora.
-    Width is pinned to 2 for every copy count <= 100 so the 10-copy
-    comparison corpus (scaling_sf10's small side) is per-copy
-    byte-identical to the first 10 copies of the 100-copy one."""
-    assert copies <= 100
+    Width defaults to 2 (pinned for every copy count <= 100 so the
+    committed third-decade blocks stay byte-comparable); the
+    fourth-decade corpora pass width=3 on BOTH sides of their compare —
+    a ratio is only a pure 10x-rows effect when the two corpora carry
+    identical per-token suffix cost."""
+    assert copies <= 10**width, (copies, width)
     os.makedirs(out_dir, exist_ok=True)
-    width = 2
     con = duckdb.connect()
     con.execute(f"CREATE VIEW ks AS SELECT unnest(range({copies})) AS k")
     lo, hi = con.execute(
@@ -210,6 +211,19 @@ if __name__ == "__main__":
         documents_sf10(args[0] if args else "/root/repo/.localdata/sf10", copies=100)
         documents_sf10(
             args[1] if len(args) > 1 else "/root/repo/.localdata/sf1d", copies=10
+        )
+    elif "--sf100-documents" in sys.argv[1:]:
+        # fourth decade for the text family: 1000 vs 100 token-suffixed
+        # copies (5M vs 500k docs), BOTH at suffix width 3 so the ratio
+        # is a pure 10x-rows effect (the width-2 sf10 corpus is not
+        # byte-comparable to a width-3 sf100 one)
+        documents_sf10(
+            args[0] if args else "/root/repo/.localdata/sf100d", copies=1000, width=3
+        )
+        documents_sf10(
+            args[1] if len(args) > 1 else "/root/repo/.localdata/sf10dw3",
+            copies=100,
+            width=3,
         )
     elif "--sf10-full" in sys.argv[1:]:
         # full star schema + events + embeddings at 100 copies of the

@@ -117,6 +117,50 @@ def run() -> dict:
     }
 
 
+def run_sf100() -> dict:
+    """FOURTH decade for the text family: 500k vs 5M documents (100 vs
+    1000 width-3 token-suffixed copies, tools/make_sf1.py
+    --sf100-documents). The sf10-documents block proved the 2nd->3rd
+    decade; this is the decade where the working set (~2.5 GB text,
+    ~450M shingles for the n-gram family) decisively exceeds any
+    single-executor memory slice, so a quadratic candidate set or an
+    ungated broadcast fails hard instead of hiding in page cache."""
+    small, large = "/root/repo/.localdata/sf10dw3", "/root/repo/.localdata/sf100d"
+    for d in (small, large):
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            raise SystemExit(
+                "scaling_sf10 --sf100: run tools/make_sf1.py --sf100-documents first"
+            )
+    registry = load_all()
+    spark = get_session("scaling_sf100")
+    rows: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in QUERIES:
+        fn = registry[name].fn
+        t_small = _warm_time(spark, fn, small)
+        t_large = _warm_time(spark, fn, large)
+        ratio = round(t_large / max(t_small, 1e-9), 2)
+        rows[name] = {
+            "sec_sf10w3": round(t_small, 3),
+            "sec_sf100": round(t_large, 3),
+            "ratio": ratio,
+            "flagged": ratio > RATIO_THRESHOLD,
+        }
+        if ratio > RATIO_THRESHOLD:
+            flagged.append(name)
+        print(f"{name}: {rows[name]}", flush=True)
+    spark.stop()
+    return {
+        "metric": "scaling_ratio_sf10_to_sf100_documents",
+        "data_ratio": 10.0,
+        "dataset": "tools/make_sf1.py --sf100-documents (1000 vs 100 width-3 "
+        "token-suffixed copies of driver sf0.1 documents)",
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "queries": rows,
+        "flagged": flagged,
+    }
+
+
 def run_full() -> dict:
     """Third decade for the join/events/ANN families over the FULL
     star schema: sf1 (10 copies of driver sf0.1) vs sf10 (100 copies),
@@ -246,6 +290,8 @@ def main() -> None:
     path = os.path.join(root, "SCALING.json")
     if "--full" in sys.argv[1:]:
         key, result = "sf10_full", run_full()
+    elif "--sf100" in sys.argv[1:]:
+        key, result = "sf100_documents", run_sf100()
     else:
         key, result = "sf10_documents", run()
     try:

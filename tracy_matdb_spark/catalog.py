@@ -102,3 +102,35 @@ def register(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) 
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+CORPUS_CKPT_MAX_DOCS = 1_000_000  # gated_local_checkpoint default: the
+# 500k-doc corpus (sf10-documents) checkpoints fine on a 24g heap; the
+# 5M-doc one (sf100) OOMs it — executor-storage materialization of a
+# corpus-derived frame (shingles ~90 rows/doc, token layers carrying
+# the raw text) is a single-node memory cliff no join gate can save.
+
+
+def gated_local_checkpoint(
+    df: DataFrame,
+    sf_dir: str,
+    table: str = "documents",
+    max_rows: int = CORPUS_CKPT_MAX_DOCS,
+    eager: bool = False,
+) -> DataFrame:
+    """localCheckpoint(df) iff `table`'s parquet-footer row count is at
+    most max_rows, else return df unchanged. The single-scan
+    share-an-intermediate trick (operators/rank.py's single_scan, the
+    shingle-table reuse in queries/llm.py) trades executor STORAGE
+    memory for recomputation — the right trade below the gate, a
+    measured OOM above it (tools/scaling_sf10.py --sf100 killed three
+    queries this way at 5M docs / 24g heap). Above the gate each
+    consumer recomputes the frame: streaming, constant-memory, and on a
+    real cluster the map work it repeats is the cheap part of the plan.
+    Stat failure -> no checkpoint (the conservative direction, matching
+    table_num_rows' contract)."""
+    try:
+        n = table_num_rows(sf_dir, table)
+    except Exception:  # noqa: BLE001 — stat unavailable -> assume huge
+        return df
+    return df.localCheckpoint(eager=eager) if n <= max_rows else df

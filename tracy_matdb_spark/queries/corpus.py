@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tracy_matdb_spark.catalog import load
+from tracy_matdb_spark.catalog import gated_local_checkpoint, load
 from tracy_matdb_spark.functions import prng
 from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.operators.rank import grouped_prefix_sum, grouped_value_rank
@@ -303,7 +303,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact."""
     toks = textops.toks_expr("spark")
     docs = load(spark, sf_dir, ("documents",))["documents"]
-    return (
+    chunks = (
         docs.filter(F.col("n_chars") > 0)
         .selectExpr("doc_id", f"{toks} AS toks")
         .select(
@@ -317,13 +317,13 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(size(slice(toks, i, {CHUNK_W})) as bigint) AS n_chunk_toks",
             f"md5(array_join(slice(toks, i, {CHUNK_W}), ' ')) AS chunk_md5",
         )
-        # checkpoint before the global sort: tokenize+explode+md5 feeds
-        # orderBy with no shuffle boundary, so the range-partitioner's
-        # sampling job would re-run the whole chunking pipeline (the
-        # entity_resolution_pairs double-execution, r8)
-        .localCheckpoint(eager=False)
-        .orderBy("doc_id", "chunk_id")
     )
+    # checkpoint (corpus-gated) before the global sort: tokenize+explode
+    # +md5 feeds orderBy with no shuffle boundary, so the
+    # range-partitioner's sampling job would re-run the whole chunking
+    # pipeline (the entity_resolution_pairs double-execution, r8); above
+    # the gate the 2x recompute is the scale-safe trade
+    return gated_local_checkpoint(chunks, sf_dir).orderBy("doc_id", "chunk_id")
 
 
 @register(
@@ -1358,9 +1358,14 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic stage."""
     toks = textops.toks_expr("spark")
     docs = load(spark, sf_dir, ("documents",))["documents"]
-    d = docs.filter(F.col("n_chars") > 0).selectExpr(
-        "doc_id", "source", "trim(text) AS t", f"{toks} AS toks"
-    ).localCheckpoint(eager=False)  # tok layer feeds quality + both shingle sides
+    # tok layer feeds quality + both shingle sides; corpus-gated — this
+    # frame carries the raw text, the worst executor-storage tenant
+    d = gated_local_checkpoint(
+        docs.filter(F.col("n_chars") > 0).selectExpr(
+            "doc_id", "source", "trim(text) AS t", f"{toks} AS toks"
+        ),
+        sf_dir,
+    )
     q = d.selectExpr(
         "doc_id", "source", "t", "toks",
         "cast(size(toks) as bigint) AS n_tok",
@@ -1761,8 +1766,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .selectExpr("doc_id", "source", f"{h} % {DSIR_B} AS b")
-        .localCheckpoint(eager=False)  # feeds the bucket agg + scoring
     )
+    # feeds the bucket agg + scoring; corpus-gated (~2 gram rows/token)
+    feats = gated_local_checkpoint(feats, sf_dir)
     is_t = F.col("source") == EVAL_SOURCE
     # ONE keyed agg yields both per-bucket counts; the scalar totals are
     # then a rollup of the B-row result, not a third scan of the grams

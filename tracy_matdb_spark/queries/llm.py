@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tracy_matdb_spark.catalog import load, table_num_rows
+from tracy_matdb_spark.catalog import gated_local_checkpoint, load, table_num_rows
 from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.operators.graph import connected_components
 from tracy_matdb_spark.queries import register
@@ -282,7 +282,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join references the signature table TWICE: cut lineage so
     # tokenize+hash+simhash runs once, not once per side (measured ~1s
     # of the 3.7s at sf0.1; at scale this is a materialized table)
-    fp = _simhash_fp_df(spark, sf_dir).localCheckpoint(eager=False)
+    # gated: one fixed-width row per doc, but a billion-doc corpus
+    # still cannot live in executor storage
+    fp = gated_local_checkpoint(_simhash_fp_df(spark, sf_dir), sf_dir, max_rows=20_000_000)
     bands = fp.select(
         "doc_id",
         "sh",
@@ -541,7 +543,10 @@ def _jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the common-shingle verify AND the size rollup (~5 plan references):
     # cut lineage so tokenize+shingle runs once (2.5 -> 1.7 s at sf0.1;
     # minhash alone doesn't benefit — its shingles are read once)
-    shingles = _shingles_df(spark, sf_dir).localCheckpoint(eager=False)
+    # gated (r12): ~90 shingle rows/doc — the 5M-doc corpus OOMs a 24g
+    # heap when this materializes to executor storage; above the gate
+    # each consumer recomputes the tokenize+shingle map work instead
+    shingles = gated_local_checkpoint(_shingles_df(spark, sf_dir), sf_dir)
     cands = _lsh_candidate_pairs(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     sca = lambda df: _corpus_scaled_side(df, sf_dir)  # noqa: E731
@@ -1537,7 +1542,10 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the common-shingle verify AND the size rollup (~5 plan references):
     # cut lineage so tokenize+shingle runs once (2.5 -> 1.7 s at sf0.1;
     # minhash alone doesn't benefit — its shingles are read once)
-    shingles = _shingles_df(spark, sf_dir).localCheckpoint(eager=False)
+    # gated (r12): ~90 shingle rows/doc — the 5M-doc corpus OOMs a 24g
+    # heap when this materializes to executor storage; above the gate
+    # each consumer recomputes the tokenize+shingle map work instead
+    shingles = gated_local_checkpoint(_shingles_df(spark, sf_dir), sf_dir)
     cands = _lsh_candidate_pairs(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     sca = lambda df: _corpus_scaled_side(df, sf_dir)  # noqa: E731

@@ -39,10 +39,6 @@ from tracy_matdb_spark.queries import register
 # Exact-substring duplicated spans (Lee et al. 2022 style)
 # ---------------------------------------------------------------------------
 
-ESS_BCAST_MAX_DOCS = 100_000  # exact_substring_spans dup-side broadcast
-# gate: at 50k docs (sf1) the duplicated-hash set broadcasts fine; at
-# 500k (sf10) the broadcast build exhausts the 8g driver — measured, see
-# tools/scaling_sf10.py. Above the gate the join is hinted shuffle-hash.
 SPAN_K = 8  # window width in tokens (Lee et al. use 50 BPE tokens; the
 # synthetic docs are <=99 whitespace tokens, so 8 keeps multi-window
 # spans observable while staying well above chance-collision length)
@@ -82,15 +78,30 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — the exact-substring dedup of Lee et al. 2022, expressed
     relationally instead of via a suffix array.
 
-    Plan shape, scale-checked: (1) window hashes are counted per
-    (hash, doc) FIRST and then per hash — two-stage aggregation with
-    map-side combine, so a window duplicated a million times within one
-    hot document contributes one row to the global count; (2) the
-    join back to positions is a hash equi join on the md5 key (bounded
-    fan-out: one row per duplicated hash); (3) span merging is a
-    per-document gap-and-island window (partitionBy doc_id — never a
-    single-partition window). Windows whose covered ranges overlap or
-    touch (gap <= {SPAN_K}) merge into one span."""
+    Plan shape, scale-checked at the FOURTH decade (5M docs): (1) ONE
+    pass over the corpus — cross-document duplication is decided inside
+    a single window over the hash key, `min(doc_id) != max(doc_id)`
+    over partitionBy(wh) (distinct-doc-count >= 2 without a distinct, a
+    second aggregate, or a join back); a window duplicated a million
+    times within one hot document has min == max and is correctly not a
+    dup, and a pathologically hot cross-doc hash group spills through
+    WindowExec's external row buffer instead of building a hash map;
+    (2) span merging is a per-document gap-and-island window
+    (partitionBy doc_id — never a single-partition window). Windows
+    whose covered ranges overlap or touch (gap <= {SPAN_K}) merge into
+    one span.
+
+    History: the r9-r11 shape lazily localCheckpointed the exploded
+    window table (~90 positions/doc) to share it between the dup-hash
+    aggregate and the join back to positions. At 500k docs that was the
+    measured-fastest single-scan trick; at 5M docs the ~450M-row
+    checkpoint floods the executor storage pool and OOMs a 24g heap
+    (tools/scaling_sf10.py --sf100 caught it) — executor-memory
+    materialization of a corpus-sized intermediate is a scale killer no
+    gate can save. The window formulation keeps the single scan (the
+    tokenize+explode+md5 map work feeds exactly one shuffle) with only
+    shuffle-file state, needs no ESS_BCAST_MAX_DOCS-style join gate,
+    and is strictly fewer shuffles: wh window -> doc_id window, done."""
     toks = textops.toks_expr("spark")
     docs = load(spark, sf_dir, ("documents",))["documents"]
     win = (
@@ -104,37 +115,14 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id", "i", f"md5(array_join(slice(toks, i, {SPAN_K}), ' ')) AS wh"
         )
-        # the window table feeds BOTH the dup-hash aggregate and the
-        # join back to positions: lazily local-checkpoint so the
-        # tokenize+explode+md5 pipeline runs once, not once per branch
-        # (measured 2.5s -> 0.9s at sf0.1; same single_scan trade-offs
-        # as operators/rank.py).
-        .localCheckpoint(eager=False)
     )
-    dup = (
-        win.select("wh", "doc_id")
-        .distinct()
-        .groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("wh")
+    bywh = Window.partitionBy("wh")
+    hit = (
+        win.withColumn("__mn", F.min("doc_id").over(bywh))
+        .withColumn("__mx", F.max("doc_id").over(bywh))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("doc_id", "i")
     )
-    # Join strategy for dup, gated on an O(1) footer stat (same pattern
-    # as pagerank's broadcast gate): the duplicated-hash set grows
-    # linearly with the corpus, and "leave it to AQE" was MEASURED WRONG
-    # at the third decade — at 500k docs AQE broadcast-converted the
-    # ~linear dup side and died with "Not enough memory to build and
-    # broadcast" (tools/scaling_sf10.py found it). Below the gate the
-    # dup set is comfortably broadcast material and AQE converts; above
-    # it, an explicit shuffle-hash hint keeps the join co-shuffled on
-    # wh (dup is always the smaller, build side). Stat failure takes
-    # the conservative shuffle path.
-    try:
-        n_docs = table_num_rows(sf_dir, "documents")
-    except Exception:  # noqa: BLE001 — any stat failure -> don't broadcast
-        n_docs = 1 << 62
-    dup_side = dup if n_docs <= ESS_BCAST_MAX_DOCS else dup.hint("shuffle_hash")
-    hit = win.join(dup_side, "wh").select("doc_id", "i")
     byik = Window.partitionBy("doc_id").orderBy("i")
     isl = (
         hit.withColumn("prev", F.lag("i").over(byik))
