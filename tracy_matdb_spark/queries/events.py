@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tracy_matdb_spark.catalog import load_events
+from tracy_matdb_spark.catalog import gated_local_checkpoint, load_events
 from tracy_matdb_spark.queries import register
 
 ROUND2 = "cast(floor(v * cast(100 as double)) as bigint)"
@@ -1618,10 +1618,19 @@ def spatial_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     gx, gy = _geo_cols("spark")
     pts = ev.selectExpr("user_id", f"{gx} AS x", f"{gy} AS y").distinct()
-    cells = pts.selectExpr(
-        "user_id", "x", "y",
-        f"x div {GRID_CELL} AS cx", f"y div {GRID_CELL} AS cy",
-    ).localCheckpoint(eager=False)  # probe + build sides read one copy
+    # probe + build sides read one copy; gated — distinct points scale
+    # with the event table (10M events measured fine at 24g, STRESS_SF10;
+    # the decade above would hit the same executor-storage cliff the
+    # sf100 corpus sweep measured for the text family)
+    cells = gated_local_checkpoint(
+        pts.selectExpr(
+            "user_id", "x", "y",
+            f"x div {GRID_CELL} AS cx", f"y div {GRID_CELL} AS cy",
+        ),
+        sf_dir,
+        table="events",
+        max_rows=20_000_000,
+    )
     # 3x3 neighborhood by exploding a literal offset array: a pure
     # projection (x9 fan-out), no nested-loop join in the plan at all
     a = (
