@@ -48,6 +48,11 @@ QUERIES = [
     "corpus_e2e_rollup",
     "ngram_jaccard_pairs",
     "dedup_keep_best",
+    # r12: the other two near-dup pipelines (banded simhash self-join;
+    # minhash band LSH) — both newly behind gated_local_checkpoint, so
+    # the decades measure the recompute-above-gate path where it fires
+    "simhash_near_dup",
+    "minhash_lsh_pairs",
 ]
 
 # --full mode (round-10): the join/events/ANN families, which had NO
