@@ -959,9 +959,16 @@ def longest_prefix_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(u.selectExpr("doc_id", "p3 AS pfx", "3 AS plen"))
     )
     rules = spark.createDataFrame([(r,) for r in LPM_RULES], "rule string")
-    hits = cand.join(
-        F.broadcast(rules), cand["pfx"] == rules["rule"]
-    ).select("doc_id", "rule", "plen").localCheckpoint(eager=False)
+    # hits feed the per-doc max AND the pick join; <=3 rows/doc but still
+    # linear in the corpus, so the share-one-copy checkpoint is gated
+    from tracy_matdb_spark.catalog import gated_local_checkpoint
+
+    hits = gated_local_checkpoint(
+        cand.join(F.broadcast(rules), cand["pfx"] == rules["rule"]).select(
+            "doc_id", "rule", "plen"
+        ),
+        sf_dir,
+    )
     m = hits.groupBy("doc_id").agg(F.max("plen").alias("ml"))
     pick = hits.join(m, "doc_id").filter(F.col("plen") == F.col("ml"))
     return (
