@@ -204,6 +204,43 @@ def documents_sf10(out_dir: str, copies: int = 100, width: int = 2) -> None:
     print(f"documents: {n} rows -> {dst}", flush=True)
 
 
+def embeddings_scaled(out_dir: str, copies: int) -> None:
+    """`copies` copies of the driver sf0.1 embeddings under a PER-COPY
+    SIGNED PERMUTATION of the 64 dimensions — the embedding analogue of
+    the documents generator's fixed-width token suffix. A signed
+    permutation is orthogonal, so every copy's WITHIN-copy cosine
+    structure (and hence its near-dup pair set) is preserved exactly,
+    while cross-copy cosines collapse to ~N(0, 1/64) — far below any
+    near-dup threshold — so true pairs grow LINEARLY with copies.
+    (A first attempt perturbed one dimension by k*0.01 like main(): at
+    1000 copies that makes all copies of a base vector mutual near-dups
+    — ~1e9 TRUE output pairs, a quadratic corpus artifact that filled
+    74 GB of shuffle before the engine ever got to show its shape.)
+    Permutation: dim i -> (i * p_k) mod 64 with p_k odd (coprime to 64,
+    a bijection); sign flip from a hash bit of (k, i). Copy 0 is the
+    identity (byte-identical to the driver table).
+    Used by --sf100-documents for the fourth embedding decade (2M
+    vectors at copies=1000; the 200k twin from the same generator)."""
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ks AS SELECT unnest(range({copies})) AS k")
+    sql = f"""
+        SELECT vec_id + k * {R_VEC} AS vec_id,
+               CASE WHEN k = 0 THEN embedding
+                    ELSE list_transform(
+                        range(1, 65),
+                        i -> CAST(embedding[1 + ((i - 1) * (2 * k + 1)) % 64]
+                             * (CASE WHEN (hash(k * 64 + i) & 1) = 1
+                                THEN -1 ELSE 1 END) AS FLOAT))
+               END AS embedding,
+               label
+        FROM '{SRC}/embeddings.parquet' CROSS JOIN ks"""
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+    print(f"embeddings: {n} rows -> {dst}", flush=True)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--sf10-documents" in sys.argv[1:]:
@@ -224,6 +261,11 @@ if __name__ == "__main__":
             args[1] if len(args) > 1 else "/root/repo/.localdata/sf10dw3",
             copies=100,
             width=3,
+        )
+        # fourth embedding decade alongside: 2M vs 200k perturbed vectors
+        embeddings_scaled(args[0] if args else "/root/repo/.localdata/sf100d", 1000)
+        embeddings_scaled(
+            args[1] if len(args) > 1 else "/root/repo/.localdata/sf10dw3", 100
         )
     elif "--sf10-full" in sys.argv[1:]:
         # full star schema + events + embeddings at 100 copies of the
