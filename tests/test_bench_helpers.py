@@ -13,7 +13,19 @@ def test_pagerank_iteration_telemetry_shape(spark):
         pagerank_iteration_telemetry,
     )
 
-    out = pagerank_iteration_telemetry(spark, SF_SMOKE)
+    # bench.py measures the telemetry WARM (one warmup call before the
+    # recorded one), so the balance contract below is asserted on a warm
+    # call. Mid-warm sessions sit in a C2-tiering regime where the
+    # headline exec is still JIT-expensive while the decomposed replay
+    # runs off warm code (measured ratio 0.64 one call after cold, 1.05
+    # two calls after) — retry once so the tiering boundary doesn't
+    # flake the suite while a STRUCTURAL accounting hole (persistent
+    # across calls, like the pre-round-10 twin's 60%) still fails.
+    out = pagerank_iteration_telemetry(spark, SF_SMOKE)  # warmup
+    for attempt in range(2):
+        out = pagerank_iteration_telemetry(spark, SF_SMOKE)
+        if 0.65 * out["total_s"] - 0.3 <= out["parts_sum_s"] <= 1.35 * out["total_s"] + 0.3:
+            break
     assert set(out) == {
         "bcast",
         "node_bound",
