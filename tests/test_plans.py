@@ -99,6 +99,11 @@ NLJ_ALLOWED = {
     "bootstrap_ci_revenue": _SCALAR_AGG,
     "entity_consistent_split": _SCALAR_AGG,
     "dsir_importance_weights": _SCALAR_AGG,
+    # drift monitors: the global-total / value-range 1-row aggregate
+    # broadcasts (queries/drift.py); the dense source x value / bin
+    # grids themselves are built with non-foldable-key HASH joins
+    "ks_source_drift": _SCALAR_AGG,
+    "psi_source_drift": _SCALAR_AGG,
     # K-centroid broadcast per assignment round: centroids aggregate over
     # cid drawn from the vec_id 1..KM_K seed range (the bounded generator
     # is in the same build subtree)
@@ -190,6 +195,9 @@ WINDOW_ALLOWED = {
     # top-15, cosine top-10): inputs <= 15 rows by construction
     # (queries/corpus.py hybrid_rrf_retrieval)
     "hybrid_rrf_retrieval",
+    # cumulative-new window runs over the per-batch ROLLUP — O(NOV_BATCHES)
+    # rows, the bounded-aggregate class (queries/drift.py novelty curve)
+    "ngram_novelty_curve",
 }
 
 

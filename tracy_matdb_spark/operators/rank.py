@@ -144,9 +144,15 @@ def _sliced_offsets(
     The offsets aggregate is O(n_parts) rows, so its per-group window
     is O(slices), not O(rows). n_parts is resolved explicitly so AQE
     never re-coalesces the two references to the exchange differently;
-    slice ids (spark_partition_id) are deterministic because range
-    bounds are sampled with partition-seeded RNG from a deterministic
-    scan.
+    slice ids (spark_partition_id) are deterministic ONLY when range
+    bounds are sampled with partition-seeded RNG from a DETERMINISTIC
+    scan. If ``df`` sits downstream of a shuffle (join/groupBy), its
+    row order differs between the two evaluations of ``parts``, the
+    sampled bounds can differ, and the offsets get mis-assigned —
+    callers with post-shuffle inputs MUST pass single_scan=True so both
+    branches read one materialized slicing (reproduced: ks_source_drift
+    computed wrong per-source CDFs on an 8-thread session until its
+    grid was single-scanned).
 
     single_scan lazily local-checkpoints the sliced rows so the offsets
     branch and the caller's window branch read one materialized copy

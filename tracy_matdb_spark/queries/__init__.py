@@ -137,6 +137,7 @@ def load_all() -> dict[str, Query]:
         coverage,
         crystalq,
         domain,
+        drift,
         events,
         ingest,
         llm,

@@ -552,7 +552,15 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "cast(floor(1000000.0 * pow(cast(n as double), 0.75)) as bigint) AS wq",
     ).withColumn("__g", F.lit(1))
-    cum = grouped_prefix_sum(w, ["__g"], ["term"], "wq", out_col="cum_wq")
+    # single_scan: w sits downstream of the term-count shuffle, so its
+    # row order is nondeterministic across evaluations — without the
+    # one-copy checkpoint the offsets branch and the window branch can
+    # range-slice DIFFERENT samples and mis-assign offsets (the bug
+    # class reproduced by ks_source_drift on an 8-thread session;
+    # deterministic-scan inputs like pack_sequences don't need it)
+    cum = grouped_prefix_sum(
+        w, ["__g"], ["term"], "wq", out_col="cum_wq", single_scan=True
+    )
     z = w.select(F.sum("wq").alias("wz"))
     return (
         cum.crossJoin(F.broadcast(z))
