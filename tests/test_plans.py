@@ -101,8 +101,10 @@ NLJ_ALLOWED = {
     "dsir_importance_weights": _SCALAR_AGG,
     # drift monitors: the global-total / value-range 1-row aggregate
     # broadcasts (queries/drift.py); the dense source x value / bin
-    # grids themselves are built with non-foldable-key HASH joins
-    "ks_source_drift": _SCALAR_AGG,
+    # grids themselves are built with non-foldable-key HASH joins.
+    # (ks_source_drift's scalar-agg BNL exists too but sits upstream of
+    # the single_scan localCheckpoint, so it is not visible in the
+    # final plan walk and needs no entry here.)
     "psi_source_drift": _SCALAR_AGG,
     # K-centroid broadcast per assignment round: centroids aggregate over
     # cid drawn from the vec_id 1..KM_K seed range (the bounded generator

@@ -87,6 +87,10 @@ SCALING_EXTRA = [
     "maxsim_batch_late_interaction",  # batched late-interaction agg chain
     "hard_negative_mining",  # label-filtered batch mining pass
     "temperature_sampling_weights",  # corpus rollup + ppm normalize
+    "ks_source_drift",  # dense source x value grid + range-sliced CDFs
+    "psi_source_drift",  # binned drift: keyed agg + bin-grid explode
+    "chi2_term_source",  # vocab x source cells + range-sliced top-k
+    "ngram_novelty_curve",  # shingle explode + first-occurrence agg
 ]
 
 

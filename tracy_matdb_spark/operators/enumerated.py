@@ -651,6 +651,12 @@ def _lattice_stabilizes(A: list[list[int]], h: tuple[int, ...]) -> bool:
 # published Hart-Forcade tables stop far below it.
 MAX_LABELINGS = 1 << 22
 
+# applyInPandas bucket count for the orbit stage: ~2x the local core
+# count so random HNF->bucket placement can't leave cores idle behind
+# one heavy bucket, small enough that a batch amortizes the per-group
+# Arrow/pandas overhead over several HNFs.
+_EXPAND_BUCKETS = 64
+
 # Element budget for one dense (chunk, |G|, n) orbit block in expand()
 # (~128 MB as int64); the labeling axis streams in chunks of
 # _ORBIT_BLOCK_ELEMS // (|G| * n). Module-level so tests can shrink it
@@ -742,8 +748,21 @@ def _reduced_structs(
                 rows.append((r.lattice, int(r.size), hs, "".join(lab)))
         return pd.DataFrame(rows, columns=["lattice", "size", "hnf", "canonical"])
 
-    return reps.groupBy("lattice", "size", "a", "b", "c", "d", "e", "f").applyInPandas(
-        expand, out_schema
+    # Bucket the HNF rows instead of grouping by the full HNF key:
+    # expand() already loops over its batch, so per-HNF groups only buy
+    # one applyInPandas GROUP (arrow batch + pandas frame + UDF call)
+    # per ~175 single-row groups — measured 20% of the headline's warm
+    # time at max_size=8. Hash-bucketing amortizes that overhead ~3
+    # rows/call while keeping all cores busy (random placement bounds
+    # the heaviest bucket); tiny enumerations degenerate to one row per
+    # bucket, i.e. exactly the old shape.
+    return (
+        reps.withColumn(
+            "__b",
+            F.pmod(F.hash("lattice", "a", "b", "c", "d", "e", "f"), F.lit(_EXPAND_BUCKETS)),
+        )
+        .groupBy("__b")
+        .applyInPandas(expand, out_schema)
     )
 
 
