@@ -53,6 +53,14 @@ QUERIES = [
     # the decades measure the recompute-above-gate path where it fires
     "simhash_near_dup",
     "minhash_lsh_pairs",
+    # r12 drift & monitoring family (documents-only inputs): the KS
+    # grid is |distinct n_chars| x |sources| — must stay flat as docs
+    # grow; chi2's cell table tracks vocab (which the token-suffixed
+    # copies multiply); novelty's shingle agg tracks the corpus
+    "ks_source_drift",
+    "psi_source_drift",
+    "chi2_term_source",
+    "ngram_novelty_curve",
 ]
 
 # --full mode (round-10): the join/events/ANN families, which had NO
