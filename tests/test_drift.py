@@ -113,6 +113,33 @@ def test_novelty_identical_batches_saturate_immediately(spark, planted):
     assert all(r["cum_new"] == rows[0]["n_new"] for r in rows)
 
 
+def test_degenerate_inputs_guarded(spark, tmp_path):
+    """Single-source corpora (empty 'rest' sample) and sub-shingle-
+    length docs are guarded, not divided by zero / fed to slice(x, 0):
+    ks and chi2 return NO rows (no statistic exists), psi still returns
+    its smoothed value, novelty skips the short doc instead of erroring
+    on Spark's descending sequence(1, stop<1)."""
+    from tracy_matdb_spark.queries import load_all
+
+    rows = [
+        (0, "ab", "en", "only", 2),  # 1 token: below NOV_N
+        (1, "alpha beta gamma delta epsilon zeta", "en", "only", 35),
+        (2, "alpha beta gamma delta epsilon eta", "en", "only", 34),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    reg = load_all()
+    assert reg["ks_source_drift"].fn(spark, str(tmp_path)).collect() == []
+    assert reg["chi2_term_source"].fn(spark, str(tmp_path)).collect() == []
+    psi = reg["psi_source_drift"].fn(spark, str(tmp_path)).collect()
+    assert len(psi) == 1 and psi[0]["psi_micro"] is not None
+    nov = reg["ngram_novelty_curve"].fn(spark, str(tmp_path)).collect()
+    # doc 0 contributes no shingles; batches 1 and 2 still report
+    assert sorted(r["batch"] for r in nov) == [1, 2]
+
+
 def test_drift_queries_at_smoke_sf_are_sane(spark):
     """Registry-level smoke on the real synthetic corpus: bounded
     statistics, full group coverage (parity with DuckDB is separately

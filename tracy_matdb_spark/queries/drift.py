@@ -61,7 +61,8 @@ from tracy_matdb_spark.queries import register
                         - cast(tot.cum_all - cum.cum_s as double)
                           / cast(cum.n_all - cum.n_s as double))) as bigint)
                         AS dppm
-             FROM cum JOIN tot ON cum.v = tot.v)
+             FROM cum JOIN tot ON cum.v = tot.v
+             WHERE cum.n_s < cum.n_all)
     SELECT source, n_s, cast(max(dppm) as bigint) AS ks_ppm
     FROM diff GROUP BY source, n_s ORDER BY source
     """,
@@ -129,13 +130,20 @@ def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = grouped_prefix_sum(
         cnt_v, [], ["v"], "n_v", out_col="cum_all", single_scan=True
     ).drop("n_v")
-    diff = cum.join(tot, "v").selectExpr(
-        "source",
-        "n_s",
-        "cast(floor(1000000.0 * abs("
-        "cast(cum_s as double) / cast(n_s as double)"
-        " - cast(cum_all - cum_s as double) / cast(n_all - n_s as double)"
-        ")) as bigint) AS dppm",
+    # n_s < n_all guard: a single-source corpus has an empty "rest"
+    # sample and no KS statistic — without it the gap divides by zero
+    # (double inf), which DuckDB and Spark cast differently
+    diff = (
+        cum.filter(F.col("n_s") < F.col("n_all"))
+        .join(tot, "v")
+        .selectExpr(
+            "source",
+            "n_s",
+            "cast(floor(1000000.0 * abs("
+            "cast(cum_s as double) / cast(n_s as double)"
+            " - cast(cum_all - cum_s as double) / cast(n_all - n_s as double)"
+            ")) as bigint) AS dppm",
+        )
     )
     return (
         diff.groupBy("source", "n_s")
@@ -294,7 +302,8 @@ def _chi2_expr() -> str:
                      n.n_all
               FROM st JOIN t ON st.term = t.term
                    JOIN ns ON st.source = ns.source CROSS JOIN n
-              WHERE t.df_all >= {CHI2_MIN_DF} AND t.df_all < n.n_all),
+              WHERE t.df_all >= {CHI2_MIN_DF} AND t.df_all < n.n_all
+                AND ns.n_s < n.n_all),
     scored AS (SELECT source, term, a AS df_src, {_chi2_expr()} AS chi2_milli
                FROM cells),
     r AS (SELECT source, term, df_src, chi2_milli,
@@ -338,8 +347,15 @@ def chi2_term_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.join(t, "term")
         .join(ns, "source")
         .crossJoin(F.broadcast(n))
+        # df_all < n_all keeps the 2x2 table non-degenerate (a term in
+        # EVERY doc has an empty absent column); n_s < n_all guards the
+        # single-source corpus, whose "rest" margin b+d is zero — both
+        # would divide by zero into a double inf that the two engines
+        # cast differently
         .filter(
-            (F.col("df_all") >= CHI2_MIN_DF) & (F.col("df_all") < F.col("n_all"))
+            (F.col("df_all") >= CHI2_MIN_DF)
+            & (F.col("df_all") < F.col("n_all"))
+            & (F.col("n_s") < F.col("n_all"))
         )
         .selectExpr(
             "source",
@@ -416,8 +432,15 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-aggregate window class; events_daily_anomaly precedent)."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
     toks = textops.toks_expr("spark")
-    d = docs.filter(F.col("n_chars") > 0).selectExpr(
-        f"doc_id % {NOV_BATCHES} AS batch", f"{toks} AS toks"
+    # the size guard matters beyond dropping useless docs: Spark's
+    # sequence(1, stop) with stop < 1 generates a DESCENDING sequence
+    # (1, 0, ...), and slice(toks, 0, n) then errors — a sub-shingle-
+    # length doc must never reach the explode (the oracle's
+    # i + NOV_N - 1 <= len(toks) predicate is the same guard)
+    d = (
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr(f"doc_id % {NOV_BATCHES} AS batch", f"{toks} AS toks")
+        .filter(F.expr(f"size(toks) >= {NOV_N}"))
     )
     sh = (
         d.select(
