@@ -140,6 +140,21 @@ def test_degenerate_inputs_guarded(spark, tmp_path):
     assert sorted(r["batch"] for r in nov) == [1, 2]
 
 
+def test_stream_psi_records_progress_under_registry_name(spark):
+    """The streaming PSI monitor must record its stream progress under
+    the REGISTRY name (the round-11 keying convention scaling_sf10's
+    state telemetry reads), and every window's drift must be a finite
+    micro value."""
+    from tracy_matdb_spark.queries import load_all
+    from tracy_matdb_spark.streaming import windows as W
+
+    rows = load_all()["events_type_psi_stream"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(r["drift_micro"] is not None for r in rows)
+    assert all(r["n_events"] > 0 for r in rows)
+    prog = W.LAST_STREAM_PROGRESS.get("events_type_psi_stream")
+    assert prog is not None and prog.get("state_rows_total", -1) >= 0
+
+
 def test_drift_queries_at_smoke_sf_are_sane(spark):
     """Registry-level smoke on the real synthetic corpus: bounded
     statistics, full group coverage (parity with DuckDB is separately

@@ -106,6 +106,9 @@ NLJ_ALLOWED = {
     # the single_scan localCheckpoint, so it is not visible in the
     # final plan walk and needs no entry here.)
     "psi_source_drift": _SCALAR_AGG,
+    # streaming PSI readout: same scalar (n_all, n_types) broadcast over
+    # the checkpointed stream-counts table (queries/drift.py)
+    "events_type_psi_stream": _SCALAR_AGG,
     # K-centroid broadcast per assignment round: centroids aggregate over
     # cid drawn from the vec_id 1..KM_K seed range (the bounded generator
     # is in the same build subtree)

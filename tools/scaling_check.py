@@ -91,6 +91,7 @@ SCALING_EXTRA = [
     "psi_source_drift",  # binned drift: keyed agg + bin-grid explode
     "chi2_term_source",  # vocab x source cells + range-sliced top-k
     "ngram_novelty_curve",  # shingle explode + first-occurrence agg
+    "events_type_psi_stream",  # watermarked stream agg + PSI readout
 ]
 
 

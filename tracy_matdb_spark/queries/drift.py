@@ -470,3 +470,124 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_new", F.sum("n_new").over(w).cast("long"))
         .orderBy("batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: per-window event-type PSI vs the global mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_type_psi_stream",
+    oracle=f"""
+    WITH wt AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
+                       cast(count(*) as bigint) AS n_wt
+                FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, cast(sum(n_wt) as bigint) AS n_t
+          FROM wt GROUP BY event_type),
+    n AS (SELECT cast(sum(n_t) as bigint) AS n_all,
+                 cast(count(*) as bigint) AS n_types FROM t),
+    w AS (SELECT ws, cast(sum(n_wt) as bigint) AS n_w FROM wt GROUP BY ws),
+    grid AS (SELECT w.ws, w.n_w, t.event_type, t.n_t, n.n_all, n.n_types
+             FROM w CROSS JOIN t CROSS JOIN n),
+    f AS (SELECT g.ws, g.n_w, g.event_type, g.n_t, g.n_all, g.n_types,
+                 coalesce(wt.n_wt, 0) AS n_wt
+          FROM grid g LEFT JOIN wt
+            ON wt.ws = g.ws AND wt.event_type = g.event_type),
+    term AS (SELECT ws, n_w, event_type,
+                    (cast(n_wt + 1 as double) / cast(n_w + n_types as double)
+                     - cast(n_t - n_wt + 1 as double)
+                       / cast(n_all - n_w + n_types as double))
+                    * ln((cast(n_wt + 1 as double) / cast(n_w + n_types as double))
+                         / (cast(n_t - n_wt + 1 as double)
+                            / cast(n_all - n_w + n_types as double))) AS tm
+             FROM f)
+    SELECT cast(ws as bigint) AS window_start_s, n_w AS n_events,
+           cast(floor(1000000.0 * list_sum(list(tm ORDER BY event_type)))
+               as bigint) AS drift_micro
+    FROM term GROUP BY ws, n_w ORDER BY window_start_s
+    """,
+    doc="Streaming distribution-drift monitor: the watermarked tumbling "
+    "windowed count stream feeds a per-window PSI of the event-type mix "
+    "against the whole-run mix (SURVEY 2.11 incremental surface + the "
+    "drift family's smoothed-PSI readout)",
+)
+def events_type_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window drift alarm over the event stream: for each
+    1-hour window, the Laplace-smoothed PSI of that window's event-type
+    share distribution against the pooled run, in floor-micro units —
+    'did THIS hour's traffic mix shift?', the streaming sibling of
+    psi_source_drift. The windowed (window, type) counts come from the
+    REAL watermarked streaming aggregation (streaming/windows.py
+    tumbling_agg driven to completion over the finite file source,
+    exactly the production counts table a drift dashboard tails); the
+    PSI readout is the downstream batch view over that sink.
+
+    Scale shape: the stream side is ONE watermarked keyed aggregation
+    (state = live windows x types); the readout is keyed rollups over
+    the O(windows x types) counts table — window totals, type totals, a
+    1-row scalar broadcast — then a dense windows x types grid built
+    with a non-foldable-constant-key HASH join (types frame is
+    catalog-bounded) and an ascending-type ordered fold, so the only
+    cross-engine wobble is ln()'s final ulp (psi_source_drift
+    precedent)."""
+    from tracy_matdb_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        tumbling_agg,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = run_to_completion(
+        tumbling_agg(ev), "type_psi_stream_q", registry_name="events_type_psi_stream"
+    )
+    # checkpoint the O(windows x types) counts table once: the memory
+    # sink's MemoryPlan reuses the SAME attribute ids on every
+    # reference, and the readout below self-joins it three ways —
+    # Spark's analyzer fails with INTERNAL_ERROR on MemoryPlan
+    # self-joins (and a drift dashboard reads a STORED counts table
+    # anyway, which is exactly what the checkpoint is)
+    wt = agg.select(
+        "window_start_s", "event_type", F.col("n_events").cast("long").alias("n_wt")
+    ).localCheckpoint()
+    t = wt.groupBy("event_type").agg(F.sum("n_wt").cast("long").alias("n_t"))
+    n = t.agg(
+        F.sum("n_t").cast("long").alias("n_all"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    w = wt.groupBy("window_start_s").agg(F.sum("n_wt").cast("long").alias("n_w"))
+    # non-foldable constant keys: two lit(1)s would constant-fold into a
+    # `true` condition and degenerate to a nested-loop cross product
+    # (ks_source_drift precedent)
+    grid = (
+        w.withColumn("__k", F.expr("cast(n_w * 0 + 1 as int)"))
+        .join(
+            F.broadcast(
+                t.crossJoin(F.broadcast(n)).withColumn(
+                    "__k", F.expr("cast(n_t * 0 + 1 as int)")
+                )
+            ),
+            "__k",
+        )
+        .drop("__k")
+    )
+    f = grid.join(wt, ["window_start_s", "event_type"], "left").na.fill(0, ["n_wt"])
+    p = "(cast(n_wt + 1 as double) / cast(n_w + n_types as double))"
+    q = (
+        "(cast(n_t - n_wt + 1 as double) / "
+        "cast(n_all - n_w + n_types as double))"
+    )
+    term = f.selectExpr(
+        "window_start_s", "n_w", "event_type", f"({p} - {q}) * ln({p} / {q}) AS tm"
+    )
+    return (
+        term.groupBy("window_start_s", F.col("n_w").alias("n_events"))
+        .agg(
+            F.expr(
+                "cast(floor(1000000.0 * aggregate("
+                "transform(array_sort(collect_list(struct(event_type, tm))),"
+                " x -> x.tm), cast(0.0 as double), (acc, x) -> acc + x)) as bigint)"
+            ).alias("drift_micro")
+        )
+        .orderBy("window_start_s")
+    )
