@@ -211,50 +211,64 @@ def main() -> None:
         pr_breakdown = {"error": str(e)}
         print(f"bench error pagerank_breakdown: {e}", file=sys.stderr)
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    # Key order matters: the driver records only the byte-TRUNCATED TAIL
-    # of this line (BENCH_r11 lost its whole medians block that way), so
-    # scalars and diagnostics go FIRST and the per-query blocks LAST in
-    # ascending order of importance — whatever survives the cut is the
-    # most valuable part (medians at the very end, then mins, then IQR).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_warm_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "reps": REPS,
-                "contended": contended,
-                # 1-min load average BEFORE our own session started
-                # (after the settle-wait): sub-threshold co-tenant
-                # noise still inflates short stage timings ~40%, so
-                # the judge can normalize with this
-                "load1_start": load_start,
-                "settle_wait_s": settle_wait,
-                # queries that errored at any point (their medians entry
-                # is -1.0, never a partial-sample median) and how many
-                # clean samples each query contributed
-                "broken": sorted(broken),
-                "streaming_detail": streaming_detail,
-                "pagerank_breakdown": pr_breakdown,
-                "queries_n_samples": n_samples,
-                # exact per-round run order (BENCH_DRIFT_r11: run
-                # position carries ±30-50% bias on sub-second queries —
-                # cross-artifact per-query deltas are only comparable
-                # under matched order, so the order is now recorded)
-                "run_order": [name for name, _ in headline]
-                + ["streaming_incremental_dedup"],
-                # inter-quartile spread of the interleaved reps, per
-                # query: a delta vs last round is real only if it
-                # exceeds this
-                "queries_iqr": iqr,
-                # warm-min per query: the number comparable to the
-                # min-of-2 protocol of rounds 1-8
-                "queries_min": mins,
-                "queries": times,
-            }
+    run_order = [name for name, _ in headline] + ["streaming_incremental_dedup"]
+    # The driver records only the last 2000 BYTES of stdout (measured
+    # across BENCH_r01..r12 artifacts), so twelve consecutive rounds
+    # published `parsed: null`. Fix: the stdout line carries ONLY what
+    # the driver needs (scalars + per-query medians/mins + run order,
+    # compact separators — 1.7 KB for 20 queries) and the heavy
+    # diagnostics (IQR, n_samples, streaming detail, pagerank breakdown)
+    # go to a sidecar file `BENCH_SIDECAR_last.json` that is committed
+    # per round. A defensive trim drops run_order, then queries_min, if
+    # a future registry growth pushes the line back over the window.
+    compact = {
+        "metric": "headline_queries_warm_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": REPS,
+        "contended": contended,
+        # 1-min load average BEFORE our own session started (after the
+        # settle-wait): sub-threshold co-tenant noise still inflates
+        # short stage timings ~40%, so the judge can normalize with this
+        "load1_start": load_start,
+        "settle_wait_s": settle_wait,
+        # queries that errored at any point (their medians entry is
+        # -1.0, never a partial-sample median)
+        "broken": sorted(broken),
+        # exact per-round run order (BENCH_DRIFT_r11: run position
+        # carries ±30-50% bias on sub-second queries)
+        "run_order": run_order,
+        # warm-min per query: the number comparable to the min-of-2
+        # protocol of rounds 1-8
+        "queries_min": mins,
+        "queries": times,
+    }
+    full = {
+        **compact,
+        "streaming_detail": streaming_detail,
+        "pagerank_breakdown": pr_breakdown,
+        "queries_n_samples": n_samples,
+        # inter-quartile spread of the interleaved reps, per query: a
+        # delta vs last round is real only if it exceeds this
+        "queries_iqr": iqr,
+    }
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR_last.json"
         )
-    )
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench warning: sidecar write failed: {e}", file=sys.stderr)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # driver capture window is 2000 bytes
+        compact.pop("run_order", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact.pop("queries_min", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

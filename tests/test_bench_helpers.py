@@ -14,18 +14,26 @@ def test_pagerank_iteration_telemetry_shape(spark):
     )
 
     # bench.py measures the telemetry WARM (one warmup call before the
-    # recorded one), so the balance contract below is asserted on a warm
-    # call. Mid-warm sessions sit in a C2-tiering regime where the
+    # recorded one), so the balance contract below is asserted on warm
+    # calls. Mid-warm sessions sit in a C2-tiering regime where the
     # headline exec is still JIT-expensive while the decomposed replay
     # runs off warm code (measured ratio 0.64 one call after cold, 1.05
-    # two calls after) — retry once so the tiering boundary doesn't
-    # flake the suite while a STRUCTURAL accounting hole (persistent
-    # across calls, like the pre-round-10 twin's 60%) still fails.
-    out = pagerank_iteration_telemetry(spark, SF_SMOKE)  # warmup
-    for attempt in range(2):
-        out = pagerank_iteration_telemetry(spark, SF_SMOKE)
-        if 0.65 * out["total_s"] - 0.3 <= out["parts_sum_s"] <= 1.35 * out["total_s"] + 0.3:
-            break
+    # two calls after) — so the contract is judged on the MAJORITY of
+    # three recorded attempts (round-12 ADVICE: a break-on-first-pass
+    # retry loop masks an intermittent accounting hole that fails ~50%
+    # of calls; majority-of-3 still absorbs a one-off JIT-tiering
+    # outlier while a structural hole, persistent across calls like the
+    # pre-round-10 twin's 60%, fails 3/3 and surfaces).
+    pagerank_iteration_telemetry(spark, SF_SMOKE)  # warmup
+
+    def in_balance(o):
+        return 0.65 * o["total_s"] - 0.3 <= o["parts_sum_s"] <= 1.35 * o["total_s"] + 0.3
+
+    attempts = [pagerank_iteration_telemetry(spark, SF_SMOKE) for _ in range(3)]
+    balances = [(round(o["parts_sum_s"], 3), round(o["total_s"], 3)) for o in attempts]
+    assert sum(in_balance(o) for o in attempts) >= 2, balances
+    # shape assertions run on the median-ratio attempt
+    out = sorted(attempts, key=lambda o: o["parts_sum_s"] / o["total_s"])[1]
     assert set(out) == {
         "bcast",
         "node_bound",

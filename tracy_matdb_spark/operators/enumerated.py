@@ -651,10 +651,13 @@ def _lattice_stabilizes(A: list[list[int]], h: tuple[int, ...]) -> bool:
 # published Hart-Forcade tables stop far below it.
 MAX_LABELINGS = 1 << 22
 
-# applyInPandas bucket count for the orbit stage: ~2x the local core
-# count so random HNF->bucket placement can't leave cores idle behind
-# one heavy bucket, small enough that a batch amortizes the per-group
-# Arrow/pandas overhead over several HNFs.
+# applyInPandas bucket floor for the orbit stage: the actual count is
+# derived at call time as max(2 * defaultParallelism, _EXPAND_BUCKETS)
+# — ~2x the core count so hash HNF->bucket placement can't leave cores
+# idle behind one heavy bucket, yet small enough that a batch amortizes
+# the per-group Arrow/pandas overhead over several HNFs. Deriving from
+# the session (round-12 ADVICE) means a 128-core cluster gets 256
+# buckets instead of idling 96 cores behind a hard-coded 64.
 _EXPAND_BUCKETS = 64
 
 # Element budget for one dense (chunk, |G|, n) orbit block in expand()
@@ -755,11 +758,19 @@ def _reduced_structs(
     # time at max_size=8. Hash-bucketing amortizes that overhead ~3
     # rows/call while keeping all cores busy (random placement bounds
     # the heaviest bucket); tiny enumerations degenerate to one row per
-    # bucket, i.e. exactly the old shape.
+    # bucket, i.e. exactly the old shape. The bucket count scales with
+    # the session's parallelism, and `size` joins the hash inputs so
+    # the heaviest labeling spaces (largest dets) mix under a different
+    # hash stream than the raw HNF entries alone (round-12 ADVICE:
+    # deterministic co-location of heavy HNFs was possible at 64).
+    n_buckets = max(2 * spark.sparkContext.defaultParallelism, _EXPAND_BUCKETS)
     return (
         reps.withColumn(
             "__b",
-            F.pmod(F.hash("lattice", "a", "b", "c", "d", "e", "f"), F.lit(_EXPAND_BUCKETS)),
+            F.pmod(
+                F.hash("lattice", "size", "a", "b", "c", "d", "e", "f"),
+                F.lit(n_buckets),
+            ),
         )
         .groupBy("__b")
         .applyInPandas(expand, out_schema)

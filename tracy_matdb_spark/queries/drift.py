@@ -14,10 +14,13 @@ freshness measurement). All JVM-side built-ins, all oracle-checked.
 Determinism across engines: every statistic is either exact integer
 arithmetic or a SINGLE-expression IEEE-754 double computation on
 exactly-representable integers (one division / subtraction / floor
-chain, no accumulation-order dependence), except PSI's ln() and its
-10-term sum, which are accumulated in EXPLICIT ascending-bin order on
-both sides via an ordered list fold (the dp_noisy_counts precedent
-covers cross-engine ln()).
+chain, no accumulation-order dependence). PSI's multi-term sum is made
+order-free by quantizing EACH term to micro units first (one double
+expression + floor per term, bit-identical across engines) and summing
+the resulting integers — exact arithmetic on both sides, immune to an
+engine switching its float fold to pairwise/SIMD summation (round-12
+ADVICE; the previous ordered-list-fold approach assumed DuckDB's
+list_sum stays a sequential in-order fold forever).
 """
 
 from __future__ import annotations
@@ -29,6 +32,20 @@ from tracy_matdb_spark.catalog import load
 from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.operators.rank import grouped_prefix_sum, grouped_value_rank
 from tracy_matdb_spark.queries import register
+
+
+def _nonfoldable_one(col: str):
+    """A constant-1 join key Catalyst cannot constant-fold: ``col*0+1``
+    on a non-nullable source column. Two plain ``lit(1)`` keys get
+    folded into a ``true`` join condition and the equi join DEGENERATES
+    to a nested-loop cross product — this helper is what keeps the
+    dense-grid builds below on a BroadcastHashJoin. The plan-audit
+    tests pin the resulting shape; if a future Spark optimizer rule
+    learns to simplify x*0+1, those tests fail and this ONE site is
+    where the trick gets re-engineered (round-12 ADVICE: keep the
+    invariant and its rationale in one place)."""
+    return F.expr(f"cast({col} * 0 + 1 as int)")
+
 
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift: each source vs the rest of the mix
@@ -97,16 +114,14 @@ def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_all = d.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
     vs = d.select("v").distinct()
     # constant-key equi join => BroadcastHashJoin on the tiny per-source
-    # frame (the dense grid without a CartesianProduct/BNL in the plan).
-    # The key must be NON-FOLDABLE on both sides: two lit(1) columns get
-    # constant-folded into a `true` join condition and the join
-    # degenerates back to a nested-loop cross product.
+    # frame (the dense grid without a CartesianProduct/BNL in the plan);
+    # see _nonfoldable_one for why the key is not a plain lit(1)
     grid = (
-        vs.withColumn("__k", F.expr("cast(v * 0 + 1 as int)"))
+        vs.withColumn("__k", _nonfoldable_one("v"))
         .join(
             F.broadcast(
                 srcs.crossJoin(F.broadcast(n_all)).withColumn(
-                    "__k", F.expr("cast(n_s * 0 + 1 as int)")
+                    "__k", _nonfoldable_one("n_s")
                 )
             ),
             "__k",
@@ -182,36 +197,43 @@ PSI_BINS = 10  # equal-width bins over the observed value range
             ON cnt.source = dense.source AND cnt.bin = dense.bin),
     gb AS (SELECT bin, sum(n_sb) AS n_b FROM f GROUP BY bin),
     term AS (SELECT f.source, f.n_s, f.bin,
-                    (cast(f.n_sb + 1 as double) / cast(f.n_s + {PSI_BINS} as double)
-                     - cast(gb.n_b - f.n_sb + 1 as double)
-                       / cast(mm.n_all - f.n_s + {PSI_BINS} as double))
-                    * ln((cast(f.n_sb + 1 as double) / cast(f.n_s + {PSI_BINS} as double))
-                         / (cast(gb.n_b - f.n_sb + 1 as double)
-                            / cast(mm.n_all - f.n_s + {PSI_BINS} as double))) AS t
+                    cast(floor(1000000.0 *
+                    ((cast(f.n_sb + 1 as double) / cast(f.n_s + {PSI_BINS} as double)
+                      - cast(gb.n_b - f.n_sb + 1 as double)
+                        / cast(mm.n_all - f.n_s + {PSI_BINS} as double))
+                     * ln((cast(f.n_sb + 1 as double) / cast(f.n_s + {PSI_BINS} as double))
+                          / (cast(gb.n_b - f.n_sb + 1 as double)
+                             / cast(mm.n_all - f.n_s + {PSI_BINS} as double)))))
+                        as bigint) AS t_micro
              FROM f JOIN gb ON f.bin = gb.bin CROSS JOIN mm)
-    SELECT source, n_s,
-           cast(floor(1000000.0 * list_sum(list(t ORDER BY bin))) as bigint)
-               AS psi_micro
+    SELECT source, n_s, cast(sum(t_micro) as bigint) AS psi_micro
     FROM term GROUP BY source, n_s ORDER BY source
     """,
 )
 def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of document length, each source vs the
     pooled rest, over {PSI_BINS} equal-width bins with Laplace add-one
-    smoothing: PSI = sum_b (p_b - q_b) * ln(p_b / q_b), reported in
-    floor-micro units. PSI is the binned, bounded-work sibling of
-    ks_source_drift — the right form when the metric is continuous or
-    heavy-tailed (bin first, compare shares), and the industry-standard
-    "population shifted" scorecard alarm (>0.25 = major shift).
+    smoothing: PSI = sum_b (p_b - q_b) * ln(p_b / q_b), reported as the
+    sum of per-bin floor-micro terms (each term quantized to micro
+    units BEFORE the sum — at most {PSI_BINS} micro below the unrounded
+    PSI, irrelevant at the 0.25 alarm threshold). PSI is the binned,
+    bounded-work sibling of ks_source_drift — the right form when the
+    metric is continuous or heavy-tailed (bin first, compare shares),
+    and the industry-standard "population shifted" scorecard alarm
+    (>0.25 = major shift).
 
     Scale shape: ONE (source, bin) keyed aggregation with map-side
     combine over a pruned 2-column scan; the dense source x {PSI_BINS}
     grid comes from exploding a literal bin sequence on the per-source
     totals (catalog-bounded, no nested-loop join); the global range
-    [lo, hi] and n_all ride a 1-row scalar-aggregate broadcast. The
-    {PSI_BINS}-term sum is accumulated in EXPLICIT ascending-bin order
-    on both engines (ordered list fold), so the only cross-engine
-    wobble is ln()'s final ulp on identical doubles."""
+    [lo, hi] and n_all ride a 1-row scalar-aggregate broadcast. Each
+    PSI term is ONE double expression + floor on exact ints
+    (bit-identical across engines); the final sum is INTEGER arithmetic
+    — order-free by construction, so neither engine's float-fold
+    strategy can perturb the result (round-12 ADVICE; the only
+    cross-engine wobble left is ln()'s final ulp on identical doubles,
+    which the micro floor absorbs except exactly at a quantization
+    boundary)."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
     d = docs.filter(F.col("n_chars") > 0).selectExpr(
         "source", "cast(n_chars as bigint) AS v"
@@ -242,20 +264,18 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(cast(n_b - n_sb + 1 as double) / "
         f"cast(n_all - n_s + {PSI_BINS} as double))"
     )
+    # per-term micro quantization BEFORE the sum: integer addition is
+    # order-free, so the aggregation needs no ordered fold and stays a
+    # plain codegen'd sum with map-side combine
     term = f.join(gb, "bin").selectExpr(
-        "source", "n_s", "bin", f"({p} - {q}) * ln({p} / {q}) AS t"
+        "source",
+        "n_s",
+        f"cast(floor(1000000.0 * (({p} - {q}) * ln({p} / {q}))) as bigint)"
+        " AS t_micro",
     )
-    # ascending-bin ordered fold => identical summation order to the
-    # oracle's list(t ORDER BY bin), no shuffle-order float tail
     return (
         term.groupBy("source", "n_s")
-        .agg(
-            F.expr(
-                "cast(floor(1000000.0 * aggregate("
-                "transform(array_sort(collect_list(struct(bin, t))), x -> x.t),"
-                " cast(0.0 as double), (acc, x) -> acc + x)) as bigint)"
-            ).alias("psi_micro")
-        )
+        .agg(F.sum("t_micro").cast("long").alias("psi_micro"))
         .orderBy("source")
     )
 
@@ -495,16 +515,17 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM grid g LEFT JOIN wt
             ON wt.ws = g.ws AND wt.event_type = g.event_type),
     term AS (SELECT ws, n_w, event_type,
-                    (cast(n_wt + 1 as double) / cast(n_w + n_types as double)
-                     - cast(n_t - n_wt + 1 as double)
-                       / cast(n_all - n_w + n_types as double))
-                    * ln((cast(n_wt + 1 as double) / cast(n_w + n_types as double))
-                         / (cast(n_t - n_wt + 1 as double)
-                            / cast(n_all - n_w + n_types as double))) AS tm
+                    cast(floor(1000000.0 *
+                    ((cast(n_wt + 1 as double) / cast(n_w + n_types as double)
+                      - cast(n_t - n_wt + 1 as double)
+                        / cast(n_all - n_w + n_types as double))
+                     * ln((cast(n_wt + 1 as double) / cast(n_w + n_types as double))
+                          / (cast(n_t - n_wt + 1 as double)
+                             / cast(n_all - n_w + n_types as double)))))
+                        as bigint) AS tm_micro
              FROM f)
     SELECT cast(ws as bigint) AS window_start_s, n_w AS n_events,
-           cast(floor(1000000.0 * list_sum(list(tm ORDER BY event_type)))
-               as bigint) AS drift_micro
+           cast(sum(tm_micro) as bigint) AS drift_micro
     FROM term GROUP BY ws, n_w ORDER BY window_start_s
     """,
     doc="Streaming distribution-drift monitor: the watermarked tumbling "
@@ -528,9 +549,9 @@ def events_type_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(windows x types) counts table — window totals, type totals, a
     1-row scalar broadcast — then a dense windows x types grid built
     with a non-foldable-constant-key HASH join (types frame is
-    catalog-bounded) and an ascending-type ordered fold, so the only
-    cross-engine wobble is ln()'s final ulp (psi_source_drift
-    precedent)."""
+    catalog-bounded); each PSI term is floored to micro units before an
+    order-free INTEGER sum, so neither engine's float-fold strategy can
+    perturb the result (psi_source_drift precedent)."""
     from tracy_matdb_spark.streaming.windows import (
         read_events_stream,
         run_to_completion,
@@ -556,15 +577,13 @@ def events_type_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
     w = wt.groupBy("window_start_s").agg(F.sum("n_wt").cast("long").alias("n_w"))
-    # non-foldable constant keys: two lit(1)s would constant-fold into a
-    # `true` condition and degenerate to a nested-loop cross product
-    # (ks_source_drift precedent)
+    # non-foldable constant keys (see _nonfoldable_one)
     grid = (
-        w.withColumn("__k", F.expr("cast(n_w * 0 + 1 as int)"))
+        w.withColumn("__k", _nonfoldable_one("n_w"))
         .join(
             F.broadcast(
                 t.crossJoin(F.broadcast(n)).withColumn(
-                    "__k", F.expr("cast(n_t * 0 + 1 as int)")
+                    "__k", _nonfoldable_one("n_t")
                 )
             ),
             "__k",
@@ -577,17 +596,16 @@ def events_type_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(cast(n_t - n_wt + 1 as double) / "
         "cast(n_all - n_w + n_types as double))"
     )
+    # per-term micro quantization before the sum (psi_source_drift
+    # precedent): integer addition is order-free on both engines
     term = f.selectExpr(
-        "window_start_s", "n_w", "event_type", f"({p} - {q}) * ln({p} / {q}) AS tm"
+        "window_start_s",
+        "n_w",
+        f"cast(floor(1000000.0 * (({p} - {q}) * ln({p} / {q}))) as bigint)"
+        " AS tm_micro",
     )
     return (
         term.groupBy("window_start_s", F.col("n_w").alias("n_events"))
-        .agg(
-            F.expr(
-                "cast(floor(1000000.0 * aggregate("
-                "transform(array_sort(collect_list(struct(event_type, tm))),"
-                " x -> x.tm), cast(0.0 as double), (acc, x) -> acc + x)) as bigint)"
-            ).alias("drift_micro")
-        )
+        .agg(F.sum("tm_micro").cast("long").alias("drift_micro"))
         .orderBy("window_start_s")
     )
