@@ -729,3 +729,77 @@ def test_stream_progress_keyed_by_registry_name(spark):
         prog = S.LAST_STREAM_PROGRESS.get(name)
         assert prog is not None, f"{name}: no LAST_STREAM_PROGRESS entry under registry name"
         assert prog["state_rows_total"] > 0, f"{name}: non-positive state rows {prog}"
+
+
+def test_streaming_restart_from_checkpoint_recovers(spark, tmp_path):
+    """Stop a watermarked tumbling aggregation after its first batch and
+    RESTART it from the same checkpoint directory with more data staged:
+    the recovered run's final counts table must equal an uninterrupted
+    run over the full source, and the downstream PSI drift readout
+    (queries/drift.py psi_readout_from_counts) must be unchanged. Every
+    other streaming test drives a finite stream to completion in one
+    process — this is the one that exercises the restart path the
+    checkpointLocation docstrings assume: offsets replay from the WAL
+    and the window state reloads from the state store, so windows that
+    straddle the kill (half their events in phase 1, half in phase 2)
+    only count right if recovery actually works (r12 verdict item #6)."""
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.catalog import load_events
+    from tracy_matdb_spark.queries.drift import psi_readout_from_counts
+
+    ev = load_events(spark, SF_SMOKE).select("event_id", "ts", "event_type", "value")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # phase 1 staged first; the even/odd split interleaves timestamps so
+    # most windows straddle the restart boundary (state MUST survive)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start(name):
+        return (
+            S.tumbling_agg(spark.readStream.schema(schema).parquet(src))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start("rec_phase1")
+    try:
+        q1.processAllAvailable()
+        n_batches_1 = sum(1 for p in q1.recentProgress if p["numInputRows"] > 0)
+    finally:
+        q1.stop()  # the kill: state lives only in the checkpoint now
+    assert n_batches_1 >= 1
+
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q2 = start("rec_phase2")
+    try:
+        q2.processAllAvailable()
+        recovered = spark.sql("SELECT * FROM rec_phase2").toPandas()
+    finally:
+        q2.stop()
+
+    uninterrupted = S.run_to_completion(
+        S.tumbling_agg(spark.readStream.schema(schema).parquet(src)), "rec_base"
+    ).toPandas()
+    keys = ["window_start_s", "event_type"]
+    assert len(recovered) == len(uninterrupted) > 0
+    pd.testing.assert_frame_equal(
+        _norm(recovered, keys), _norm(uninterrupted, keys), check_dtype=False
+    )
+
+    # the PSI drift readout over the recovered counts table is unchanged
+    psi_rec = psi_readout_from_counts(
+        spark.createDataFrame(recovered)
+    ).toPandas()
+    psi_base = psi_readout_from_counts(
+        spark.createDataFrame(uninterrupted)
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        _norm(psi_rec, ["window_start_s"]),
+        _norm(psi_base, ["window_start_s"]),
+        check_dtype=False,
+    )

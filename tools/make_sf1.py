@@ -267,6 +267,44 @@ if __name__ == "__main__":
         embeddings_scaled(
             args[1] if len(args) > 1 else "/root/repo/.localdata/sf10dw3", 100
         )
+    elif "--sf100-probe" in sys.argv[1:]:
+        # FOURTH decade for the worst sf10_full ratios (r12 verdict
+        # item #7): only the tables those probes read — lineitem 600M /
+        # orders 150M (pagerank), events 100M (typed-state totals),
+        # embeddings 2M via the signed-permutation generator (knn PQ;
+        # same generator as sf100d so within-copy cosine structure is
+        # preserved and near-dup counts grow linearly). ~17 GB, the
+        # full star schema at 1000 copies would be 10x that for tables
+        # no probe reads.
+        out = args[0] if args else "/root/repo/.localdata/sf100p"
+        os.makedirs(out, exist_ok=True)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW ks AS SELECT unnest(range(1000)) AS k")
+        probe_jobs = {
+            "lineitem": f"""
+                SELECT l_orderkey + k * {R_ORDER} AS l_orderkey,
+                       l_partkey + k * {R_PART} AS l_partkey,
+                       l_suppkey + k * {R_SUPP} AS l_suppkey,
+                       l_linenumber, l_quantity, l_extendedprice, l_discount,
+                       l_tax, l_returnflag, l_linestatus, l_shipdate
+                FROM '{SRC}/lineitem.parquet' CROSS JOIN ks""",
+            "orders": f"""
+                SELECT o_orderkey + k * {R_ORDER} AS o_orderkey,
+                       o_custkey + k * {R_CUST} AS o_custkey,
+                       o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+                FROM '{SRC}/orders.parquet' CROSS JOIN ks""",
+            "events": f"""
+                SELECT event_id + k * {R_EVENT} AS event_id, ts,
+                       user_id + k * {R_USER} AS user_id,
+                       event_type, value, props
+                FROM '{SRC}/events.parquet' CROSS JOIN ks""",
+        }
+        for table, sql in probe_jobs.items():
+            dst = os.path.join(out, f"{table}.parquet")
+            con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+            n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+            print(f"{table}: {n} rows -> {dst}", flush=True)
+        embeddings_scaled(out, 1000)
     elif "--sf10-full" in sys.argv[1:]:
         # full star schema + events + embeddings at 100 copies of the
         # driver sf0.1 (round-9 verdict #3: STRESS_SF10 skipped 131/246

@@ -93,13 +93,31 @@ QUERIES_FULL = [
 QUERIES_TWS = [
     "streaming_minhash_dedup_tws",  # per-bucket ValueState across 3 resumed runs
     "events_stateful_totals_tws",  # per-user typed state over 10M events
+    # r13: the streaming drift monitor's watermarked tumbling agg —
+    # its "state = live windows x types, not stream length" docstring
+    # claim needs the same measured state_rows rows at 10M events as
+    # every other streaming query (r12 verdict item #1); the events
+    # time axis is fixed across decades, so state_rows should stay
+    # FLAT while rows grow 10x
+    "events_type_psi_stream",
 ]
+
+
+def _load1() -> float:
+    """1-min load average, recorded per block so a noisy-box artifact is
+    distinguishable from a quiet one without a rerun (the r12
+    fourth-decade text block was box-confounded for exactly this lack)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except Exception:  # noqa: BLE001
+        return -1.0
 
 
 def run() -> dict:
     for d in (SMALL, LARGE):
         if not os.path.exists(os.path.join(d, "documents.parquet")):
             raise SystemExit("scaling_sf10: run tools/make_sf1.py --sf10-documents first")
+    load1 = _load1()
     registry = load_all()
     spark = get_session("scaling_sf10")
     rows: dict[str, dict] = {}
@@ -125,6 +143,7 @@ def run() -> dict:
         "dataset": "tools/make_sf1.py --sf10-documents (100 vs 10 fixed-width "
         "token-suffixed copies of driver sf0.1 documents)",
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "load1_start": load1,
         "queries": rows,
         "flagged": flagged,
     }
@@ -144,6 +163,7 @@ def run_sf100() -> dict:
             raise SystemExit(
                 "scaling_sf10 --sf100: run tools/make_sf1.py --sf100-documents first"
             )
+    load1 = _load1()
     registry = load_all()
     spark = get_session("scaling_sf100")
     rows: dict[str, dict] = {}
@@ -169,6 +189,7 @@ def run_sf100() -> dict:
         "dataset": "tools/make_sf1.py --sf100-documents (1000 vs 100 width-3 "
         "token-suffixed copies of driver sf0.1 documents)",
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "load1_start": load1,
         "queries": rows,
         "flagged": flagged,
     }
@@ -186,6 +207,7 @@ def run_full() -> dict:
                 "scaling_sf10 --full: run tools/make_sf1.py and "
                 "tools/make_sf1.py --sf10-full first"
             )
+    load1 = _load1()
     registry = load_all()
     spark = get_session("scaling_sf10_full")
     rows: dict[str, dict] = {}
@@ -292,6 +314,7 @@ def run_full() -> dict:
         "dataset": "tools/make_sf1.py vs --sf10-full (10 vs 100 key-shifted "
         "copies of driver sf0.1, every table)",
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "load1_start": load1,
         "queries": rows,
         "pagerank_telemetry": pr_tel,
         "flagged": flagged,

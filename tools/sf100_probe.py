@@ -1,0 +1,134 @@
+"""FOURTH decade probe for the worst sf10_full ratios (r12 verdict #7).
+
+The join/events/ANN families have three measured decades (SCALING.json
+sf10_full); text has four. This probes the next decade for exactly the
+three queries whose sf10_full ratios were worst — knn_pq_embeddings
+(6.98x), pagerank_bipartite (6.76x; attributed to fixed-cost dilution
+via per-iteration telemetry), events_stateful_totals_tws (5.1x) — on
+the tables-only sf100 dataset (tools/make_sf1.py --sf100-probe:
+lineitem 600M / orders 150M / events 100M / embeddings 2M). Either the
+fixed-cost-dilution story holds at 10x more data (ratios trend TOWARD
+10 from below while per-unit cost stays flat) or something in the
+gated-checkpoint / broadcast-gate class breaks — which is the find.
+
+Merged into SCALING.json under "sf100_probe". Flag threshold 12
+(linear is 10x). Run with SPARK_GRAFT_DRIVER_MEM=24g.
+
+Usage: python tools/make_sf1.py --sf100-probe   # once (~20 min, 17 GB)
+       python tools/sf100_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_check import _warm_time  # noqa: E402
+from tools.scaling_sf10 import LARGE, RATIO_THRESHOLD, _load1  # noqa: E402
+from tracy_matdb_spark.queries import load_all  # noqa: E402
+from tracy_matdb_spark.session import get_session  # noqa: E402
+
+SF100P = "/root/repo/.localdata/sf100p"
+PROBES = ["knn_pq_embeddings", "pagerank_bipartite"]
+PROBES_TWS = ["events_stateful_totals_tws"]
+
+
+def main() -> None:
+    for t in ("lineitem", "events", "embeddings"):
+        if not os.path.exists(os.path.join(SF100P, f"{t}.parquet")):
+            raise SystemExit("sf100_probe: run tools/make_sf1.py --sf100-probe first")
+    load1 = _load1()
+    registry = load_all()
+    spark = get_session("sf100_probe")
+    rows: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in PROBES:
+        fn = registry[name].fn
+        t_small = _warm_time(spark, fn, LARGE)
+        t_large = _warm_time(spark, fn, SF100P)
+        ratio = round(t_large / max(t_small, 1e-9), 2)
+        rows[name] = {
+            "sec_sf10": round(t_small, 3),
+            "sec_sf100": round(t_large, 3),
+            "ratio": ratio,
+            "flagged": ratio > RATIO_THRESHOLD,
+        }
+        if ratio > RATIO_THRESHOLD:
+            flagged.append(name)
+        print(f"{name}: {rows[name]}", flush=True)
+
+    from tracy_matdb_spark.streaming import windows as _w
+
+    for name in PROBES_TWS:
+        fn = registry[name].fn
+        out: dict[str, dict] = {}
+        for label, sf_dir in (("sf10", LARGE), ("sf100", SF100P)):
+            t = _warm_time(spark, fn, sf_dir)
+            prog = _w.LAST_STREAM_PROGRESS.get(name, {})
+            state_rows = prog.get("state_rows_total", -1)
+            if state_rows < 0:
+                raise SystemExit(
+                    f"sf100_probe: {name} recorded no state-row telemetry at "
+                    f"{label}; refusing to publish a -1 state_rows row"
+                )
+            out[label] = {"sec": round(t, 3), "state_rows": state_rows}
+        ratio = round(out["sf100"]["sec"] / max(out["sf10"]["sec"], 1e-9), 2)
+        rows[name] = {
+            "sec_sf10": out["sf10"]["sec"],
+            "sec_sf100": out["sf100"]["sec"],
+            "ratio": ratio,
+            "state_rows_sf10": out["sf10"]["state_rows"],
+            "state_rows_sf100": out["sf100"]["state_rows"],
+            "state_rows_ratio": round(
+                out["sf100"]["state_rows"] / max(out["sf10"]["state_rows"], 1), 2
+            ),
+            "flagged": ratio > RATIO_THRESHOLD,
+        }
+        if ratio > RATIO_THRESHOLD:
+            flagged.append(name)
+        print(f"{name}: {rows[name]}", flush=True)
+
+    # pagerank decomposition at the new decade: if the sf10_full 6.76x
+    # really was fixed-cost dilution, exec_s stays ~linear here and the
+    # broadcast gate's state is recorded either way
+    from tracy_matdb_spark.queries.webscale import pagerank_iteration_telemetry
+
+    pr_tel: dict[str, dict] = {}
+    for label, sf_dir in (("sf10", LARGE), ("sf100", SF100P)):
+        pagerank_iteration_telemetry(spark, sf_dir)  # warmup
+        pr_tel[label] = pagerank_iteration_telemetry(spark, sf_dir)
+        print(f"pagerank_telemetry[{label}]: {pr_tel[label]}", flush=True)
+    spark.stop()
+
+    result = {
+        "metric": "scaling_ratio_sf10_to_sf100_probe",
+        "data_ratio": 10.0,
+        "dataset": "tools/make_sf1.py --sf10-full vs --sf100-probe (100 vs "
+        "1000 key-shifted copies; probe tables only)",
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "load1_start": load1,
+        "queries": rows,
+        "pagerank_telemetry": pr_tel,
+        "flagged": flagged,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SCALING.json")
+    try:
+        with open(path) as fh:
+            full = json.load(fh)
+    except (OSError, ValueError):
+        full = {}
+    full["sf100_probe"] = result
+    with open(path, "w") as fh:
+        json.dump(full, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"sf100_probe_flagged": flagged}))
+    if flagged:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -562,6 +562,15 @@ def events_type_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = run_to_completion(
         tumbling_agg(ev), "type_psi_stream_q", registry_name="events_type_psi_stream"
     )
+    return psi_readout_from_counts(agg)
+
+
+def psi_readout_from_counts(agg: DataFrame) -> DataFrame:
+    """The batch PSI view over a (window_start_s, event_type, n_events)
+    counts table — factored out of events_type_psi_stream so the
+    streaming-recovery test (tests/test_streaming.py) can assert the
+    readout is identical over an uninterrupted run and a
+    killed-and-restarted-from-checkpoint run of the SAME stream."""
     # checkpoint the O(windows x types) counts table once: the memory
     # sink's MemoryPlan reuses the SAME attribute ids on every
     # reference, and the readout below self-joins it three ways —

@@ -1043,6 +1043,14 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     200k vectors (see the LSH_TARGET_BUCKET_LOAD comment). The gate is
     0 at every oracle scale factor, so this plan and the DuckDB twin
     stay bit-identical where the driver hash-compares them."""
+    n, banded, cands = _lsh_stages(spark, sf_dir)
+    return _lsh_verify(cands, n)
+
+
+def _lsh_stages(spark: SparkSession, sf_dir: str):
+    """The LSH pipeline's three frames — (normed vectors, banded
+    signatures, distinct candidate pairs) — shared by the headline
+    query and its stage-telemetry twin so both time the SAME plan."""
     emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
     n = emb.selectExpr("vec_id", "embedding", f"{_norm_expr('spark', 'embedding')} AS nrm")
     extra = _lsh_extra_bits(sf_dir)
@@ -1076,6 +1084,11 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    return n, banded, cands
+
+
+def _lsh_verify(cands: DataFrame, n: DataFrame) -> DataFrame:
+    """Exact-cosine verification of the candidate pairs (stage 3)."""
     sim = (
         f"cast(floor(({_dot_expr('spark', 'ea', 'eb')} / (na * nb)) "
         f"* cast(1000000 as double)) as bigint)"
@@ -1087,6 +1100,60 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_q") >= NEAR_DUP_MIN_Q)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def embedding_lsh_stage_telemetry(spark: SparkSession, sf_dir: str) -> dict:
+    """Probe-only stage decomposition of embedding_lsh_near_dup (r12
+    verdict item #2: its sf10_full ratio sits 0.09 under its own 12x
+    flag with no per-stage attribution — this twin shows which term,
+    signature build / band shuffle+join / cosine verify, absorbs the
+    widened signatures' extra width). The pagerank_iteration_telemetry
+    replay pattern: cumulative materializations of the SAME frames the
+    headline plans (shared builders, zero plan divergence), marginal
+    differences = per-stage cost.
+
+    * ``sig_s``       — noop-write of the banded signature frame
+                        (scan + norm + bit CASEs + explode, no shuffle)
+    * ``cand_cum_s``  — noop-write of the distinct candidate pairs
+                        (replays sig, adds the (band,bucket) shuffle,
+                        self-join and pair dedupe);
+                        ``band_join_s = cand_cum_s - sig_s``
+    * ``exec_s``      — the full headline materialization;
+                        ``verify_s = exec_s - cand_cum_s``
+    * ``n_candidates``— distinct candidate pairs (separate count pass,
+                        not inside any timed leg)
+    """
+    import time as _t
+
+    def _mat(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    t0 = _t.time()
+    n, banded, cands = _lsh_stages(spark, sf_dir)
+    headline = _lsh_verify(cands, n)
+    build_s = _t.time() - t0
+    t0 = _t.time()
+    _mat(headline)
+    exec_s = _t.time() - t0
+    t0 = _t.time()
+    _mat(banded)
+    sig_s = _t.time() - t0
+    t0 = _t.time()
+    _mat(cands)
+    cand_cum_s = _t.time() - t0
+    n_candidates = cands.count()
+    n_vectors = n.count()
+    return {
+        "n_vectors": n_vectors,
+        "extra_bits": _lsh_extra_bits(sf_dir),
+        "n_candidates": n_candidates,
+        "build_s": round(build_s, 3),
+        "exec_s": round(exec_s, 3),
+        "sig_s": round(sig_s, 3),
+        "cand_cum_s": round(cand_cum_s, 3),
+        "band_join_s": round(cand_cum_s - sig_s, 3),
+        "verify_s": round(exec_s - cand_cum_s, 3),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -51,8 +51,13 @@ def get_session(
         # full pass re-Janino-compiled 47 wholestage segments for +1.1 s
         # (~40% of its wall; BENCH_PR_PROBE_r12.json). 2000 entries
         # holds the whole registry's codegen resident for megabytes of
-        # bytecode.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # bytecode. Env-overridable ONLY for the A/B probe that
+        # quantifies the setting (tools/bench_compare.py workflow) —
+        # it is a static conf, so it must be set before the JVM starts.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
