@@ -117,21 +117,17 @@ def main(out_dir: str, copies: int = COPIES, skip_documents: bool = False) -> No
                    user_id + k * {R_USER} AS user_id,
                    event_type, value, props
             FROM '{SRC}/events.parquet' CROSS JOIN ks""",
-        # embeddings: per-copy deterministic perturbation of one
-        # vec_id-dependent dimension so no two copies share a vector
-        # (naive replication would hand brute-force/IVF kNN 9 exact
-        # clones of every neighbor and measure a degenerate top-k).
-        "embeddings": f"""
-            SELECT vec_id + k * {R_VEC} AS vec_id,
-                   CASE WHEN k = 0 THEN embedding
-                        ELSE list_transform(
-                            embedding,
-                            (x, i) -> CASE WHEN i - 1 = vec_id % 64
-                                      THEN CAST(x + k * 0.01 AS FLOAT)
-                                      ELSE x END)
-                   END AS embedding,
-                   label
-            FROM '{SRC}/embeddings.parquet' CROSS JOIN ks""",
+        # embeddings are generated AFTER this loop by embeddings_scaled
+        # (signed-permutation copies). The old inline job perturbed ONE
+        # vec_id-dependent dimension per copy — enough to avoid exact
+        # kNN clones, but sign-LSH band signatures were UNCHANGED across
+        # copies (one dimension flips at most one bit), so every copy of
+        # a base vector was a true mutual near-dup: candidate pairs and
+        # true pairs grew QUADRATICALLY in the copy count (r13 stage
+        # probe: 28.8x candidates on 10x data). The sf10_full ANN rows
+        # were measuring that corpus artifact, not the engine — exactly
+        # the failure mode embeddings_scaled's docstring documents and
+        # its orthogonal transform avoids (true pairs grow linearly).
         "part": f"""
             SELECT p_partkey + k * {R_PART} AS p_partkey,
                    'Part#' || lpad(CAST(p_partkey + k * {R_PART} AS VARCHAR), 9, '0') AS p_name,
@@ -163,6 +159,7 @@ def main(out_dir: str, copies: int = COPIES, skip_documents: bool = False) -> No
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{table}: {n} rows -> {dst}", flush=True)
+    embeddings_scaled(out_dir, copies)
 
 
 def documents_sf10(out_dir: str, copies: int = 100, width: int = 2) -> None:

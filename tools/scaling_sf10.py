@@ -195,12 +195,17 @@ def run_sf100() -> dict:
     }
 
 
-def run_full() -> dict:
+def run_full(only: list[str] | None = None) -> dict:
     """Third decade for the join/events/ANN families over the FULL
     star schema: sf1 (10 copies of driver sf0.1) vs sf10 (100 copies),
     both from the same key-shift generator — a pure 10x-rows ratio on
     every table at once, the regime where a join-side broadcast or a
-    skewed shuffle actually breaks."""
+    skewed shuffle actually breaks.
+
+    ``only`` re-measures a subset of QUERIES_FULL (skipping the TWS /
+    telemetry / streaming extras) for a targeted refresh after a
+    dataset-generator fix — main() merges the rows into the existing
+    block instead of replacing it."""
     for d, t in ((SF1_FULL, "lineitem"), (LARGE, "lineitem")):
         if not os.path.exists(os.path.join(d, f"{t}.parquet")):
             raise SystemExit(
@@ -212,7 +217,7 @@ def run_full() -> dict:
     spark = get_session("scaling_sf10_full")
     rows: dict[str, dict] = {}
     flagged: list[str] = []
-    for name in QUERIES_FULL:
+    for name in only if only is not None else QUERIES_FULL:
         fn = registry[name].fn
         t_small = _warm_time(spark, fn, SF1_FULL)
         t_large = _warm_time(spark, fn, LARGE)
@@ -226,6 +231,14 @@ def run_full() -> dict:
         if ratio > RATIO_THRESHOLD:
             flagged.append(name)
         print(f"{name}: {rows[name]}", flush=True)
+    if only is not None:
+        spark.stop()
+        return {
+            "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "load1_start": load1,
+            "queries": rows,
+            "flagged": flagged,
+        }
 
     # typed-state (transformWithStateInPandas) rows with state-store
     # telemetry: time like any query, then read the state-row count the
@@ -324,6 +337,26 @@ def run_full() -> dict:
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SCALING.json")
+    only = None
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--only":
+            only = sys.argv[1:][i + 1].split(",")
+    if "--full" in sys.argv[1:] and only is not None:
+        # targeted row refresh, merged into the existing sf10_full block
+        sub = run_full(only=only)
+        with open(path) as fh:
+            full = json.load(fh)
+        block = full["sf10_full"]
+        block["queries"].update(sub["queries"])
+        block["flagged"] = sorted(
+            (set(block.get("flagged", [])) - set(only)) | set(sub["flagged"])
+        )
+        block["refresh_load1"] = sub["load1_start"]
+        with open(path, "w") as fh:
+            json.dump(full, fh, indent=2, sort_keys=True)
+            fh.write("\n")
+        print(json.dumps({"sf10_full_refreshed": only, "flagged": sub["flagged"]}))
+        sys.exit(1 if sub["flagged"] else 0)
     if "--full" in sys.argv[1:]:
         key, result = "sf10_full", run_full()
     elif "--sf100" in sys.argv[1:]:

@@ -908,28 +908,46 @@ LSH_BAND_BITS = 8  # 8 bands x 8 sign-bits = all 64 dims; 2^8 buckets per
 # candidate pairs at 20k vectors -> 702M at 200k (100x pairs on 10x
 # data), the same class as the round-4 simhash bug. The footer-stat
 # gate below widens each band's signature with EXTRA pair-difference
-# hyperplane bits so expected bucket load stays ~LSH_TARGET_BUCKET_LOAD
-# and candidates scale LINEARLY. At the oracle scale factors the gate
-# yields 0 extra bits, so the DuckDB twin needs no scale branch.
-# Recall trade (documented, inherent to LSH): per-band match prob at
-# cos 0.95 is 0.899^bits — 8 bands of 8+6 bits give ~87% vs ~99% at 8
-# bits; at 100 TB you'd buy recall back with more bands, the standard
-# dial.
+# hyperplane bits so CANDIDATES scale LINEARLY — sized by the measured
+# per-bit collision factor (LSH_BIT_COLLISION below; the uniform-model
+# log2 sizing left candidates at ~n^1.4, r13 stage probe). At the
+# oracle scale factors the gate yields 0 extra bits, so the DuckDB
+# twin needs no scale branch. Recall trade (documented, inherent to
+# LSH): per-band match prob at cos 0.95 is 0.899^bits — 8 bands of
+# 8+9 bits (200k vectors) give ~76% vs ~99% at 8 bits; at 100 TB you'd
+# buy recall back with more bands, the standard dial.
 LSH_TARGET_BUCKET_LOAD = 16
 LSH_EXTRA_BITS_MAX = 16
+# Measured per-extra-bit collision factor on real (driver-derived)
+# embeddings: each pair-difference hyperplane bit removes only ~0.63 of
+# the remaining collision mass, NOT the 0.5 an independent-uniform-bit
+# model assumes — real embedding dimensions are correlated, so sign
+# bits are biased and partially redundant. Derivation (r13 stage probe,
+# SCALING.json embedding_lsh_stages): candidate pairs scale as
+# n^2 * sum_b p_b^2; sf1 -> sf10 grew n^2 by 100x while +3 widened bits
+# held measured candidates to 24.55x, so the 3 bits bought 0.2455 =
+# c^3 -> c = 0.626. Sizing extra bits with log(1/0.63) instead of
+# log2 keeps CANDIDATES (not just the idealized bucket load) linear in
+# the corpus; the price is wider signatures and lower per-band recall
+# (0.899^bits at cos 0.95) — bought back with more bands at 100 TB,
+# the standard LSH dial documented on LSH_BAND_BITS above.
+LSH_BIT_COLLISION = 0.63
 
 
 def _lsh_extra_bits(sf_dir: str) -> int:
-    """Extra sign-bits per band so that 2^(8+extra) buckets keep the
-    expected bucket load near LSH_TARGET_BUCKET_LOAD. O(1) parquet
-    footer read, no Spark job (the pagerank/spans gate pattern). Stat
-    failure assumes a LARGE corpus (max widening) — the conservative
-    direction, matching _corpus_scaled_side's 'stat unavailable ->
-    huge' convention: a footer read Spark's scan tolerates (part-files
-    without .parquet suffix, a pyarrow quirk) must not silently
-    re-expose the quadratic candidate blowup; narrow-recall on a small
-    corpus fails loudly in parity, quadratic candidates at 100 TB
-    fail the cluster."""
+    """Extra sign-bits per band so the CANDIDATE count stays linear in
+    the corpus: bits = ceil(log(n / (load * 2^8)) / log(1/0.63)), the
+    uniform-model log2 corrected by the measured per-bit collision
+    factor (see LSH_BIT_COLLISION — the r13 stage probe showed log2
+    sizing leaves candidates growing ~n^1.4 on correlated real
+    vectors). O(1) parquet footer read, no Spark job (the
+    pagerank/spans gate pattern). Stat failure assumes a LARGE corpus
+    (max widening) — the conservative direction, matching
+    _corpus_scaled_side's 'stat unavailable -> huge' convention: a
+    footer read Spark's scan tolerates (part-files without .parquet
+    suffix, a pyarrow quirk) must not silently re-expose the quadratic
+    candidate blowup; narrow-recall on a small corpus fails loudly in
+    parity, quadratic candidates at 100 TB fail the cluster."""
     import math
     import warnings
 
@@ -947,7 +965,10 @@ def _lsh_extra_bits(sf_dir: str) -> int:
         return 0
     return min(
         LSH_EXTRA_BITS_MAX,
-        math.ceil(math.log2(n / (LSH_TARGET_BUCKET_LOAD * base_buckets))),
+        math.ceil(
+            math.log(n / (LSH_TARGET_BUCKET_LOAD * base_buckets))
+            / math.log(1.0 / LSH_BIT_COLLISION)
+        ),
     )
 
 
