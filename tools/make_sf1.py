@@ -276,6 +276,11 @@ if __name__ == "__main__":
         out = args[0] if args else "/root/repo/.localdata/sf100p"
         os.makedirs(out, exist_ok=True)
         con = duckdb.connect()
+        # at 600M output rows, order-preserving COPY buffers the whole
+        # result in memory (observed: 44 GB RSS, single-threaded) —
+        # row order is meaningless in these synthetic tables, so let
+        # the COPY stream in parallel instead
+        con.execute("SET preserve_insertion_order = false")
         con.execute("CREATE VIEW ks AS SELECT unnest(range(1000)) AS k")
         probe_jobs = {
             "lineitem": f"""
