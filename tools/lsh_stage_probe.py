@@ -7,7 +7,9 @@ stage (signature build / band shuffle+join / cosine verify) absorbs the
 widened signatures' extra width in the linear-candidates regime. This
 probe runs queries/llm.py:embedding_lsh_stage_telemetry (the shared-
 builder replay twin, pagerank_iteration_telemetry pattern) at sf1
-(20k vectors, extra_bits=3) and sf10_full (200k vectors, extra_bits=6)
+(20k vectors) and sf10_full (200k vectors) — band width comes from
+queries/llm.py:_lsh_extra_bits (LSH_BIT_COLLISION-calibrated, so the
+exact extra_bits per decade tracks that gate, not this docstring) —
 and merges the result into SCALING.json under "embedding_lsh_stages".
 
 Usage: python tools/lsh_stage_probe.py   (after tools/make_sf1.py and

@@ -300,6 +300,21 @@ if __name__ == "__main__":
                        user_id + k * {R_USER} AS user_id,
                        event_type, value, props
                 FROM '{SRC}/events.parquet' CROSS JOIN ks""",
+            # customer/supplier ride along (tiny: 15M + 1M rows) so the
+            # pagerank broadcast gate (queries/webscale.py:_pr_node_bound)
+            # reads REAL footer stats at this decade instead of hitting
+            # the missing-file sentinel — without them the sf10->sf100
+            # ratio silently embeds a stats-failure-driven plan flip.
+            "customer": f"""
+                SELECT c_custkey + k * {R_CUST} AS c_custkey,
+                       'Customer#' || lpad(CAST(c_custkey + k * {R_CUST} AS VARCHAR), 9, '0') AS c_name,
+                       c_nationkey, c_acctbal, c_mktsegment
+                FROM '{SRC}/customer.parquet' CROSS JOIN ks""",
+            "supplier": f"""
+                SELECT s_suppkey + k * {R_SUPP} AS s_suppkey,
+                       'Supplier#' || lpad(CAST(s_suppkey + k * {R_SUPP} AS VARCHAR), 9, '0') AS s_name,
+                       s_nationkey, s_acctbal
+                FROM '{SRC}/supplier.parquet' CROSS JOIN ks""",
         }
         for table, sql in probe_jobs.items():
             dst = os.path.join(out, f"{table}.parquet")

@@ -338,15 +338,21 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SCALING.json")
     only = None
-    for i, a in enumerate(sys.argv[1:]):
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a == "--only":
-            only = sys.argv[1:][i + 1].split(",")
+            if i + 1 >= len(argv):
+                raise SystemExit("usage: scaling_sf10.py --full --only q1,q2,...")
+            only = argv[i + 1].split(",")
     if "--full" in sys.argv[1:] and only is not None:
         # targeted row refresh, merged into the existing sf10_full block
         sub = run_full(only=only)
-        with open(path) as fh:
-            full = json.load(fh)
-        block = full["sf10_full"]
+        try:
+            with open(path) as fh:
+                full = json.load(fh)
+        except (OSError, ValueError):
+            full = {}
+        block = full.setdefault("sf10_full", {"queries": {}, "flagged": []})
         block["queries"].update(sub["queries"])
         block["flagged"] = sorted(
             (set(block.get("flagged", [])) - set(only)) | set(sub["flagged"])

@@ -43,6 +43,18 @@ REGISTRY: dict[str, Query] = {}
 # re-verifies the new semantics instead of trusting a stale green.
 INVALIDATED_BEFORE: dict[str, int] = {
     "simhash_near_dup": 4,  # 16-bit/4-bit-band simhash -> 48-bit/12-bit-band
+    # r13 rewrote the PSI fold to per-term micro-quantization (floor
+    # BEFORE the sum, integer addition thereafter) — psi_micro/drift_micro
+    # values differ from the old floor-of-ordered-sum, so greens recorded
+    # before r13 verified the OLD semantics and must not be trusted.
+    "psi_source_drift": 13,
+    "events_type_psi_stream": 13,
+    # r14 moved sum_value_c to per-event cents quantization (sum of
+    # integers, fold-order free) from floor-of-float-sum, in both the
+    # Spark plans and the oracles — values can differ by +/-1 cent-unit.
+    "events_tumbling_1h": 14,
+    "events_sliding_1h_30m": 14,
+    "events_gap_fill_hourly": 14,
 }
 
 

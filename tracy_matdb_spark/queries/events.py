@@ -25,6 +25,10 @@ from tracy_matdb_spark.catalog import gated_local_checkpoint, load_events
 from tracy_matdb_spark.queries import register
 
 ROUND2 = "cast(floor(v * cast(100 as double)) as bigint)"
+# per-event cents over the raw `value` column; sum(CENTS) is an integer
+# fold and therefore accumulation-order free across engines and across
+# streaming restarts (the floor-of-float-sum it replaces was not)
+CENTS = "cast(floor(value * cast(100 as double)) as bigint)"
 
 
 @register(
@@ -34,7 +38,8 @@ ROUND2 = "cast(floor(v * cast(100 as double)) as bigint)"
     SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
            event_type,
            count(*) AS n_events,
-           cast(floor(sum(value) * cast(100 as double)) as bigint) AS sum_value_c
+           cast(sum(cast(floor(value * cast(100 as double)) as bigint)) as bigint)
+               AS sum_value_c
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start_s, event_type
@@ -42,13 +47,18 @@ ROUND2 = "cast(floor(v * cast(100 as double)) as bigint)"
 )
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type via native window() — at scale
-    a single hash aggregation keyed by (window, type), map-side partials."""
+    a single hash aggregation keyed by (window, type), map-side partials.
+    sum_value_c quantizes each event to cents BEFORE summing (ROUND2
+    pattern): the integer sum is fold-order free, so Spark's partial-agg
+    merge order, DuckDB's fold order, and a restarted stream's
+    state-merge order all land on the same value — floor-of-float-sum
+    did not (it sat within ~1e-8 of an integer boundary on this data)."""
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.expr("cast(floor(sum(value) * cast(100 as double)) as bigint)").alias("sum_value_c"),
+            F.expr(f"sum({CENTS})").alias("sum_value_c"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
@@ -75,7 +85,8 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ws_us // 1000000 AS window_start_s,
            event_type,
            count(*) AS n_events,
-           cast(floor(sum(value) * cast(100 as double)) as bigint) AS sum_value_c
+           cast(sum(cast(floor(value * cast(100 as double)) as bigint)) as bigint)
+               AS sum_value_c
     FROM assigned
     GROUP BY 1, 2
     ORDER BY window_start_s, event_type
@@ -91,7 +102,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.expr("cast(floor(sum(value) * cast(100 as double)) as bigint)").alias("sum_value_c"),
+            F.expr(f"sum({CENTS})").alias("sum_value_c"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
@@ -904,7 +915,7 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
     c AS (
         SELECT h, count(*) AS n,
-               cast(floor(sum(value) * cast(100 as double)) as bigint) AS sv
+               cast(sum(cast(floor(value * cast(100 as double)) as bigint)) as bigint) AS sv
         FROM p GROUP BY 1
     )
     SELECT epoch_us(spine.h) // 1000000 AS hour_s,
@@ -929,7 +940,7 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = hours.groupBy("h").agg(
         F.count(F.lit(1)).alias("n"),
-        F.floor(F.sum("value") * F.lit(100).cast("double")).cast("bigint").alias("sv"),
+        F.expr(f"sum({CENTS})").alias("sv"),
     )
     return (
         spine.join(counts, "h", "left")

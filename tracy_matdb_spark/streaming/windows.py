@@ -102,7 +102,13 @@ def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "10
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.expr("cast(floor(sum(value) * cast(100 as double)) as bigint)").alias("sum_value_c"),
+            # per-event cents quantization BEFORE the sum: the integer
+            # sum is accumulation-order free, so a killed-and-restarted
+            # run (whose state-merge order differs) lands on exactly the
+            # same value as an uninterrupted one — floor(sum(value)*100)
+            # sat within float error of an integer boundary on this data
+            # (events_stateful_totals_tws / psi_source_drift precedent)
+            F.expr("sum(cast(floor(value * cast(100 as double)) as bigint))").alias("sum_value_c"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
