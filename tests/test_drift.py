@@ -174,3 +174,69 @@ def test_drift_queries_at_smoke_sf_are_sane(spark):
     nov = reg["ngram_novelty_curve"].fn(spark, SF_SMOKE).collect()
     assert nov[0]["n_new"] == nov[0]["n_distinct"]  # batch 0 is all-new
     assert nov[-1]["cum_new"] >= nov[0]["cum_new"]
+
+
+def test_psi_micro_fold_is_permutation_invariant():
+    """Property test (r13 ADVICE follow-up): the PSI rewrite's whole
+    point is that quantizing EACH term to micro units before an integer
+    sum makes psi_micro independent of fold order — neither Spark's
+    map-side-combine merge order nor DuckDB's (potentially pairwise/
+    SIMD) float fold can perturb it. Sweep random (source x bin) count
+    tables through the exact term expression from psi_source_drift
+    (queries/drift.py) and assert the summed result is bit-identical
+    under identity, reversed, shuffled, and pairwise-tree fold orders.
+    Also pins the docstring's error bound: the micro total sits at most
+    PSI_BINS micro units below the unquantized float PSI."""
+    import math
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tracy_matdb_spark.queries.drift import PSI_BINS
+
+    def terms_micro(n_sb_bins, n_b_bins, n_s, n_all):
+        out = []
+        floats = []
+        for n_sb, n_b in zip(n_sb_bins, n_b_bins):
+            p = float(n_sb + 1) / float(n_s + PSI_BINS)
+            q = float(n_b - n_sb + 1) / float(n_all - n_s + PSI_BINS)
+            t = (p - q) * math.log(p / q)
+            out.append(math.floor(1_000_000.0 * t))
+            floats.append(t)
+        return out, floats
+
+    def tree_sum(xs):
+        if len(xs) == 1:
+            return xs[0]
+        mid = len(xs) // 2
+        return tree_sum(xs[:mid]) + tree_sum(xs[mid:])
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        counts=st.lists(
+            st.integers(min_value=0, max_value=10**6),
+            min_size=2 * PSI_BINS,
+            max_size=2 * PSI_BINS,
+        ),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(counts, seed):
+        # two sources over PSI_BINS bins; focal source = first half
+        src = counts[:PSI_BINS]
+        rest = counts[PSI_BINS:]
+        n_b = [a + b for a, b in zip(src, rest)]
+        n_s, n_all = sum(src), sum(src) + sum(rest)
+        micro, floats = terms_micro(src, n_b, n_s, n_all)
+
+        total = sum(micro)
+        shuffled = micro[:]
+        random.Random(seed).shuffle(shuffled)
+        assert sum(reversed(micro)) == total
+        assert sum(shuffled) == total
+        assert tree_sum(shuffled) == total
+        # docstring bound: at most one micro lost per term to the floor
+        float_psi_micro = 1_000_000.0 * sum(floats)
+        assert total <= float_psi_micro < total + len(micro) + 1
+
+    check()

@@ -803,3 +803,108 @@ def test_streaming_restart_from_checkpoint_recovers(spark, tmp_path):
         _norm(psi_base, ["window_start_s"]),
         check_dtype=False,
     )
+
+
+def test_tws_restart_from_checkpoint_recovers(spark, tmp_path):
+    """Kill-and-restart for the TYPED-state path: the tumbling_agg restart
+    test above recovers built-in window state through the default
+    HDFS-backed provider, but transformWithStateInPandas ValueState
+    handles recover through the RocksDB provider + the Python state
+    server — a disjoint code path that needs its own kill. Phase 1
+    processes the even half of the events, the query stops (state now
+    lives only in the checkpoint), the odd half is staged, and a NEW
+    query resumes from the same checkpoint. Every user emitted in
+    phase 2 must then carry FULL-source totals: if recovery had lost the
+    ValueState, the emitted n_events would equal the user's odd-half
+    count alone, which the test asserts is distinguishable."""
+    from pyspark.sql import functions as F
+
+    from tracy_matdb_spark.catalog import load_events
+    from tracy_matdb_spark.streaming.windows import stateful_user_totals_tws
+
+    ev = load_events(spark, SF_SMOKE).select("event_id", "user_id", "value")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start(outdir):
+        # memory sinks refuse checkpoint recovery outside complete mode,
+        # so this test uses the production pattern for update-mode
+        # typed-state output: a foreachBatch parquet appender (the
+        # ForeachBatchSink IS recoverable)
+        def sink(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                outdir
+            )
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            stateful_user_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q1 = start(str(tmp_path / "out1"))
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()  # the kill: ValueState lives only in the checkpoint now
+
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        out2 = str(tmp_path / "out2")
+        q2 = start(out2)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        recovered = spark.read.parquet(out2).toPandas()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # update-mode sink: keep the latest row per user in case the restart
+    # replayed an extra micro-batch
+    recovered = (
+        recovered.sort_values(["batch_id", "n_events"])
+        .groupby("user_id")
+        .tail(1)
+        .reset_index(drop=True)
+        .drop(columns=["batch_id"])
+    )
+    truth = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("sum_value_c"),
+            F.round(F.max("value") * 100).cast("long").alias("max_value_c"),
+        )
+        .toPandas()
+    )
+    odd = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+        .toPandas()
+    )
+    # phase 2's batch touched exactly the odd-half users
+    assert set(recovered.user_id) == set(odd.user_id)
+    merged = recovered.merge(truth, on="user_id", suffixes=("", "_want")).merge(
+        odd, on="user_id"
+    )
+    assert len(merged) == len(recovered) > 0
+    # full-source totals, not phase-2-only totals (recovery actually worked)
+    assert (merged.n_events == merged.n_events_want).all()
+    assert (merged.sum_value_c == merged.sum_value_c_want).all()
+    assert (merged.max_value_c == merged.max_value_c_want).all()
+    # ... and the distinction is real: most users had phase-1 events too
+    assert (merged.n_events > merged.n_odd).mean() > 0.5

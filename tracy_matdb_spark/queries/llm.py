@@ -10,6 +10,9 @@ except the explicitly-approximate LSH scale path.
 
 from __future__ import annotations
 
+# module-level so the pandas_udf annotation strings (PEP 563) resolve
+# against module globals when pyspark infers the eval type
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2235,6 +2238,18 @@ PQ_K = 64  # centroids per subspace
 PQ_TOP = 10
 PQ_LLOYD_ITERS = 1  # k-means refinement rounds on the init codebook
 PQ_RERANK = 30  # ADC shortlist size fed to the exact re-rank
+# Codebook-training sample bound: Lloyd assignment is the one PQ stage
+# whose intermediate grows as corpus x M x K (the explode-join-agg
+# form), and the r14 sf100 probe measured the failure mode — at 2M
+# vectors the (vec_id, m, cid) hash aggregate spilled >58 GB and filled
+# the disk. Real PQ deployments train on a bounded sample anyway
+# (Jegou 2011 trains on a held-out learn set); above this bound the
+# trainer samples vec_id <= PQ_TRAIN_MAX (footer-stat gate, oracle_fn
+# mirrors the predicate) and ENCODING — which must touch every vector —
+# runs as a per-row codegen expression against the collected codebook
+# instead of the exploded join, so no corpus-sized K-way intermediate
+# exists anywhere at any scale.
+PQ_TRAIN_MAX = 32_768
 # Layout chosen empirically: on the isotropic synthetic embeddings
 # M=16/D=4/K=64 measures ADC recall@10 = 7/10 after one Lloyd round vs
 # 1/10 for M=8/D=8/K=16 at the same 500-vector corpus; finer subspaces
@@ -2257,12 +2272,30 @@ def _pq_sub_cte(dialect: str) -> str:
     raise ValueError(dialect)
 
 
-def _pq_body_sql() -> str:
+def _pq_train_bound(sf_dir: str) -> int | None:
+    """None below the gate (train on the whole corpus — every driver SF),
+    else PQ_TRAIN_MAX: train on the deterministic vec_id <= bound prefix
+    (the key-shifted copy structure makes the prefix a whole-copy
+    subset). Footer-stat read, no Spark job; stat failure assumes a
+    LARGE corpus and samples — bounded work is the conservative
+    direction here (an unbounded Lloyd assignment is the measured
+    disk-filling failure, sf100 probe r14)."""
+    try:
+        n = table_num_rows(sf_dir, "embeddings")
+    except Exception:  # noqa: BLE001 — stat unavailable -> assume huge
+        return PQ_TRAIN_MAX
+    return None if n <= PQ_TRAIN_MAX else PQ_TRAIN_MAX
+
+
+def _pq_body_sql(train_bound: int | None = None) -> str:
     """CTE chain: init codebook -> PQ_LLOYD_ITERS k-means rounds ->
     encode -> query distance table -> ADC distances. The Lloyd update is
     hash-exact in both engines: per-dim mean = floor(double division of
     an exact integer sum) — identical IEEE ops on identical integers.
-    An empty cluster keeps its INIT centroid (cb0 LEFT JOIN update)."""
+    An empty cluster keeps its INIT centroid (cb0 LEFT JOIN update).
+    train_bound mirrors _pq_train_bound's sample predicate on the
+    TRAINING ctes only (encode/dt always cover the full corpus)."""
+    tb = f" AND s.vec_id <= {train_bound}" if train_bound is not None else ""
     ctes = [
         _pq_sub_cte("duckdb"),
         f"""cb0 AS (SELECT m, i, vec_id AS cid, qv AS cv FROM sub
@@ -2274,14 +2307,14 @@ def _pq_body_sql() -> str:
             f"""a{t} AS (SELECT vec_id, m, cast(min(d2 * 128 + cid) % 128 as bigint) AS cid
         FROM (SELECT s.vec_id, s.m, c.cid, sum((s.qv - c.cv) * (s.qv - c.cv)) AS d2
               FROM sub s JOIN {prev} c ON s.m = c.m AND s.i = c.i
-              WHERE s.vec_id <> 0 GROUP BY s.vec_id, s.m, c.cid) t
+              WHERE s.vec_id <> 0{tb} GROUP BY s.vec_id, s.m, c.cid) t
         GROUP BY vec_id, m)"""
         )
         ctes.append(
             f"""u{t} AS (SELECT s.m, a.cid, s.i,
                cast(floor(cast(sum(s.qv) as double) / count(*)) as bigint) AS cv
         FROM sub s JOIN a{t} a ON a.vec_id = s.vec_id AND a.m = s.m
-        WHERE s.vec_id <> 0 GROUP BY s.m, a.cid, s.i)"""
+        WHERE s.vec_id <> 0{tb} GROUP BY s.m, a.cid, s.i)"""
         )
         ctes.append(
             f"""cb{t + 1} AS (SELECT c.m, c.i, c.cid, coalesce(u.cv, c.cv) AS cv
@@ -2330,9 +2363,9 @@ def _pq_rerank_ctes() -> str:
     """
 
 
-def _pq_topk_sql() -> str:
+def _pq_topk_sql(train_bound: int | None = None) -> str:
     return (
-        _pq_body_sql()
+        _pq_body_sql(train_bound)
         + ","
         + _pq_rerank_ctes()
         + f"""
@@ -2396,66 +2429,100 @@ def _pq_codebook_df(sub: DataFrame, corpus: DataFrame) -> DataFrame:
     return cb
 
 
-@register("knn_pq_embeddings", oracle=_pq_topk_sql())
+@register(
+    "knn_pq_embeddings",
+    oracle=_pq_topk_sql(),
+    oracle_fn=lambda sf_dir: _pq_topk_sql(_pq_train_bound(sf_dir)),
+)
 def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized kNN: ADC shortlist over compressed codes, exact
     re-rank of the shortlist (Jegou 2011 §V, the IVFADC+R serving shape).
 
     Train: one Lloyd round from the vec_id 1..{PQ_K} init codebook
-    (_pq_codebook_df — hash-exact integer k-means). Encode:
-    integer-argmin nearest centroid per (vector, subspace) — the corpus
-    compresses 16x (16 byte-codes vs 64 floats). Search: the query's
-    distance table (M*K = 1024 rows) is computed once and broadcast;
-    approx distance is a sum of M table lookups, never touching the
-    original vectors. Re-rank: only the top-{PQ_RERANK} ADC candidates'
-    full vectors are fetched and scored by exact micro-int cosine.
+    (_pq_codebook_df — hash-exact integer k-means), on a footer-gated
+    sample above {PQ_TRAIN_MAX} vectors (the real-deployment shape:
+    Jegou trains on a held-out learn set). Encode + search: the trained
+    codebook is COLLECTED (M*K*D = 4096 bigints — the bounded
+    "ship the index" artifact) and folded into Catalyst literals; each
+    vector's 16 codes and its ADC distance are ONE codegen'd
+    higher-order expression (nested aggregate() over the subspace dims
+    and centroids), so the corpus is never exploded x K. The previous
+    explode-join-agg encode materialized a corpus x M x K hash
+    aggregate — 2G groups at the sf100 probe's 2M vectors, >58 GB of
+    spill, disk-full abort (the r14 probe's find). Identical integer
+    arithmetic (fold-order-free sums, min-cid ties via the packed
+    d2*128+cid min), so results are bit-identical to the join form.
+    Re-rank: only the top-{PQ_RERANK} ADC candidates' full vectors are
+    fetched and scored by exact micro-int cosine.
 
-    Scale shape: the codebook (M*K*D = 4096 rows) and the distance
-    table are broadcasts; encode is one narrow explode + partial-agg
-    argmin keyed by (vec_id, m) — co-partitioned end to end; shortlist
-    is TakeOrderedAndProject; the re-rank joins the {PQ_RERANK}-row
-    shortlist (broadcast) against the vectors table, so the exact pass
-    touches R rows, not the corpus. At 100 TB the codes table is the
-    materialized index (written once, bucketed), a query is ONE scan of
-    the 16x-smaller codes, and the re-rank is R point lookups."""
+    Scale shape: serving is ONE scan of the corpus with a per-row
+    expression (zero joins, zero shuffles) into a TakeOrderedAndProject
+    shortlist; the re-rank joins the {PQ_RERANK}-row shortlist
+    (broadcast) against the vectors table, so the exact pass touches R
+    rows, not the corpus. At 100 TB the codes table is the materialized
+    index (written once, bucketed), a query is ONE scan of the
+    16x-smaller codes, and the re-rank is R point lookups."""
+    import math
+
     sub = _pq_sub_df(spark, sf_dir)
-    # one shuffle for the whole agg chain: HashPartitioning(vec_id)
-    # satisfies the ClusteredDistribution of every downstream groupBy
-    # ((vec_id,m,cid) -> (vec_id,m) -> (vec_id)) AND the (vec_id, m)
-    # Lloyd-assignment join, so encode/train/ADC all run shuffle-free
-    # on the same partitioning (ReuseExchange dedups the scan).
-    corpus = sub.filter(F.col("vec_id") != 0).repartition(F.col("vec_id"))
-    # Train once, materialize (eager checkpoint): the codebook is
-    # referenced by three consumers (encode, distance table, and —
-    # without this — each would re-run the whole Lloyd lineage). An
-    # EAGER localCheckpoint runs training exactly once AND gives the
-    # 4096-row result known size stats, so every downstream join plans
-    # as a broadcast at plan time — exactly the "train offline, ship
-    # the codebook" shape of a real PQ index build.
-    cb = _pq_codebook_df(sub, corpus).localCheckpoint(eager=True)
-    d2 = (
-        corpus.join(F.broadcast(cb), ["m", "i"])
-        .groupBy("vec_id", "m", "cid")
-        .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("d2"))
-    )
-    enc = d2.groupBy("vec_id", "m").agg(
-        (F.min(F.expr("d2 * 128 + cid")) % 128).cast("long").alias("code")
-    )
-    dt = (
-        sub.filter(F.col("vec_id") == 0)
-        .join(F.broadcast(cb), ["m", "i"])
-        .groupBy("m", "cid")
-        .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("qd2"))
-        .selectExpr("m AS dm", "cid AS dcid", "qd2")
-    )
+    bound = _pq_train_bound(sf_dir)
+    tsub = sub if bound is None else sub.filter(F.col("vec_id") <= bound)
+    # HashPartitioning(vec_id) satisfies both training groupBys and the
+    # (vec_id, m) Lloyd-assignment join on the (bounded) training set
+    corpus_t = tsub.filter(F.col("vec_id") != 0).repartition(F.col("vec_id"))
+    cb_rows = _pq_codebook_df(tsub, corpus_t).collect()  # 4096 rows, bounded
+    cbmap = {(r["m"], r["cid"], r["i"]): int(r["cv"]) for r in cb_rows}
+    cb_nested = [
+        [[cbmap[(m, cid, i)] for i in range(PQ_D)] for cid in range(1, PQ_K + 1)]
+        for m in range(PQ_M)
+    ]
+    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    # query-side ADC distance table, computed driver-side from the
+    # collected codebook + 1 query row with the oracle's exact integer
+    # arithmetic (micro-quantize per dim, integer squared distance)
+    qemb = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = [int(math.floor(float(v) * 1_000_000.0)) for v in qemb]
+    dt_nested = [
+        [
+            sum((qv[m * PQ_D + i] - cb_nested[m][c][i]) ** 2 for i in range(PQ_D))
+            for c in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+    # Encode + ADC as ONE Arrow-batched pandas UDF over the raw vector
+    # column. Spark's higher-order functions (transform/aggregate) are
+    # CodegenFallback — a nested-HOF argmin measured 80 s interpreted at
+    # 20k vectors — and the explode-join-agg form is the corpus x M x K
+    # spill bomb the sf100 probe caught, so this is the case the
+    # pandas-UDF escape hatch exists for. All arithmetic is int64 after
+    # the per-dim micro quantization (identical floor(double*1e6)), and
+    # np.argmin's first-minimum tie matches the oracle's min-cid packed
+    # tie-break because centroids are laid out in ascending cid order.
+    import numpy as np
+
+    cb_np = np.asarray(cb_nested, dtype=np.int64)  # (M, K, D)
+    dt_np = np.asarray(dt_nested, dtype=np.int64)  # (M, K)
+
+    @F.pandas_udf("long")
+    def pq_adc(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * 1_000_000.0).astype(np.int64)
+        q = q.reshape(len(embs), PQ_M, PQ_D)
+        out = np.zeros(len(embs), dtype=np.int64)
+        for m in range(PQ_M):  # per-subspace: bounds the temp at N*K*D
+            d = q[:, m, None, :] - cb_np[m][None, :, :]
+            codes = np.argmin(np.sum(d * d, axis=2), axis=1)
+            out += dt_np[m][codes]
+        return pd.Series(out)
+
     short = (
-        enc.join(F.broadcast(dt), (F.col("m") == F.col("dm")) & (F.col("code") == F.col("dcid")))
-        .groupBy("vec_id")
-        .agg(F.sum("qd2").cast("long").alias("ad2"))
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", pq_adc("embedding").alias("ad2"))
         .orderBy("ad2", "vec_id")
         .limit(PQ_RERANK)
     )
-    emb = load(spark, sf_dir, ("embeddings",))["embeddings"]
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     sim = (
         f"cast(floor(({_dot_expr('spark', 'embedding', 'qv')} / "
@@ -2471,14 +2538,14 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recall_sql() -> str:
+def _pq_recall_sql(train_bound: int | None = None) -> str:
     exact_sim = (
         f"cast(floor(({_dot_expr('duckdb', 'embedding', 'qv')} /"
         f" ({_norm_expr('duckdb', 'embedding')} * {_norm_expr('duckdb', 'qv')}))"
         f" * cast(1000000 as double)) as bigint)"
     )
     return (
-        _pq_body_sql()
+        _pq_body_sql(train_bound)
         + ","
         + _pq_rerank_ctes()
         + f""",
@@ -2494,7 +2561,11 @@ def _pq_recall_sql() -> str:
     )
 
 
-@register("knn_pq_recall", oracle=_pq_recall_sql())
+@register(
+    "knn_pq_recall",
+    oracle=_pq_recall_sql(),
+    oracle_fn=lambda sf_dir: _pq_recall_sql(_pq_train_bound(sf_dir)),
+)
 def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{PQ_TOP} of the PQ pipeline (ADC shortlist + exact re-rank)
     against exact float cosine — the accuracy-vs-16x-compression readout
