@@ -253,7 +253,10 @@ PR_DAMP_NUM = 850_000  # 0.85 in micro units
 PR_BASE = 150_000  # (1 - 0.85) in micro units
 
 
-def _pr_graph(t) -> tuple[DataFrame, DataFrame]:
+PR_CKPT_MAX_LINEITEM = 100_000_000  # edge-table memory-checkpoint gate
+
+
+def _pr_graph(t, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(symmetrized edge view, degree table) for the bipartite purchase
     graph. The DIRECTED half is lazily local-checkpointed so the
     lineitem x orders join + distinct runs ONCE, not once per iteration
@@ -294,8 +297,26 @@ def _pr_graph(t) -> tuple[DataFrame, DataFrame]:
         )
         .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    # share-the-edge-build gate (gated_local_checkpoint's trade, edge
+    # scale): below the gate the distinct edge set rides unified memory
+    # (localCheckpoint); above it — ~600M edges at the sf100 probe,
+    # where the MEMORY_AND_DISK blocks squeezed execution memory until
+    # an aggregation task was refused its first page — the edges persist
+    # DISK_ONLY: still built once and reused per iteration (the
+    # "bucketed edges table written once" shape of a real cluster), but
+    # claiming zero execution/storage memory. Stat failure -> DISK_ONLY
+    # (bounded memory is the conservative direction).
+    try:
+        small = table_num_rows(sf_dir, "lineitem") <= PR_CKPT_MAX_LINEITEM
+    except Exception:  # noqa: BLE001 — stat unavailable -> assume huge
+        small = False
+    if small:
+        e0 = e0.localCheckpoint(eager=False)
+    else:
+        from pyspark import StorageLevel
+
+        e0 = e0.persist(StorageLevel.DISK_ONLY)
     # degree from each DIRECTED half separately: outdeg(customer) = its
     # count in e0.src, outdeg(supplier) = its count in e0.dst — two
     # half-sized keyed aggregations, never a 2x-sized one (and still no
@@ -414,7 +435,7 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
     # decompose exec_s on an identical shape sharing ONE edge
     # checkpoint (its untimed build repays build_s, measured above)
     t = load(spark, sf_dir, ("lineitem", "orders"))
-    e_sym, deg = _pr_graph(t)
+    e_sym, deg = _pr_graph(t, sf_dir)
     t0 = _t.time()
     _mat(e_sym)
     edges_noop_s = _t.time() - t0
@@ -525,7 +546,7 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs a full extra copy of the edge set in build time and storage
     (see _pr_graph)."""
     t = load(spark, sf_dir, ("lineitem", "orders"))
-    e_sym, deg = _pr_graph(t)
+    e_sym, deg = _pr_graph(t, sf_dir)
     bcast = _pr_node_bound(sf_dir) <= PR_BCAST_MAX_NODES
     ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("r"), "outdeg")
     for _ in range(PR_ITERS):

@@ -39,6 +39,18 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE can only coalesce DOWN from the initial shuffle partition
+        # count — without headroom a big input gets cpus-many reduce
+        # partitions no matter what (the r14 sf100 probe measured the
+        # failure: 600M rows / 32 partitions = 19M-row aggregation
+        # tasks, execution-memory exhaustion). 8x cores of headroom
+        # mirrors cluster_conf's initialPartitionNum rationale; AQE
+        # coalesces small workloads back down, so driver-SF plans are
+        # unchanged.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * cpus),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
