@@ -31,6 +31,9 @@ from tools.scaling_sf10 import LARGE, RATIO_THRESHOLD, _load1  # noqa: E402
 from tracy_matdb_spark.queries import load_all  # noqa: E402
 from tracy_matdb_spark.session import get_session  # noqa: E402
 
+# disk is the probe's scarce resource: halve shuffle/spill bytes
+os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
+
 SF100P = "/root/repo/.localdata/sf100p"
 PROBES = ["knn_pq_embeddings", "pagerank_bipartite"]
 PROBES_TWS = ["events_stateful_totals_tws"]

@@ -298,36 +298,59 @@ def _pr_graph(t, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .selectExpr("o_custkey * 2 AS src", "l_suppkey * 2 + 1 AS dst")
         .distinct()
     )
-    # share-the-edge-build gate (gated_local_checkpoint's trade, edge
-    # scale): below the gate the distinct edge set rides unified memory
-    # (localCheckpoint); above it — ~600M edges at the sf100 probe,
-    # where the MEMORY_AND_DISK blocks squeezed execution memory until
-    # an aggregation task was refused its first page — the edges persist
-    # DISK_ONLY: still built once and reused per iteration (the
-    # "bucketed edges table written once" shape of a real cluster), but
-    # claiming zero execution/storage memory. Stat failure -> DISK_ONLY
-    # (bounded memory is the conservative direction).
+    # Edge-materialization gate (r14 sf100 probe, two measured failure
+    # modes at 600M lineitem): (a) the ungated localCheckpoint's
+    # MEMORY_AND_DISK blocks squeezed execution memory until an
+    # aggregation task was refused its first page; (b) even off-heap,
+    # the LAZY both-ways edge view re-shuffled 2E rows on EVERY
+    # iteration join, and three warm runs' accumulated shuffle files
+    # filled the disk. Below the gate the r8-measured small-SF shape
+    # stands (lazy checkpoint of the directed half, 1x rows stored,
+    # two half-sized degree aggs). Above it the SYMMETRIZED edge set is
+    # materialized ONCE, hash-partitioned on the join key, DISK_ONLY —
+    # the local realization of the docstring's "bucketed edges table
+    # written once": every iteration join then reads co-partitioned
+    # cached blocks with NO exchange on the edge side and zero
+    # storage-memory claim, and outdeg is ONE keyed agg over the same
+    # cache. Stat failure -> the bounded-memory path.
     try:
         small = table_num_rows(sf_dir, "lineitem") <= PR_CKPT_MAX_LINEITEM
     except Exception:  # noqa: BLE001 — stat unavailable -> assume huge
         small = False
     if small:
         e0 = e0.localCheckpoint(eager=False)
-    else:
-        from pyspark import StorageLevel
+        # degree from each DIRECTED half separately: outdeg(customer) =
+        # its count in e0.src, outdeg(supplier) = its count in e0.dst —
+        # two half-sized keyed aggregations, never a 2x-sized one (and
+        # still no partition-only window, the hot-node-buffering trap
+        # plans/window_audit.py exists to catch)
+        degc = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        degs = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("outdeg"))
+        deg = degc.selectExpr("src AS node", "outdeg").unionByName(
+            degs.selectExpr("dst AS node", "outdeg")
+        )
+        e_sym = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst"))
+        return e_sym, deg
+    from pyspark import StorageLevel
 
-        e0 = e0.persist(StorageLevel.DISK_ONLY)
-    # degree from each DIRECTED half separately: outdeg(customer) = its
-    # count in e0.src, outdeg(supplier) = its count in e0.dst — two
-    # half-sized keyed aggregations, never a 2x-sized one (and still no
-    # partition-only window, the hot-node-buffering trap
-    # plans/window_audit.py exists to catch)
-    degc = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    degs = e0.groupBy("dst").agg(F.count(F.lit(1)).alias("outdeg"))
-    deg = degc.selectExpr("src AS node", "outdeg").unionByName(
-        degs.selectExpr("dst AS node", "outdeg")
+    sess = t["lineitem"].sparkSession
+    try:
+        nparts = int(
+            sess.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        )
+    except Exception:  # noqa: BLE001
+        nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    e_sym = (
+        e0.unionByName(e0.selectExpr("dst AS src", "src AS dst"))
+        .repartition(nparts, F.col("src"))
+        .persist(StorageLevel.DISK_ONLY)
     )
-    e_sym = e0.unionByName(e0.selectExpr("dst AS src", "src AS dst"))
+    # in the disjoint bipartite layout each node occurs as src exactly
+    # outdeg times in the symmetrized set, so this single agg over the
+    # co-partitioned cache equals the two-half-agg union above
+    deg = e_sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).selectExpr(
+        "src AS node", "outdeg"
+    )
     return e_sym, deg
 
 

@@ -70,6 +70,21 @@ def get_session(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
         )
+        # shuffle files are reclaimed only when a GC collects their dead
+        # ShuffleDependency; on a big heap that can lag 30+ min (the
+        # default periodicGC) — the r14 sf100 probe accumulated three
+        # warm runs' shuffle files and filled the disk. 2 min bounds the
+        # lag for long-lived mixed sessions at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        # serialized persisted blocks (the DISK_ONLY edge cache) are
+        # uncompressed by default; integer-heavy tables shrink 3-4x
+        .config("spark.rdd.compress", "true")
+        # shuffle/spill codec: lz4 default; heavy disk-bound sweeps (the
+        # sf100 probe) set zstd via env for ~2x smaller shuffle files
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
