@@ -49,6 +49,23 @@ def test_pagerank_fixed_point_bounds(spark):
     assert set(pdf.node_type) <= {"customer", "supplier"}
 
 
+def test_pagerank_edge_gate_paths_equivalent(spark, monkeypatch):
+    """SPARK_GRAFT_PR_EDGE_GATE_ROWS=0 forces _pr_graph's big-data
+    branch (symmetrized edges materialized once, hash-partitioned on
+    the join key, DISK_ONLY, degree from ONE keyed agg over that
+    cache) at smoke SF; its result must equal the small-SF
+    lazy-checkpoint branch bit-for-bit. Integer micro-ranks and the
+    (microrank desc, node) tiebreak make the top-20 deterministic, so
+    the gate is provably a plan-shape choice, not a semantics fork."""
+    import pandas as pd
+
+    fn = REGISTRY["pagerank_bipartite"].fn
+    small_path = fn(spark, SF_SMOKE).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_PR_EDGE_GATE_ROWS", "0")
+    big_path = fn(spark, SF_SMOKE).toPandas()
+    pd.testing.assert_frame_equal(small_path, big_path)
+
+
 def test_bloom_bitset_is_broadcast(spark):
     """The membership probe must be a broadcast join of the O(m) bitset
     — never a shuffle of the probe side keyed on bit position."""

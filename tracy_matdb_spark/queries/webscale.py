@@ -27,6 +27,8 @@ equi joins only — no cartesian stages, no single-partition windows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -256,6 +258,20 @@ PR_BASE = 150_000  # (1 - 0.85) in micro units
 PR_CKPT_MAX_LINEITEM = 100_000_000  # edge-table memory-checkpoint gate
 
 
+def _pr_edge_gate_rows() -> int:
+    """Edge-materialization gate, env-overridable
+    (SPARK_GRAFT_PR_EDGE_GATE_ROWS) so tests can force the big-data
+    path — materialized co-partitioned DISK_ONLY edges — at sf0.001
+    and pin its result equal to the small-SF lazy-checkpoint shape.
+    The two branches of _pr_graph must be pure plan-shape choices,
+    never a semantics fork; the override makes that a CI invariant
+    instead of a one-off claim in a commit message."""
+    try:
+        return int(os.environ["SPARK_GRAFT_PR_EDGE_GATE_ROWS"])
+    except (KeyError, ValueError):
+        return PR_CKPT_MAX_LINEITEM
+
+
 def _pr_graph(t, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(symmetrized edge view, degree table) for the bipartite purchase
     graph. The DIRECTED half is lazily local-checkpointed so the
@@ -314,7 +330,7 @@ def _pr_graph(t, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # storage-memory claim, and outdeg is ONE keyed agg over the same
     # cache. Stat failure -> the bounded-memory path.
     try:
-        small = table_num_rows(sf_dir, "lineitem") <= PR_CKPT_MAX_LINEITEM
+        small = table_num_rows(sf_dir, "lineitem") <= _pr_edge_gate_rows()
     except Exception:  # noqa: BLE001 — stat unavailable -> assume huge
         small = False
     if small:
