@@ -16,6 +16,10 @@ Merged into SCALING.json under "sf100_probe". Flag threshold 12
 
 Usage: python tools/make_sf1.py --sf100-probe   # once (~20 min, 17 GB)
        python tools/sf100_probe.py
+       python tools/sf100_probe.py --only q1_pricing_summary,...
+       # --only re-measures a subset (names from PROBES/PROBES_TWS,
+       # plus the literal "pagerank_telemetry") and MERGES the rows
+       # into the existing SCALING.json sf100_probe block
 """
 
 from __future__ import annotations
@@ -35,11 +39,32 @@ from tracy_matdb_spark.session import get_session  # noqa: E402
 os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
 
 SF100P = "/root/repo/.localdata/sf100p"
-PROBES = ["knn_pq_embeddings", "pagerank_bipartite"]
+# the three worst sf10_full ratios (the r12 verdict's ask) plus one row
+# each for the scan-agg and two-phase-global-rank families, so the
+# fourth decade covers relational shapes too, not only ANN/graph/stream
+PROBES = [
+    "knn_pq_embeddings",
+    "pagerank_bipartite",
+    "q1_pricing_summary",
+    "customer_order_running_total",
+]
 PROBES_TWS = ["events_stateful_totals_tws"]
+TELEMETRY = "pagerank_telemetry"
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit(
+                "usage: sf100_probe.py [--only name1,name2[,pagerank_telemetry]]"
+            )
+        only = set(argv[i + 1].split(","))
+    probes = [n for n in PROBES if only is None or n in only]
+    probes_tws = [n for n in PROBES_TWS if only is None or n in only]
+    run_telemetry = only is None or TELEMETRY in only
     for t in ("lineitem", "events", "embeddings"):
         if not os.path.exists(os.path.join(SF100P, f"{t}.parquet")):
             raise SystemExit("sf100_probe: run tools/make_sf1.py --sf100-probe first")
@@ -48,7 +73,7 @@ def main() -> None:
     spark = get_session("sf100_probe")
     rows: dict[str, dict] = {}
     flagged: list[str] = []
-    for name in PROBES:
+    for name in probes:
         fn = registry[name].fn
         t_small = _warm_time(spark, fn, LARGE)
         t_large = _warm_time(spark, fn, SF100P)
@@ -65,7 +90,7 @@ def main() -> None:
 
     from tracy_matdb_spark.streaming import windows as _w
 
-    for name in PROBES_TWS:
+    for name in probes_tws:
         fn = registry[name].fn
         out: dict[str, dict] = {}
         for label, sf_dir in (("sf10", LARGE), ("sf100", SF100P)):
@@ -97,13 +122,14 @@ def main() -> None:
     # pagerank decomposition at the new decade: if the sf10_full 6.76x
     # really was fixed-cost dilution, exec_s stays ~linear here and the
     # broadcast gate's state is recorded either way
-    from tracy_matdb_spark.queries.webscale import pagerank_iteration_telemetry
-
     pr_tel: dict[str, dict] = {}
-    for label, sf_dir in (("sf10", LARGE), ("sf100", SF100P)):
-        pagerank_iteration_telemetry(spark, sf_dir)  # warmup
-        pr_tel[label] = pagerank_iteration_telemetry(spark, sf_dir)
-        print(f"pagerank_telemetry[{label}]: {pr_tel[label]}", flush=True)
+    if run_telemetry:
+        from tracy_matdb_spark.queries.webscale import pagerank_iteration_telemetry
+
+        for label, sf_dir in (("sf10", LARGE), ("sf100", SF100P)):
+            pagerank_iteration_telemetry(spark, sf_dir)  # warmup
+            pr_tel[label] = pagerank_iteration_telemetry(spark, sf_dir)
+            print(f"pagerank_telemetry[{label}]: {pr_tel[label]}", flush=True)
     spark.stop()
 
     result = {
@@ -112,6 +138,13 @@ def main() -> None:
         "dataset": "tools/make_sf1.py --sf10-full vs --sf100-probe (100 vs "
         "1000 key-shifted copies; probe tables only)",
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # the probe runs both decades under zstd shuffle compression
+        # (disk is the scarce resource at 600M rows); absolute seconds
+        # are therefore NOT comparable to the lz4-measured sf10_full
+        # rows — pagerank's shuffle-heavy sf10 leg measures ~3x the
+        # sf10_full row's lz4 time while the sf10->sf100 ratio stays
+        # codec-consistent
+        "io_codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         "load1_start": load1,
         "queries": rows,
         "pagerank_telemetry": pr_tel,
@@ -124,6 +157,22 @@ def main() -> None:
             full = json.load(fh)
     except (OSError, ValueError):
         full = {}
+    if only is not None and isinstance(full.get("sf100_probe"), dict):
+        # subset run: merge the new rows into the existing block rather
+        # than dropping the rows this invocation didn't re-measure
+        prior = full["sf100_probe"]
+        merged_q = dict(prior.get("queries", {}))
+        merged_q.update(rows)
+        result["queries"] = merged_q
+        if not pr_tel:
+            result["pagerank_telemetry"] = prior.get("pagerank_telemetry", {})
+        result["flagged"] = sorted(
+            set(prior.get("flagged", [])) - set(rows) | set(flagged)
+        )
+        result["load1_start"] = prior.get("load1_start", load1)
+        result["load1_start_subset_runs"] = prior.get(
+            "load1_start_subset_runs", []
+        ) + [load1]
     full["sf100_probe"] = result
     with open(path, "w") as fh:
         json.dump(full, fh, indent=2, sort_keys=True)
