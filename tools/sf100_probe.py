@@ -52,6 +52,28 @@ PROBES_TWS = ["events_stateful_totals_tws"]
 TELEMETRY = "pagerank_telemetry"
 
 
+def _merge_subset(prior: dict, result: dict, load1: float) -> dict:
+    """Merge a --only subset run's `result` into the `prior` committed
+    block: re-measured rows replace their prior rows, rows the subset
+    did not touch survive, a prior flag clears only if its query was
+    re-measured clean, and the full run's load1 is preserved with the
+    subset run's load1 appended to an audit list."""
+    rows = result["queries"]
+    merged_q = dict(prior.get("queries", {}))
+    merged_q.update(rows)
+    result["queries"] = merged_q
+    if not result.get("pagerank_telemetry"):
+        result["pagerank_telemetry"] = prior.get("pagerank_telemetry", {})
+    result["flagged"] = sorted(
+        set(prior.get("flagged", [])) - set(rows) | set(result.get("flagged", []))
+    )
+    result["load1_start"] = prior.get("load1_start", load1)
+    result["load1_start_subset_runs"] = prior.get("load1_start_subset_runs", []) + [
+        load1
+    ]
+    return result
+
+
 def main(argv: list[str] | None = None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     only: set[str] | None = None
@@ -158,21 +180,7 @@ def main(argv: list[str] | None = None) -> None:
     except (OSError, ValueError):
         full = {}
     if only is not None and isinstance(full.get("sf100_probe"), dict):
-        # subset run: merge the new rows into the existing block rather
-        # than dropping the rows this invocation didn't re-measure
-        prior = full["sf100_probe"]
-        merged_q = dict(prior.get("queries", {}))
-        merged_q.update(rows)
-        result["queries"] = merged_q
-        if not pr_tel:
-            result["pagerank_telemetry"] = prior.get("pagerank_telemetry", {})
-        result["flagged"] = sorted(
-            set(prior.get("flagged", [])) - set(rows) | set(flagged)
-        )
-        result["load1_start"] = prior.get("load1_start", load1)
-        result["load1_start_subset_runs"] = prior.get(
-            "load1_start_subset_runs", []
-        ) + [load1]
+        result = _merge_subset(full["sf100_probe"], result, load1)
     full["sf100_probe"] = result
     with open(path, "w") as fh:
         json.dump(full, fh, indent=2, sort_keys=True)
