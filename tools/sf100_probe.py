@@ -40,13 +40,15 @@ os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
 
 SF100P = "/root/repo/.localdata/sf100p"
 # the three worst sf10_full ratios (the r12 verdict's ask) plus one row
-# each for the scan-agg and two-phase-global-rank families, so the
-# fourth decade covers relational shapes too, not only ANN/graph/stream
+# each for the scan-agg, two-phase-global-rank, and watermarked
+# windowed-agg families, so the fourth decade covers relational and
+# streaming-window shapes too, not only ANN/graph/typed-state
 PROBES = [
     "knn_pq_embeddings",
     "pagerank_bipartite",
     "q1_pricing_summary",
     "customer_order_running_total",
+    "events_tumbling_1h",
 ]
 PROBES_TWS = ["events_stateful_totals_tws"]
 TELEMETRY = "pagerank_telemetry"

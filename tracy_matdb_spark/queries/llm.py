@@ -2462,7 +2462,20 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not the corpus. At 100 TB the codes table is the materialized
     index (written once, bucketed), a query is ONE scan of the
     16x-smaller codes, and the re-rank is R point lookups."""
+    cb_np, dt_np, emb = _pq_driver_index(spark, sf_dir)
+    short = _pq_adc_short(emb, cb_np, dt_np)
+    return _pq_rerank(emb, short)
+
+
+def _pq_driver_index(spark: SparkSession, sf_dir: str):
+    """Stage 1 of knn_pq_embeddings — train the codebook and build the
+    query-side ADC distance table, both driver-resident: (cb (M,K,D)
+    int64, dt (M,K) int64, lazy embeddings DF). Scale-CONSTANT above
+    the {PQ_TRAIN_MAX} footer gate: training always touches <= the
+    gated prefix, and the artifacts are 4096 bigints."""
     import math
+
+    import numpy as np
 
     sub = _pq_sub_df(spark, sf_dir)
     bound = _pq_train_bound(sf_dir)
@@ -2489,19 +2502,23 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m in range(PQ_M)
     ]
-    # Encode + ADC as ONE Arrow-batched pandas UDF over the raw vector
-    # column. Spark's higher-order functions (transform/aggregate) are
-    # CodegenFallback — a nested-HOF argmin measured 80 s interpreted at
-    # 20k vectors — and the explode-join-agg form is the corpus x M x K
-    # spill bomb the sf100 probe caught, so this is the case the
-    # pandas-UDF escape hatch exists for. All arithmetic is int64 after
-    # the per-dim micro quantization (identical floor(double*1e6)), and
-    # np.argmin's first-minimum tie matches the oracle's min-cid packed
-    # tie-break because centroids are laid out in ascending cid order.
-    import numpy as np
-
     cb_np = np.asarray(cb_nested, dtype=np.int64)  # (M, K, D)
     dt_np = np.asarray(dt_nested, dtype=np.int64)  # (M, K)
+    return cb_np, dt_np, emb
+
+
+def _pq_adc_short(emb: DataFrame, cb_np, dt_np) -> DataFrame:
+    """Stage 2 — the corpus ADC scan to a {PQ_RERANK}-row shortlist.
+    Encode + ADC as ONE Arrow-batched pandas UDF over the raw vector
+    column. Spark's higher-order functions (transform/aggregate) are
+    CodegenFallback — a nested-HOF argmin measured 80 s interpreted at
+    20k vectors — and the explode-join-agg form is the corpus x M x K
+    spill bomb the sf100 probe caught, so this is the case the
+    pandas-UDF escape hatch exists for. All arithmetic is int64 after
+    the per-dim micro quantization (identical floor(double*1e6)), and
+    np.argmin's first-minimum tie matches the oracle's min-cid packed
+    tie-break because centroids are laid out in ascending cid order."""
+    import numpy as np
 
     @F.pandas_udf("long")
     def pq_adc(embs: pd.Series) -> pd.Series:
@@ -2517,12 +2534,18 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             out += dt_np[m][codes]
         return pd.Series(out)
 
-    short = (
+    return (
         emb.filter(F.col("vec_id") != 0)
         .select("vec_id", pq_adc("embedding").alias("ad2"))
         .orderBy("ad2", "vec_id")
         .limit(PQ_RERANK)
     )
+
+
+def _pq_rerank(emb: DataFrame, short: DataFrame) -> DataFrame:
+    """Stage 3 — exact micro-int cosine re-rank of the broadcast
+    {PQ_RERANK}-row shortlist; the exact pass touches R rows, not the
+    corpus."""
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     sim = (
         f"cast(floor(({_dot_expr('spark', 'embedding', 'qv')} / "
@@ -2536,6 +2559,42 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim_q").desc(), "vec_id")
         .limit(PQ_TOP)
     )
+
+
+def pq_stage_telemetry(spark: SparkSession, sf_dir: str) -> dict:
+    """Replay twin of knn_pq_embeddings (pagerank_iteration_telemetry
+    pattern) attributing its near-flat decade ratio: train_s (codebook
+    Lloyd + collect + query distance table — scale-CONSTANT above the
+    {PQ_TRAIN_MAX} gate), scan_s (the corpus ADC scan to the shortlist,
+    the only corpus-linear stage), total_s (the full composed query;
+    its plan re-executes the scan internally, so rerank_resid_s =
+    total_s - scan_s is the re-rank's marginal cost, not a separately
+    materialized stage). corpus_rows comes from parquet footers — no
+    extra job."""
+    import time as _t
+
+    t0 = _t.time()
+    cb_np, dt_np, emb = _pq_driver_index(spark, sf_dir)
+    train_s = _t.time() - t0
+    t0 = _t.time()
+    n_short = len(_pq_adc_short(emb, cb_np, dt_np).collect())  # PQ_RERANK rows
+    scan_s = _t.time() - t0
+    t0 = _t.time()
+    n_top = len(_pq_rerank(emb, _pq_adc_short(emb, cb_np, dt_np)).collect())
+    total_s = _t.time() - t0
+    try:
+        corpus_rows = table_num_rows(sf_dir, "embeddings")
+    except Exception:  # noqa: BLE001 — stat unavailable (telemetry only)
+        corpus_rows = -1
+    return {
+        "train_s": round(train_s, 3),
+        "scan_s": round(scan_s, 3),
+        "total_s": round(total_s, 3),
+        "rerank_resid_s": round(max(0.0, total_s - scan_s), 3),
+        "n_short": n_short,
+        "n_top": n_top,
+        "corpus_rows": corpus_rows,
+    }
 
 
 def _pq_recall_sql(train_bound: int | None = None) -> str:
