@@ -165,9 +165,9 @@ def main(argv: list[str] | None = None) -> None:
         # the probe runs both decades under zstd shuffle compression
         # (disk is the scarce resource at 600M rows); absolute seconds
         # are therefore NOT comparable to the lz4-measured sf10_full
-        # rows — pagerank's shuffle-heavy sf10 leg measures ~3x the
-        # sf10_full row's lz4 time while the sf10->sf100 ratio stays
-        # codec-consistent
+        # rows — the controlled A/B (tools/codec_ab_probe.py) puts zstd
+        # at 1.52x lz4 wall-time on the shuffle-bound pagerank — while
+        # the sf10->sf100 ratio stays codec-consistent
         "io_codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         "load1_start": load1,
         "queries": rows,
