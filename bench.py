@@ -131,8 +131,19 @@ def _calibration(spark, sf_dir: str) -> dict:
         except Exception as e:  # noqa: BLE001
             out[name] = -1.0
             print(f"bench warning: calibration {name} failed: {e}", file=sys.stderr)
-    out["calib_s"] = round(sum(v for v in out.values() if v >= 0), 3)
+    out["calib_s"] = _calib_total(out)
     return out
+
+
+def _calib_total(probe_times: dict) -> float:
+    """-1.0 unless ALL probes succeeded: a PARTIAL calibration is worse
+    than none — dividing by a 2-of-3-probe sum silently shifts
+    value_per_calib by the missing probe's share, and a round reads as
+    a regression that is actually a probe failure. value_per_calib
+    already refuses calib_s <= 0."""
+    if any(v < 0 for v in probe_times.values()):
+        return -1.0
+    return round(sum(probe_times.values()), 3)
 
 
 def _contention_guard() -> tuple[bool, float, float]:

@@ -122,3 +122,14 @@ def test_bench_compare_verdicts():
     assert out["queries"]["c"]["verdict"] == "noise"  # 0.02 < floor
     assert out["queries"]["d"]["verdict"] == "broken"
     assert out["n_real"] == 1 and out["n_common"] == 4
+
+
+def test_calib_total_partial_failure_invalidates_whole_block():
+    """A 2-of-3-probe calibration must NOT produce a usable calib_s:
+    dividing by a partial sum shifts value_per_calib by the missing
+    probe's share and a round reads as a phantom regression."""
+    import bench
+
+    assert bench._calib_total({"codegen_s": 1.0, "shuffle_s": 2.0, "scan_s": 3.0}) == 6.0
+    assert bench._calib_total({"codegen_s": 1.0, "shuffle_s": 2.0, "scan_s": -1.0}) == -1.0
+    assert bench._calib_total({"codegen_s": -1.0, "shuffle_s": -1.0, "scan_s": -1.0}) == -1.0

@@ -80,3 +80,49 @@ def test_repeated_subset_runs_append_load1_audit_trail():
     m2 = _merge_subset(copy.deepcopy(m1), _block({}), 2.5)
     assert m2["load1_start"] == 0.5
     assert m2["load1_start_subset_runs"] == [1.5, 2.5]
+
+
+def test_subset_env_mismatch_preserves_full_run_attribution():
+    """A subset run under a different codec/heap must not re-stamp the
+    block's env fields for rows it did not measure — the prior (full
+    run) attribution wins and the mismatch is surfaced explicitly."""
+    prior = _block({"a": {"ratio": 2.0, "flagged": False}})
+    prior.update({"io_codec": "zstd", "driver_mem": "24g"})
+    subset = _block({"b": {"ratio": 1.0, "flagged": False}})
+    subset.update({"io_codec": "lz4", "driver_mem": "8g"})
+    merged = _merge_subset(copy.deepcopy(prior), subset, 1.0)
+    assert merged["io_codec"] == "zstd"
+    assert merged["driver_mem"] == "24g"
+    assert merged["subset_env_mismatch"] == {"io_codec": "lz4", "driver_mem": "8g"}
+
+
+def test_subset_env_match_leaves_no_mismatch_marker():
+    prior = _block({})
+    prior.update({"io_codec": "zstd", "driver_mem": "24g"})
+    subset = _block({})
+    subset.update({"io_codec": "zstd", "driver_mem": "24g"})
+    merged = _merge_subset(copy.deepcopy(prior), subset, 1.0)
+    assert "subset_env_mismatch" not in merged
+
+
+def test_unknown_only_name_is_a_loud_error():
+    """A misspelled --only name must not become a silent no-op that
+    still rewrites SCALING.json as if a re-measure happened."""
+    import pytest
+
+    from tools.sf100_probe import main
+
+    with pytest.raises(SystemExit, match="unknown --only"):
+        main(["--only", "knn_pq"])
+
+
+def test_import_has_no_codec_env_side_effect():
+    """Importing the module (as this test file does for _merge_subset)
+    must not set SPARK_GRAFT_IO_CODEC — the zstd default binds inside
+    main() only, else every later get_session in the process silently
+    runs zstd."""
+    import os
+
+    import tools.sf100_probe  # noqa: F401
+
+    assert "SPARK_GRAFT_IO_CODEC" not in os.environ

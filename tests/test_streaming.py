@@ -386,8 +386,8 @@ def test_stateful_user_totals_tws(spark, tmp_path):
             .groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value") * 100).cast("long").alias("sum_value_c"),
-                F.round(F.max("value") * 100).cast("long").alias("max_value_c"),
+                F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("sum_value_c"),
+                F.max(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("max_value_c"),
             )
             .orderBy("user_id")
         )
@@ -885,8 +885,8 @@ def test_tws_restart_from_checkpoint_recovers(spark, tmp_path):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") * 100).cast("long").alias("sum_value_c"),
-            F.round(F.max("value") * 100).cast("long").alias("max_value_c"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("sum_value_c"),
+            F.max(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("max_value_c"),
         )
         .toPandas()
     )

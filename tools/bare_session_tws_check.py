@@ -121,8 +121,12 @@ def _run_check(sf_dir: str, uninstall_pth_hook, SHIM_DIR: str) -> int:
             if name == "events_stateful_totals_tws":
                 twin = events.groupBy("user_id").agg(
                     F.count(F.lit(1)).alias("n_events"),
-                    F.round(F.sum("value") * 100).cast("long").alias("sum_value_c"),
-                    F.round(F.max("value") * 100).cast("long").alias("max_value_c"),
+                    F.sum(
+                        F.floor(F.col("value") * F.lit(100.0)).cast("long")
+                    ).alias("sum_value_c"),
+                    F.max(
+                        F.floor(F.col("value") * F.lit(100.0)).cast("long")
+                    ).alias("max_value_c"),
                 )
             else:
                 cents = events.withColumn(

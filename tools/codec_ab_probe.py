@@ -74,17 +74,9 @@ def main() -> None:
         "zstd": out["zstd"],
         "zstd_over_lz4": ratio,
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "SCALING.json")
-    try:
-        with open(path) as fh:
-            full = json.load(fh)
-    except (OSError, ValueError):
-        full = {}
-    full["io_codec_ab"] = result
-    with open(path, "w") as fh:
-        json.dump(full, fh, indent=2, sort_keys=True)
-        fh.write("\n")
+    from tools.scaling_io import merge_scaling_block
+
+    merge_scaling_block("io_codec_ab", result)
     print(json.dumps({"io_codec_ab": ratio}))
 
 

@@ -24,6 +24,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.scaling_io import merge_scaling_block  # noqa: E402
 from tools.scaling_sf10 import LARGE, _load1  # noqa: E402
 from tools.sf100_probe import SF100P  # noqa: E402
 from tracy_matdb_spark.queries.llm import pq_stage_telemetry  # noqa: E402
@@ -31,6 +32,10 @@ from tracy_matdb_spark.session import get_session  # noqa: E402
 
 
 def main() -> None:
+    # match the sf100_probe rows this decomposition attributes: both
+    # decades under zstd unless the caller overrides (set here, not at
+    # import — see sf100_probe.main on the env-leak hazard)
+    os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
     load1 = _load1()
     spark = get_session("pq_stage_probe")
     out: dict[str, dict] = {}
@@ -55,17 +60,7 @@ def main() -> None:
         "sf100": out["sf100"],
         "stage_ratios_10x_data": ratios,
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "SCALING.json")
-    try:
-        with open(path) as fh:
-            full = json.load(fh)
-    except (OSError, ValueError):
-        full = {}
-    full["pq_stages"] = result
-    with open(path, "w") as fh:
-        json.dump(full, fh, indent=2, sort_keys=True)
-        fh.write("\n")
+    merge_scaling_block("pq_stages", result)
     print(json.dumps({"pq_stages_ratios": ratios}))
 
 

@@ -30,6 +30,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.scaling_check import _warm_time  # noqa: E402
+from tools.scaling_io import merge_scaling_block, read_scaling  # noqa: E402
 from tracy_matdb_spark.queries import load_all  # noqa: E402
 from tracy_matdb_spark.session import get_session  # noqa: E402
 
@@ -335,8 +336,6 @@ def run_full(only: list[str] | None = None) -> dict:
 
 
 def main() -> None:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "SCALING.json")
     only = None
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
@@ -347,20 +346,22 @@ def main() -> None:
     if "--full" in sys.argv[1:] and only is not None:
         # targeted row refresh, merged into the existing sf10_full block
         sub = run_full(only=only)
-        try:
-            with open(path) as fh:
-                full = json.load(fh)
-        except (OSError, ValueError):
-            full = {}
-        block = full.setdefault("sf10_full", {"queries": {}, "flagged": []})
+        full = read_scaling()
+        block = full.get("sf10_full")
+        if not isinstance(block, dict) or "queries" not in block:
+            # no full-run baseline to merge into: a subset refresh must
+            # not fabricate a block that carries none of the full run's
+            # metadata and reads as a complete sf10_full baseline
+            raise SystemExit(
+                "scaling_sf10: SCALING.json has no sf10_full block to "
+                "merge --only rows into; run --full without --only first"
+            )
         block["queries"].update(sub["queries"])
         block["flagged"] = sorted(
             (set(block.get("flagged", [])) - set(only)) | set(sub["flagged"])
         )
         block["refresh_load1"] = sub["load1_start"]
-        with open(path, "w") as fh:
-            json.dump(full, fh, indent=2, sort_keys=True)
-            fh.write("\n")
+        merge_scaling_block("sf10_full", block)
         print(json.dumps({"sf10_full_refreshed": only, "flagged": sub["flagged"]}))
         sys.exit(1 if sub["flagged"] else 0)
     if "--full" in sys.argv[1:]:
@@ -369,15 +370,7 @@ def main() -> None:
         key, result = "sf100_documents", run_sf100()
     else:
         key, result = "sf10_documents", run()
-    try:
-        with open(path) as fh:
-            full = json.load(fh)
-    except (OSError, ValueError):
-        full = {}
-    full[key] = result
-    with open(path, "w") as fh:
-        json.dump(full, fh, indent=2, sort_keys=True)
-        fh.write("\n")
+    merge_scaling_block(key, result)
     print(json.dumps({f"{key}_flagged": result["flagged"]}))
     if result["flagged"]:
         sys.exit(1)

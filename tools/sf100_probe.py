@@ -31,12 +31,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.scaling_check import _warm_time  # noqa: E402
+from tools.scaling_io import merge_scaling_block, read_scaling  # noqa: E402
 from tools.scaling_sf10 import LARGE, RATIO_THRESHOLD, _load1  # noqa: E402
 from tracy_matdb_spark.queries import load_all  # noqa: E402
 from tracy_matdb_spark.session import get_session  # noqa: E402
-
-# disk is the probe's scarce resource: halve shuffle/spill bytes
-os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
 
 SF100P = "/root/repo/.localdata/sf100p"
 # the three worst sf10_full ratios (the r12 verdict's ask) plus one row
@@ -73,6 +71,14 @@ def _merge_subset(prior: dict, result: dict, load1: float) -> dict:
     result["load1_start_subset_runs"] = prior.get("load1_start_subset_runs", []) + [
         load1
     ]
+    # environment attribution belongs to the FULL run whose rows
+    # dominate the block; a subset run under a different codec or heap
+    # must not silently re-stamp rows it did not measure — keep the
+    # prior fields and surface any mismatch explicitly
+    for k in ("io_codec", "driver_mem"):
+        if k in prior and prior[k] != result.get(k):
+            result.setdefault("subset_env_mismatch", {})[k] = result.get(k)
+            result[k] = prior[k]
     return result
 
 
@@ -86,12 +92,34 @@ def main(argv: list[str] | None = None) -> None:
                 "usage: sf100_probe.py [--only name1,name2[,pagerank_telemetry]]"
             )
         only = set(argv[i + 1].split(","))
+        unknown = only - set(PROBES) - set(PROBES_TWS) - {TELEMETRY}
+        if unknown:
+            # a misspelled name must not become a silent no-op that
+            # still rewrites the artifact as if a re-measure happened
+            raise SystemExit(
+                f"sf100_probe: unknown --only name(s) {sorted(unknown)}; "
+                f"valid: {PROBES + PROBES_TWS + [TELEMETRY]}"
+            )
     probes = [n for n in PROBES if only is None or n in only]
     probes_tws = [n for n in PROBES_TWS if only is None or n in only]
     run_telemetry = only is None or TELEMETRY in only
-    for t in ("lineitem", "events", "embeddings"):
+    # every table any selected probe touches — a pre-r14 sf100p dir
+    # (no orders/customer/supplier) must fail HERE, not crash mid-run
+    # or silently hand pagerank's broadcast gate a stats-failure
+    # sentinel (the plan-flip class these dims were added to prevent)
+    for t in ("lineitem", "orders", "customer", "supplier", "events", "embeddings"):
         if not os.path.exists(os.path.join(SF100P, f"{t}.parquet")):
-            raise SystemExit("sf100_probe: run tools/make_sf1.py --sf100-probe first")
+            raise SystemExit(
+                f"sf100_probe: {t}.parquet missing from {SF100P} — "
+                "run tools/make_sf1.py --sf100-probe (r14+ writes the "
+                "dimension tables too)"
+            )
+    # disk is the probe's scarce resource: halve shuffle/spill bytes.
+    # Set HERE — after arg/dataset validation, never at module scope —
+    # so tests and other tools importing SF100P/_merge_subset (and
+    # error exits above) don't inherit the codec as a side effect;
+    # it binds into every later get_session in the process.
+    os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
     load1 = _load1()
     registry = load_all()
     spark = get_session("sf100_probe")
@@ -174,19 +202,10 @@ def main(argv: list[str] | None = None) -> None:
         "pagerank_telemetry": pr_tel,
         "flagged": flagged,
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "SCALING.json")
-    try:
-        with open(path) as fh:
-            full = json.load(fh)
-    except (OSError, ValueError):
-        full = {}
-    if only is not None and isinstance(full.get("sf100_probe"), dict):
-        result = _merge_subset(full["sf100_probe"], result, load1)
-    full["sf100_probe"] = result
-    with open(path, "w") as fh:
-        json.dump(full, fh, indent=2, sort_keys=True)
-        fh.write("\n")
+    prior = read_scaling().get("sf100_probe")
+    if only is not None and isinstance(prior, dict):
+        result = _merge_subset(prior, result, load1)
+    merge_scaling_block("sf100_probe", result)
     print(json.dumps({"sf100_probe_flagged": flagged}))
     if flagged:
         sys.exit(1)

@@ -55,6 +55,11 @@ INVALIDATED_BEFORE: dict[str, int] = {
     "events_tumbling_1h": 14,
     "events_sliding_1h_30m": 14,
     "events_gap_fill_hourly": 14,
+    # r14 (late): the stateful family's STATE folds moved to per-event
+    # cents too (int state, not float-sum + round-at-emit), in both the
+    # processors and the oracles — round vs floor can differ per event.
+    "events_stateful_totals": 14,
+    "events_stateful_totals_tws": 14,
 }
 
 

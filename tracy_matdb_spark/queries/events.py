@@ -234,7 +234,8 @@ def load(spark: SparkSession, sf_dir: str):
     "events_stateful_totals",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           cast(round(sum(value) * cast(100 as double)) as bigint) AS sum_value_c
+           cast(sum(cast(floor(value * cast(100 as double)) as bigint)) as bigint)
+               AS sum_value_c
     FROM events
     GROUP BY user_id
     ORDER BY user_id
@@ -350,8 +351,10 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_stateful_totals_tws",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           cast(round(sum(value) * cast(100 as double)) as bigint) AS sum_value_c,
-           cast(round(max(value) * cast(100 as double)) as bigint) AS max_value_c
+           cast(sum(cast(floor(value * cast(100 as double)) as bigint)) as bigint)
+               AS sum_value_c,
+           cast(max(cast(floor(value * cast(100 as double)) as bigint)) as bigint)
+               AS max_value_c
     FROM events
     GROUP BY user_id
     ORDER BY user_id

@@ -175,8 +175,22 @@ TOTALS_OUT = T.StructType(
     ]
 )
 TOTALS_STATE = T.StructType(
-    [T.StructField("n", T.LongType()), T.StructField("sv", T.DoubleType())]
+    [T.StructField("n", T.LongType()), T.StructField("sv_c", T.LongType())]
 )
+
+
+def _cents_np(values) -> tuple[int, int]:
+    """(sum, max) of per-event cents: floor(value * 100.0) as int64 —
+    the exact IEEE ops of the SQL/Catalyst `CENTS` expression
+    (queries/events.py), so oracle parity is bit-exact. Summing AFTER
+    quantization makes the fold integer and therefore accumulation-
+    order free: micro-batch boundaries, restarts, and engine fold
+    order cannot perturb it (floor is monotonic, so the max commutes
+    with quantization too)."""
+    import numpy as np
+
+    c = np.floor(values.to_numpy(dtype="float64") * 100.0).astype("int64")
+    return int(c.sum()), int(c.max())
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:
@@ -185,22 +199,24 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     express (the reference's closest analog is the active-learning
     running membership state, matdb/database/active.py:158-205).
 
-    State = (event count, value sum) per user, updated per micro-batch;
-    each invocation emits the user's current totals (update mode). Sum
-    is emitted as round(sum * 100): the per-user totals are near-integer
-    multiples of 0.01, and round() (unlike floor) is insensitive to the
-    last-ulp differences that distinct accumulation orders produce."""
+    State = (event count, cents sum) per user, updated per micro-batch;
+    each invocation emits the user's current totals (update mode). Each
+    event is quantized to cents BEFORE the sum (_cents_np, the CENTS
+    pattern): the state fold is integer addition, so micro-batch
+    boundaries and restart state-merge order cannot perturb the emitted
+    value — the float-state round(sum*100) it replaces was only
+    last-ulp safe for strictly 2-decimal inputs."""
 
     def update(key, pdfs, state):
         import pandas as pd
 
-        n, sv = state.get if state.exists else (0, 0.0)
+        n, sv_c = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            sv += float(pdf["value"].sum())
-        state.update((n, sv))
+            sv_c += _cents_np(pdf["value"])[0]
+        state.update((n, sv_c))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value_c": [int(round(sv * 100))]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value_c": [sv_c]}
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -357,8 +373,9 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     $PYTHONPATH before the JVM launches) or call
     vendor.ensure_protobuf() yourself first.
 
-    Emits (count, sum*100, max*100) per user per batch — round() not
-    floor, same ulp rationale as stateful_user_totals."""
+    Emits (count, cents sum, cents max) per user per batch — per-event
+    cents quantization before the fold (_cents_np), same
+    restart-order-free rationale as stateful_user_totals."""
     from tracy_matdb_spark.vendor import ensure_protobuf
 
     try:
@@ -375,28 +392,29 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     class Totals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._n = handle.getValueState("n", "n long")
-            self._sv = handle.getValueState("sv", "sv double")
-            self._mx = handle.getValueState("mx", "mx double")
+            self._sv = handle.getValueState("sv", "sv long")
+            self._mx = handle.getValueState("mx", "mx long")
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
 
             n = self._n.get()[0] if self._n.exists() else 0
-            sv = self._sv.get()[0] if self._sv.exists() else 0.0
-            mx = self._mx.get()[0] if self._mx.exists() else float("-inf")
+            sv_c = self._sv.get()[0] if self._sv.exists() else 0
+            mx_c = self._mx.get()[0] if self._mx.exists() else None
             for pdf in rows:
                 n += len(pdf)
-                sv += float(pdf["value"].sum())
-                mx = max(mx, float(pdf["value"].max()))
+                s, m = _cents_np(pdf["value"])
+                sv_c += s
+                mx_c = m if mx_c is None else max(mx_c, m)
             self._n.update((n,))
-            self._sv.update((sv,))
-            self._mx.update((mx,))
+            self._sv.update((sv_c,))
+            self._mx.update((mx_c,))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "sum_value_c": [int(round(sv * 100))],
-                    "max_value_c": [int(round(mx * 100))],
+                    "sum_value_c": [sv_c],
+                    "max_value_c": [mx_c],
                 }
             )
 
