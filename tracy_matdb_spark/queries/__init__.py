@@ -60,6 +60,11 @@ INVALIDATED_BEFORE: dict[str, int] = {
     # processors and the oracles — round vs floor can differ per event.
     "events_stateful_totals": 14,
     "events_stateful_totals_tws": 14,
+    # r14 (late): the last floor-of-float-sum money folds moved to
+    # per-row micro-quantization + integer division at emit, in both
+    # the Spark plans and the oracles — boundary rows can differ.
+    "q6_revenue_forecast": 14,
+    "pipe_syntax_pricing": 14,
 }
 
 

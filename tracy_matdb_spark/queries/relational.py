@@ -801,8 +801,8 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     oracle="""
-    SELECT cast(floor(sum(l_extendedprice * l_discount) * cast(100 as double)) as bigint)
-               AS revenue_c,
+    SELECT cast(sum(cast(floor(l_extendedprice * l_discount * cast(10000 as double))
+                         as bigint)) // 100 as bigint) AS revenue_c,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -825,10 +825,16 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
+    # per-row micro-quantization (floor to 1e-4 BEFORE the sum, integer
+    # fold, integer division at emit): Spark's partial-agg merge order
+    # and DuckDB's sequential fold land on the same value by
+    # construction — floor(float-sum * 100) sat one ulp from a
+    # boundary flip on every run (the CENTS pattern, queries/events.py)
     return f.agg(
-        F.floor(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * F.lit(100.0))
-        .cast("bigint")
-        .alias("revenue_c"),
+        F.expr(
+            "cast(sum(cast(floor(l_extendedprice * l_discount * "
+            "cast(10000 as double)) as bigint)) div 100 as bigint)"
+        ).alias("revenue_c"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -2100,7 +2106,8 @@ def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            cast(count(*) as bigint) AS n,
-           cast(floor(sum(l_extendedprice * (1.0 - l_discount))) as bigint)
+           cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount)
+                               * cast(100 as double)) as bigint)) // 100 as bigint)
                AS disc_revenue_floor
     FROM lineitem
     WHERE l_quantity < 25
@@ -2114,9 +2121,10 @@ def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UDF it costs nothing) used from pipe-syntax SQL (FROM ... |> "
     "WHERE ... |> AGGREGATE ... GROUP BY). The oracle is the plain "
     "ANSI equivalent — same rows, proving the pipe form is sugar, not "
-    "semantics. floor() on the summed doubles: both engines sum in "
-    "deterministic-enough order for the integer floor at this "
-    "magnitude; the per-row product is identical IEEE.",
+    "semantics. The revenue is per-row cent-quantized BEFORE the sum "
+    "(integer fold, integer division at emit — the CENTS pattern), so "
+    "the value is accumulation-order free across engines; the per-row "
+    "product is identical IEEE.",
 )
 def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, ("lineitem",))["lineitem"]
@@ -2130,8 +2138,9 @@ def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __pipe_lineitem
         |> WHERE l_quantity < 25
         |> AGGREGATE count(*) AS n,
-                     cast(floor(sum(__disc_price(l_extendedprice, l_discount)))
-                          as bigint) AS disc_revenue_floor
+                     cast(sum(cast(floor(__disc_price(l_extendedprice, l_discount)
+                                         * cast(100 as double)) as bigint))
+                          div 100 as bigint) AS disc_revenue_floor
            GROUP BY l_returnflag
         |> SELECT l_returnflag, cast(n as bigint) AS n, disc_revenue_floor
         |> ORDER BY l_returnflag
