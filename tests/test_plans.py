@@ -308,7 +308,12 @@ def test_json_props_extraction_stays_jvm_side(spark):
 # the moment a refactor re-derives a shared subtree per reference.
 # A legitimate plan change updates the budget IN THE SAME COMMIT.
 PLAN_BUDGET = {
-    "corpus_e2e_rollup": (0, 3),
+    # r14: +1 exchange — spread_unsplittable_scan round-robins the
+    # single-row-group documents scan before the regexp/html-extract
+    # projection (guide §2.5 unsplittable input; 1.03 -> 0.65 s warm at
+    # sf0.1). No-op (3 exchanges) when the table has >= cores/2 row
+    # groups, so the budget carries the local layout's worst case.
+    "corpus_e2e_rollup": (0, 4),
     # r12: dup detection folded into a min!=max window over the hash key
     # — the localCheckpoint + distinct + agg + gated join-back of r9-r11
     # is gone (its ~450M-row executor-storage checkpoint OOMed the
@@ -328,7 +333,13 @@ PLAN_BUDGET = {
     "events_tumbling_1h": (0, 2),
     "dedup_exact": (0, 2),
     "text_quality": (0, 1),
-    "minhash_lsh_pairs": (1, 3),
+    # r14: +2 exchanges — the band self-join re-derives the shingle
+    # table on both sides (a checkpoint was tried and rejected, see
+    # _lsh_candidate_pairs), so spread_unsplittable_scan's round-robin
+    # of the documents scan appears once per side (guide §2.5; the
+    # 128-permutation minhash aggregate was single-task before:
+    # 1.40 -> 0.83 s warm at sf0.1). No-op at >= cores/2 row groups.
+    "minhash_lsh_pairs": (1, 5),
     "knn_embeddings": (1, 0),
     "q1_pricing_summary": (0, 2),
     "q3_shipping_priority": (2, 1),

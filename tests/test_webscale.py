@@ -100,6 +100,44 @@ def test_footer_stat_raises_on_empty_directory(tmp_path):
         table_num_rows(str(tmp_path), "ghost")
 
 
+def test_spread_unsplittable_scan_gate_and_identity(spark, tmp_path):
+    """spread_unsplittable_scan (r14): fires — one round-robin exchange,
+    same rows — on a single-row-group table when cores dominate, and is
+    a NO-OP (plan unchanged) when the layout already carries >= cores/2
+    row groups, so at real scale it never adds an exchange."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tracy_matdb_spark.catalog import (
+        spread_unsplittable_scan,
+        table_num_row_groups,
+    )
+
+    tbl = pa.table({"k": list(range(1000)), "v": [i * 2 for i in range(1000)]})
+    one = tmp_path / "one.parquet"
+    many = tmp_path / "many.parquet"
+    pq.write_table(tbl, one, row_group_size=1000)
+    pq.write_table(tbl, many, row_group_size=10)  # 100 row groups
+    assert table_num_row_groups(str(tmp_path), "one") == 1
+    assert table_num_row_groups(str(tmp_path), "many") == 100
+
+    cores = spark.sparkContext.defaultParallelism
+    df_one = spark.read.parquet(str(one))
+    spread = spread_unsplittable_scan(df_one, str(tmp_path), "one")
+    assert "RoundRobinPartitioning" in spread._jdf.queryExecution().toString()
+    # identical row set — repartition must never change results
+    assert sorted(r["k"] for r in spread.collect()) == list(range(1000))
+    assert spread.rdd.getNumPartitions() == cores
+
+    df_many = spark.read.parquet(str(many))
+    same = spread_unsplittable_scan(df_many, str(tmp_path), "many")
+    assert same is df_many  # 100 row groups >= cores/2: no-op
+
+    # stat failure (missing table) must return the frame unchanged —
+    # no extra exchange on absent information
+    assert spread_unsplittable_scan(df_one, str(tmp_path), "ghost2") is df_one
+
+
 def test_pagerank_node_bound_conservative_on_missing_stats():
     """A missing dimension table (no catalog stat) must push the gate
     over PR_BCAST_MAX_NODES so the conservative co-partitioned join is

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tracy_matdb_spark.catalog import gated_local_checkpoint, load
+from tracy_matdb_spark.catalog import (
+    gated_local_checkpoint,
+    load,
+    spread_unsplittable_scan,
+)
 from tracy_matdb_spark.functions import prng
 from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.operators.rank import grouped_prefix_sum, grouped_value_rank
@@ -1081,7 +1085,9 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_e2e_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, ("documents",))["documents"]
+    docs = spread_unsplittable_scan(
+        load(spark, sf_dir, ("documents",))["documents"], sf_dir, "documents"
+    )
     pages = docs.selectExpr("doc_id", "lang", f"{_html_wrap('spark')} AS html")
     extracted = pages.selectExpr(
         "doc_id", "lang", f"{textops.html_to_text_expr('spark')} AS text"

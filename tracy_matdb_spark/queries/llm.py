@@ -16,7 +16,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tracy_matdb_spark.catalog import gated_local_checkpoint, load, table_num_rows
+from tracy_matdb_spark.catalog import (
+    gated_local_checkpoint,
+    load,
+    spread_unsplittable_scan,
+    table_num_rows,
+)
 from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.operators.graph import connected_components
 from tracy_matdb_spark.queries import register
@@ -385,7 +390,9 @@ def _shingles_df(spark: SparkSession, sf_dir: str, distinct: bool = True) -> Dat
     minhash path skips it: min(md5(p|sh)) over a multiset equals the min
     over the distinct set, so dedupe there would buy nothing and cost a
     wide exchange."""
-    docs = load(spark, sf_dir, ("documents",))["documents"]
+    docs = spread_unsplittable_scan(
+        load(spark, sf_dir, ("documents",))["documents"], sf_dir, "documents"
+    )
     toks = textops.toks_expr("spark")
     docs_t = docs.selectExpr("doc_id", f"{toks} AS toks").filter(F.expr("size(toks) >= 3"))
     out = (

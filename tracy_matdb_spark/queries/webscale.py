@@ -32,7 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tracy_matdb_spark.catalog import load, table_num_rows
+from tracy_matdb_spark.catalog import load, spread_unsplittable_scan, table_num_rows
 from tracy_matdb_spark.operators import textops
 from tracy_matdb_spark.operators.rank import grouped_value_rank
 from tracy_matdb_spark.queries import register
@@ -305,8 +305,9 @@ def _pr_graph(t, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     to shrink the post-join distinct input by nothing. The one distinct
     on (src, dst) subsumes it."""
     e0 = (
-        t["lineitem"]
-        .select("l_orderkey", "l_suppkey")
+        spread_unsplittable_scan(
+            t["lineitem"].select("l_orderkey", "l_suppkey"), sf_dir, "lineitem"
+        )
         .join(
             t["orders"].select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
