@@ -772,6 +772,16 @@ def _reduced_structs(
                 F.lit(n_buckets),
             ),
         )
+        # explicit numbered repartition on the bucket key: the HNF rep
+        # rows total a few KB, so AQE's partition coalescing collapses a
+        # bare groupBy(__b) shuffle read to ONE partition (bytes-based
+        # sizing is blind to the orbit stage's per-row COMPUTE) and the
+        # whole expand() stage runs single-task — measured 0.74 s serial
+        # at max_size=8 on 32 cores (r14 stage profile). AQE preserves
+        # user-specified repartition counts, and groupBy(__b) reuses the
+        # partitioning (same key, same count) without a second exchange,
+        # so this pins the bucketing the comment above designs for.
+        .repartition(n_buckets, "__b")
         .groupBy("__b")
         .applyInPandas(expand, out_schema)
     )
