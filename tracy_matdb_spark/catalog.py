@@ -36,8 +36,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _relation(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve a parquet path to a DataFrame through a per-session
+    relation cache — the catalog role a metastore plays on a real
+    cluster (and exactly what `register`'s temp views already provide):
+    the SECOND and later resolutions of the same table reuse the first
+    call's analyzed relation instead of re-running file listing +
+    parquet schema inference, which a fresh `spark.read.parquet` pays
+    on every call (measured 0.12 s vs 0.03 s with a known schema;
+    24 resolutions = 1.6 s of a 17 s bench rep at sf0.1).
+
+    This caches METADATA ONLY (the logical relation: file snapshot +
+    schema). No rows are persisted — every action on the returned frame
+    re-scans the parquet input, so bench/oracle runs still compute from
+    the files. The cache key carries (realpath, mtime_ns, size): a
+    rewritten table gets a fresh relation, and directory tables (whose
+    file set can change without touching the dir inode) bypass the
+    cache entirely. The cache lives on the session object, so it dies
+    with the session and never crosses processes."""
+    try:
+        st = os.stat(path)
+        is_file = os.path.isfile(path)
+    except OSError:
+        return spark.read.parquet(path)
+    if not is_file:
+        return spark.read.parquet(path)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    cache = getattr(spark, "_tms_relation_cache", None)
+    if cache is None:
+        cache = {}
+        spark._tms_relation_cache = cache  # type: ignore[attr-defined]
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[key] = df
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
-    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}
+    return {name: _relation(spark, table_path(sf_dir, name)) for name in names}
 
 
 def table_num_rows(sf_dir: str, name: str) -> int:
@@ -133,7 +170,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
+    df = _relation(spark, table_path(sf_dir, "events"))
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))

@@ -225,7 +225,9 @@ def streaming_ingest_bench(spark: SparkSession, sf_dir: str, n_batches: int = 4)
 
     import os.path as _p
 
-    docs = spark.read.parquet(_p.join(sf_dir, "documents.parquet"))
+    from tracy_matdb_spark.catalog import _relation
+
+    docs = _relation(spark, _p.join(sf_dir, "documents.parquet"))
     schema = docs.schema
     base = tempfile.mkdtemp(prefix="stream_ingest_bench_")
     try:

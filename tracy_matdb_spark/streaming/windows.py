@@ -70,11 +70,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TIMESTAMP(NANOS)-as-long vs plain TIMESTAMP(MICROS)/NTZ)."""
     import os
 
-    from tracy_matdb_spark.catalog import table_path
+    from tracy_matdb_spark.catalog import _relation, table_path
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events_path = table_path(sf_dir, "events")
-    static = spark.read.parquet(events_path)
+    static = _relation(spark, events_path)
     nanos = isinstance(static.schema["ts"].dataType, T.LongType)
     schema = EVENTS_SCHEMA if nanos else static.schema
     # the file source wants a directory; glob-filter down to the events table
