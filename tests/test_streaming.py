@@ -229,6 +229,20 @@ def test_incremental_ingest_dedupes_across_batches(spark, tmp_path):
     run()
     assert len(spark.read.parquet(target).toPandas()) == 3
 
+    # a key duplicated BOTH within the drop and against history is still
+    # rejected once and only once — pins the r15 anti-join-before-dedup
+    # reorder (the two ops commute: all rows of a key drop or stay
+    # together, so filtering seen keys before pick-one-per-key is
+    # identical to filtering after)
+    spark.createDataFrame([("a", 9.9), ("a", 1.0), ("d", 4.0)], schema).write.parquet(
+        str(drop / "batch3")
+    )
+    run()
+    got3 = spark.read.parquet(target).toPandas()
+    assert sorted(got3.auid) == ["a", "b", "c", "d"]
+    # the historical "a" row is untouched (not re-appended, not replaced)
+    assert float(got3[got3.auid == "a"].energy.iloc[0]) == 1.0
+
 
 def test_incremental_atoms_h5_ingest(spark, tmp_path):
     """Streaming .h5 drop-dir ingest: parse new files only, dedupe on

@@ -2450,25 +2450,29 @@ def knn_pq_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample above {PQ_TRAIN_MAX} vectors (the real-deployment shape:
     Jegou trains on a held-out learn set). Encode + search: the trained
     codebook is COLLECTED (M*K*D = 4096 bigints — the bounded
-    "ship the index" artifact) and folded into Catalyst literals; each
-    vector's 16 codes and its ADC distance are ONE codegen'd
-    higher-order expression (nested aggregate() over the subspace dims
-    and centroids), so the corpus is never exploded x K. The previous
-    explode-join-agg encode materialized a corpus x M x K hash
-    aggregate — 2G groups at the sf100 probe's 2M vectors, >58 GB of
-    spill, disk-full abort (the r14 probe's find). Identical integer
-    arithmetic (fold-order-free sums, min-cid ties via the packed
-    d2*128+cid min), so results are bit-identical to the join form.
-    Re-rank: only the top-{PQ_RERANK} ADC candidates' full vectors are
-    fetched and scored by exact micro-int cosine.
+    "ship the index" artifact) and shipped to the executors inside ONE
+    Arrow-batched pandas UDF (_pq_adc_short) that computes each vector's
+    16 codes and its ADC distance per batch in NumPy, so the corpus is
+    never exploded x K. (A codegen'd higher-order-function form was
+    tried first and rejected: Spark HOFs are CodegenFallback — the
+    nested argmin measured 80 s interpreted at 20k vectors; see
+    _pq_adc_short's docstring.) The previous explode-join-agg encode
+    materialized a corpus x M x K hash aggregate — 2G groups at the
+    sf100 probe's 2M vectors, >58 GB of spill, disk-full abort (the r14
+    probe's find). Identical integer arithmetic (fold-order-free sums,
+    argmin first-minimum tie == the oracle's packed d2*128+cid min), so
+    results are bit-identical to the join form. Re-rank: only the
+    top-{PQ_RERANK} ADC candidates' full vectors are fetched and scored
+    by exact micro-int cosine.
 
-    Scale shape: serving is ONE scan of the corpus with a per-row
-    expression (zero joins, zero shuffles) into a TakeOrderedAndProject
-    shortlist; the re-rank joins the {PQ_RERANK}-row shortlist
-    (broadcast) against the vectors table, so the exact pass touches R
-    rows, not the corpus. At 100 TB the codes table is the materialized
-    index (written once, bucketed), a query is ONE scan of the
-    16x-smaller codes, and the re-rank is R point lookups."""
+    Scale shape: serving is ONE scan of the corpus through an
+    ArrowEvalPython node (no corpus-side join or shuffle) into a
+    TakeOrderedAndProject shortlist; the plan's only exchanges are the
+    two broadcast sides of the re-rank, which joins the {PQ_RERANK}-row
+    shortlist (broadcast) against the vectors table, so the exact pass
+    touches R rows, not the corpus. At 100 TB the codes table is the
+    materialized index (written once, bucketed), a query is ONE scan of
+    the 16x-smaller codes, and the re-rank is R point lookups."""
     cb_np, dt_np, emb = _pq_driver_index(spark, sf_dir)
     short = _pq_adc_short(emb, cb_np, dt_np)
     return _pq_rerank(emb, short)

@@ -43,15 +43,32 @@ def incremental_ingest(
     twice even across restarts.
     """
 
+    # key-only schema for the history read: the anti-join right side
+    # needs just the key column, and handing the reader an explicit
+    # schema skips the per-batch footer schema-inference pass (measured
+    # as part of ~0.08 s/batch of driver-side plan building; the target
+    # is rewritten every batch so no relation cache can help it)
+    key_schema = T.StructType([schema[key]])
+
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = batch_df.dropDuplicates([key])
+        fresh = batch_df
         try:
-            seen = batch_df.sparkSession.read.parquet(target_path).select(key)
+            seen = (
+                batch_df.sparkSession.read.schema(key_schema)
+                .parquet(target_path)
+                .select(key)
+            )
+            # anti-join BEFORE the dropDuplicates shuffle: membership
+            # filtering commutes with pick-one-per-key (all rows of a
+            # key are dropped or kept together), and the broadcast
+            # anti-join is map-side — so already-seen rows never cross
+            # the dedup exchange (guide §2.3, filter before shuffle)
             fresh = fresh.join(seen, key, "left_anti")
         except AnalysisException:
             pass  # first batch: target does not exist yet
         (
-            fresh.withColumn("iteration", F.lit(batch_id))
+            fresh.dropDuplicates([key])
+            .withColumn("iteration", F.lit(batch_id))
             .write.mode("append")
             .parquet(target_path)
         )
@@ -101,17 +118,22 @@ def incremental_atoms_h5_ingest(
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in CONFIG_SCHEMA.fields])
 
+    uuid_schema = T.StructType([CONFIG_SCHEMA["uuid"]])
+
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        parsed = (
-            batch_df.select("path", "content")
-            .mapInPandas(_parse, CONFIG_SCHEMA)
-            .dropDuplicates(["uuid"])
-        )
+        parsed = batch_df.select("path", "content").mapInPandas(_parse, CONFIG_SCHEMA)
         try:
-            seen = batch_df.sparkSession.read.parquet(target_path).select("uuid")
+            # key-only explicit schema: no per-batch footer inference,
+            # and the anti-join runs before the dedup shuffle (§2.3)
+            seen = (
+                batch_df.sparkSession.read.schema(uuid_schema)
+                .parquet(target_path)
+                .select("uuid")
+            )
             parsed = parsed.join(seen, "uuid", "left_anti")
         except AnalysisException:
             pass  # first batch: target does not exist yet
+        parsed = parsed.dropDuplicates(["uuid"])
         (
             parsed.withColumn("iteration", F.lit(batch_id))
             .write.mode("append")
@@ -169,19 +191,22 @@ def streaming_warc_ingest(
                 rows.extend(parse_warc_bytes(bytes(c), p))
             yield pd.DataFrame(rows, columns=cols)
 
+    warc_key_schema = T.StructType([WARC_SCHEMA["url"], WARC_SCHEMA["warc_date"]])
+
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        parsed = (
-            batch_df.select("path", "content")
-            .mapInPandas(_parse, WARC_SCHEMA)
-            .dropDuplicates(["url", "warc_date"])
-        )
+        parsed = batch_df.select("path", "content").mapInPandas(_parse, WARC_SCHEMA)
         try:
-            seen = batch_df.sparkSession.read.parquet(target_path).select(
-                "url", "warc_date"
+            # key-only explicit schema: no per-batch footer inference,
+            # and the anti-join runs before the dedup shuffle (§2.3)
+            seen = (
+                batch_df.sparkSession.read.schema(warc_key_schema)
+                .parquet(target_path)
+                .select("url", "warc_date")
             )
             parsed = parsed.join(seen, ["url", "warc_date"], "left_anti")
         except AnalysisException:
             pass  # first batch: target does not exist yet
+        parsed = parsed.dropDuplicates(["url", "warc_date"])
         parsed.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             target_path
         )
