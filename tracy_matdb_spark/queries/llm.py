@@ -670,12 +670,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: clusters come from the same LSH -> exact-Jaccard ->
     min-label-propagation pipeline (linear rounds, no quadratic stage);
-    quality is a map-only token count; representative selection is two
-    keyed aggregations (per-cluster max, then min-id among the maxima)
-    — deterministic argmax with no window over an unbounded partition,
-    and every join is a hash equi join on cluster_id. At 100 TB the
-    quality column rides the same shuffle as the membership, so keep
-    selection costs one extra map-side-combined aggregation."""
+    quality is a map-only token count; representative selection is ONE
+    keyed aggregation — max(struct(n_tokens, -doc_id)) picks the max
+    token count with ties to the smallest doc_id (struct comparison is
+    lexicographic and doc_id >= 0, so max of -doc_id is the min id) in
+    the same pass that counts members. The r14 shape was two keyed
+    aggregations bridged by a join back to the full membership, which
+    recomputed the membership lineage (token counts + the cluster join)
+    once per side and shuffled it twice; at sf10 that second-agg input
+    was the measured cost center (212 s). At 100 TB the quality column
+    rides the same shuffle as the membership and keep selection is one
+    map-side-combined aggregation over it — no membership-sized join
+    anywhere."""
     docs = load(spark, sf_dir, ("documents",))["documents"]
     comp = connected_components(
         docs.select("doc_id"),
@@ -689,19 +695,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(size({textops.toks_expr('spark')}) as bigint) AS n_tokens",
     )
     m = comp.join(q, "doc_id")
-    best = m.groupBy("cluster_id").agg(
-        F.max("n_tokens").alias("keep_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-    )
     return (
-        m.join(best, "cluster_id")
-        .filter(F.col("n_tokens") == F.col("keep_tokens"))
-        .groupBy("cluster_id", "keep_tokens", "n_members")
-        .agg(F.min("doc_id").alias("keep_doc"))
+        m.groupBy("cluster_id")
+        .agg(
+            F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("__negid"))).alias("__mx"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
         .select(
             "cluster_id",
-            "keep_doc",
-            "keep_tokens",
+            (-F.col("__mx.__negid")).alias("keep_doc"),
+            F.col("__mx.n_tokens").alias("keep_tokens"),
             "n_members",
             (F.col("n_members") - 1).alias("n_dropped"),
         )
