@@ -1361,28 +1361,38 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable at real scale); the shard rank is the two-phase
     range-sliced rank; the manifest is one keyed rollup. Shuffles:
     fingerprint, n-gram hash, range slice, rollup — all keyed, no
-    quadratic stage."""
+    quadratic stage.
+
+    r15 reshape (results bit-identical, verified against the unchanged
+    oracle): (a) the dedup fingerprint and token stats are computed
+    BEFORE the corpus checkpoint so the stored frame carries a 16-byte
+    `unhex(md5)` column instead of the raw text — the worst storage
+    tenant is gone and the fingerprint window shuffles half the bytes
+    (binary vs hex-string equality is 1:1, so the keep-min groups are
+    unchanged); (b) the shingle feeds drop their per-(doc, ng) distinct
+    pass — `evg` only needs the distinct ng set and `contaminated` only
+    the distinct doc set, so the inner distinct was a full shingle-table
+    exchange that changed nothing downstream (the eval join is
+    broadcast, so duplicate ngrams only repeat a broadcast probe)."""
     toks = textops.toks_expr("spark")
     docs = load(spark, sf_dir, ("documents",))["documents"]
-    # tok layer feeds quality + both shingle sides; corpus-gated — this
-    # frame carries the raw text, the worst executor-storage tenant
+    # tok layer feeds quality + both shingle sides; corpus-gated
+    fp = "unhex(md5(lower(regexp_replace(trim(text), '\\\\s+', ' '))))"
     d = gated_local_checkpoint(
-        docs.filter(F.col("n_chars") > 0).selectExpr(
-            "doc_id", "source", "trim(text) AS t", f"{toks} AS toks"
+        docs.filter(F.col("n_chars") > 0)
+        .selectExpr("doc_id", "source", f"{toks} AS toks", f"{fp} AS fp")
+        .selectExpr(
+            "doc_id", "source", "toks", "fp",
+            "cast(size(toks) as bigint) AS n_tok",
+            f"cast({textops.count_in_expr('spark', 'toks', textops.STOPWORDS)} as bigint) AS n_stop",
         ),
         sf_dir,
     )
-    q = d.selectExpr(
-        "doc_id", "source", "t", "toks",
-        "cast(size(toks) as bigint) AS n_tok",
-        f"cast({textops.count_in_expr('spark', 'toks', textops.STOPWORDS)} as bigint) AS n_stop",
-    )
-    keepq = q.filter(
+    keepq = d.filter(
         (F.col("n_tok") >= 10) & (F.col("n_tok") <= 500)
         & (F.expr(textops.quant_ratio_expr("n_stop", "n_tok")) < 500000)
     )
-    fp = "md5(lower(regexp_replace(t, '\\\\s+', ' ')))"
-    w = Window.partitionBy(F.expr(fp))
+    w = Window.partitionBy("fp")
     keptd = (
         keepq.withColumn("keep_id", F.min("doc_id").over(w))
         .filter((F.col("doc_id") == F.col("keep_id")) & (F.col("source") != EVAL_SOURCE))
@@ -1396,7 +1406,6 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "toks",
             )
             .selectExpr("doc_id", f"md5(array_join(slice(toks, i, {DECON_N}), ' ')) AS ng")
-            .distinct()
         )
     evg = shingles(d.filter(F.col("source") == EVAL_SOURCE)).select("ng").distinct()
     contaminated = shingles(keptd).join(evg, "ng").select("doc_id").distinct()
