@@ -317,8 +317,12 @@ PLAN_BUDGET = {
     # r12: dup detection folded into a min!=max window over the hash key
     # — the localCheckpoint + distinct + agg + gated join-back of r9-r11
     # is gone (its ~450M-row executor-storage checkpoint OOMed the
-    # fourth decade); single scan, 0 joins, wh window -> doc_id window
-    "exact_substring_spans": (0, 3),
+    # fourth decade); single scan, 0 joins, wh window -> doc_id window.
+    # r15: +1 exchange — spread_unsplittable_scan round-robins the
+    # single-row-group documents scan before the tokenize+explode+md5
+    # map layer (0.74 -> 0.58 s interleaved min-of-5 at sf0.1; no-op at
+    # >= cores/2 row groups, so the budget carries the local worst case)
+    "exact_substring_spans": (0, 4),
     # r8 (second rework): each iteration is ONE join + ONE agg — the
     # per-round degree re-attach join is gone (outdeg = count(*) riding
     # the contribution shuffle, valid because in-degree == out-degree

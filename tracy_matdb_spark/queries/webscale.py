@@ -93,6 +93,15 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose covered ranges overlap or touch (gap <= {SPAN_K}) merge into
     one span.
 
+    r15: the documents scan is spread before the tokenize+explode+md5
+    map layer (guide §2.5 unsplittable input — the sf0.1 table is one
+    row group, so the ~90-windows/doc derivation ran on ONE task). An
+    r14 spread attempt measured flat, but after the relation cache and
+    the session's other fixed-cost removals the map stage re-emerged as
+    the bottleneck: re-measured interleaved min-of-5 0.74 -> 0.58 s
+    (map stage alone 0.42 -> 0.23 s). No-op at real scale (>= cores/2
+    row groups clears the gate).
+
     History: the r9-r11 shape lazily localCheckpointed the exploded
     window table (~90 positions/doc) to share it between the dup-hash
     aggregate and the join back to positions. At 500k docs that was the
@@ -105,7 +114,9 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-file state, needs no ESS_BCAST_MAX_DOCS-style join gate,
     and is strictly fewer shuffles: wh window -> doc_id window, done."""
     toks = textops.toks_expr("spark")
-    docs = load(spark, sf_dir, ("documents",))["documents"]
+    docs = spread_unsplittable_scan(
+        load(spark, sf_dir, ("documents",))["documents"], sf_dir, "documents"
+    )
     win = (
         docs.filter(F.col("n_chars") > 0)
         .selectExpr("doc_id", f"{toks} AS toks")
