@@ -12,7 +12,12 @@ from __future__ import annotations
 
 import os
 
-from tracy_matdb_spark.catalog import _relation, load
+from tracy_matdb_spark.catalog import (
+    _ROW_GROUP_CACHE,
+    _relation,
+    load,
+    table_num_row_groups,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -43,6 +48,49 @@ def test_rewritten_file_invalidates_and_new_rows_are_visible(spark, tmp_path):
     b = _relation(spark, f)
     assert b is not a  # (mtime_ns, size) changed -> fresh relation
     assert b.count() == 9  # and it reads the new bytes
+
+
+def test_rewrite_evicts_stale_entry_instead_of_accumulating(spark, tmp_path):
+    # r15 ADVICE: the cache is keyed by realpath, so a table rewritten N
+    # times holds ONE live entry, not N dead analyzed relations
+    p = str(tmp_path / "t.parquet")
+    f = str(tmp_path / "single.parquet")
+    for n in (5, 9, 13):
+        spark.range(n).toDF("id").coalesce(1).write.mode("overwrite").parquet(p)
+        part = [e for e in os.listdir(p) if e.endswith(".parquet")][0]
+        os.replace(os.path.join(p, part), f)
+        assert _relation(spark, f).count() == n
+    cache = spark._tms_relation_cache
+    assert sum(1 for k in cache if k == os.path.realpath(f)) == 1
+
+
+def test_row_group_memo_hits_and_invalidates_on_rewrite(spark, tmp_path):
+    # r15 ADVICE: spread_unsplittable_scan consults this per query
+    # construction — the footer must be opened once per file version
+    f = str(tmp_path / "rg.parquet")
+    p = str(tmp_path / "tmp.parquet")
+
+    def _write(n_rows):
+        spark.range(n_rows).toDF("id").coalesce(1).write.mode("overwrite").parquet(p)
+        part = [e for e in os.listdir(p) if e.endswith(".parquet")][0]
+        os.replace(os.path.join(p, part), f)
+
+    _write(10)
+    a = table_num_row_groups(str(tmp_path), "rg")
+    rp = os.path.realpath(f)
+    # prove the second call reads the memo, not the footer: plant a
+    # sentinel under the current stat key and see it come back
+    _ROW_GROUP_CACHE[rp] = (_ROW_GROUP_CACHE[rp][0], a + 7)
+    assert table_num_row_groups(str(tmp_path), "rg") == a + 7
+    _ROW_GROUP_CACHE[rp] = (_ROW_GROUP_CACHE[rp][0], a)
+    _write(100_000)  # bigger file -> new (mtime, size, inode)
+    b = table_num_row_groups(str(tmp_path), "rg")
+    st = os.stat(f)
+    # the memo re-keyed to the NEW file version (did not serve stale)
+    assert _ROW_GROUP_CACHE[os.path.realpath(f)] == (
+        (st.st_mtime_ns, st.st_size, st.st_ino),
+        b,
+    )
 
 
 def test_directory_tables_bypass_the_cache(spark, tmp_path):

@@ -66,6 +66,21 @@ def test_pagerank_edge_gate_paths_equivalent(spark, monkeypatch):
     pd.testing.assert_frame_equal(small_path, big_path)
 
 
+def test_pagerank_edge_cache_unpersisted_on_next_invocation(spark, monkeypatch):
+    """r15 lifecycle (r14 verdict #8): consecutive big-SF pagerank
+    invocations in one session must not accumulate DISK_ONLY edge sets
+    — constructing invocation N+1 unpersists invocation N's cache."""
+    monkeypatch.setenv("SPARK_GRAFT_PR_EDGE_GATE_ROWS", "0")
+    fn = REGISTRY["pagerank_bipartite"].fn
+    fn(spark, SF_SMOKE).collect()
+    first = spark._tms_pr_edge_cache
+    assert first.is_cached
+    fn(spark, SF_SMOKE).collect()
+    second = spark._tms_pr_edge_cache
+    assert second is not first
+    assert not first.is_cached  # the stale edge set was released
+
+
 def test_bloom_bitset_is_broadcast(spark):
     """The membership probe must be a broadcast join of the O(m) bitset
     — never a shuffle of the probe side keyed on bit position."""

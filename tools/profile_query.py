@@ -53,7 +53,14 @@ def main() -> None:
                 continue
             for sid in ji.stageIds:
                 si = st.getStageInfo(sid)
-                if si is not None and si.numTasks > 0 and si.numActiveTasks >= 0:
+                # count only stages that finished (mid-flight stages
+                # under-report numCompletedTasks and skew attribution)
+                if (
+                    si is not None
+                    and si.numTasks > 0
+                    and si.numActiveTasks == 0
+                    and si.numCompletedTasks == si.numTasks
+                ):
                     n_stages += 1
                     n_tasks += si.numCompletedTasks
         print(

@@ -49,11 +49,18 @@ def _relation(spark: SparkSession, path: str) -> DataFrame:
     This caches METADATA ONLY (the logical relation: file snapshot +
     schema). No rows are persisted — every action on the returned frame
     re-scans the parquet input, so bench/oracle runs still compute from
-    the files. The cache key carries (realpath, mtime_ns, size): a
-    rewritten table gets a fresh relation, and directory tables (whose
-    file set can change without touching the dir inode) bypass the
-    cache entirely. The cache lives on the session object, so it dies
-    with the session and never crosses processes."""
+    the files. The cache is keyed by realpath and validated against
+    (mtime_ns, size, inode): a rewritten table gets a fresh relation
+    AND evicts the stale one (a session that rewrites tables in a loop
+    must not accumulate dead JVM-side relations), the inode catches the
+    common rename-over-replace, and directory tables (whose file set
+    can change without touching the dir inode) bypass the cache
+    entirely. Caveat: on filesystems with coarse mtime granularity a
+    same-size same-inode rewrite within one timestamp tick would serve
+    a stale file-index snapshot — acceptable for local benches, where
+    rewrites go through rename (fresh inode). The cache lives on the
+    session object, so it dies with the session and never crosses
+    processes."""
     try:
         st = os.stat(path)
         is_file = os.path.isfile(path)
@@ -61,15 +68,16 @@ def _relation(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     if not is_file:
         return spark.read.parquet(path)
-    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    stat_key = (st.st_mtime_ns, st.st_size, st.st_ino)
     cache = getattr(spark, "_tms_relation_cache", None)
     if cache is None:
         cache = {}
         spark._tms_relation_cache = cache  # type: ignore[attr-defined]
-    df = cache.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        cache[key] = df
+    hit = cache.get(os.path.realpath(path))
+    if hit is not None and hit[0] == stat_key:
+        return hit[1]
+    df = spark.read.parquet(path)
+    cache[os.path.realpath(path)] = (stat_key, df)
     return df
 
 
@@ -104,6 +112,9 @@ def table_num_rows(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+_ROW_GROUP_CACHE: dict[str, tuple[tuple[int, int, int], int]] = {}
+
+
 def table_num_row_groups(sf_dir: str, name: str) -> int:
     """Upper bound on a table's scan parallelism, from parquet FOOTER
     metadata (no Spark job): total row groups across part-files. A row
@@ -111,7 +122,14 @@ def table_num_row_groups(sf_dir: str, name: str) -> int:
     setting (`maxPartitionBytes`, `minPartitionNum`) can give a scan
     more data-carrying tasks than this. Same failure contract as
     table_num_rows: raises for a missing table / empty dir, callers
-    treat failure as "stat unavailable"."""
+    treat failure as "stat unavailable".
+
+    Single-file tables memoize the count per (mtime_ns, size, inode) —
+    spread_unsplittable_scan consults this on EVERY query construction,
+    and re-opening the same immutable footer per call is exactly the
+    redundant metadata work the relation cache exists to remove.
+    Directory tables bypass the memo (their part-file set can change
+    without touching the dir inode), mirroring _relation's rule."""
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, name)
@@ -123,7 +141,15 @@ def table_num_row_groups(sf_dir: str, name: str) -> int:
             pq.ParquetFile(os.path.join(path, entry)).metadata.num_row_groups
             for entry in parts
         )
-    return pq.ParquetFile(path).metadata.num_row_groups
+    st = os.stat(path)
+    stat_key = (st.st_mtime_ns, st.st_size, st.st_ino)
+    rp = os.path.realpath(path)
+    hit = _ROW_GROUP_CACHE.get(rp)
+    if hit is not None and hit[0] == stat_key:
+        return hit[1]
+    n = pq.ParquetFile(path).metadata.num_row_groups
+    _ROW_GROUP_CACHE[rp] = (stat_key, n)
+    return n
 
 
 def spread_unsplittable_scan(df: DataFrame, sf_dir: str, table: str) -> DataFrame:

@@ -373,6 +373,18 @@ def _pr_graph(t, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .repartition(nparts, F.col("src"))
         .persist(StorageLevel.DISK_ONLY)
     )
+    # explicit cache lifecycle: a long mixed session that invokes the
+    # big-SF path repeatedly must not accumulate one DISK_ONLY edge set
+    # per invocation until periodicGC reclaims them — unpersist the
+    # PREVIOUS invocation's edge cache (blocking=False: the new query
+    # never waits on block deletion) before registering the new one
+    prev = getattr(sess, "_tms_pr_edge_cache", None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — stale handle after session churn
+            pass
+    sess._tms_pr_edge_cache = e_sym  # type: ignore[attr-defined]
     # in the disjoint bipartite layout each node occurs as src exactly
     # outdeg times in the symmetrized set, so this single agg over the
     # co-partitioned cache equals the two-half-agg union above
