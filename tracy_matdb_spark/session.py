@@ -85,6 +85,19 @@ def get_session(
             "spark.io.compression.codec",
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
+        # PySpark 4's DataFrame debugging captures the USER call site on
+        # EVERY DataFrame/Column API call: a Python stack walk plus 3
+        # extra py4j roundtrips (conf.get + PySparkCurrentOrigin.set +
+        # .clear) per op, purely to enrich error messages with
+        # file:line context. Query construction is pure py4j traffic
+        # (q1 builds through ~355 roundtrips), so this was 10-25% of
+        # the Python-side build cost of every registry query (measured
+        # min-of-9 at sf0.1: q1 0.085->0.071 s, knn_embeddings
+        # 0.062->0.048 s). Driver-side and scale-independent — a
+        # cluster driver pays the identical construction tax. Errors
+        # still raise with the same class/message, only without the
+        # call-site line.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
