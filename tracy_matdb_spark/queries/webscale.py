@@ -508,11 +508,25 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
     for _ in range(PR_ITERS):
         ranks = _pr_iter(ranks, e_sym, bcast=bcast)
         chain.append(ranks)
+    # min-of-N replays per cumulative level: the marginal-difference
+    # decomposition below is only valid if replaying iters 1..k costs
+    # the same every time it runs — the r14 sf100 probe broke that
+    # assumption with a one-off +67 s stall in the MIDDLE replay
+    # (cums [68.5, 199.5, 199.5], i.e. run 3 replayed all three
+    # iterations as fast as run 2 replayed two), which published as a
+    # phantom "iteration 2 costs 131 s" skew. Taking the min of N
+    # replays per level restores stationarity at the cost of N-1 extra
+    # materializations (telemetry only — never inside the bench's
+    # timed region).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_PR_TEL_REPS", "2")))
     cums = []
     for rk in chain:  # cumulative: mat(chain[k]) replays iters 1..k+1
-        t1 = _t.time()
-        _mat(rk)
-        cums.append(_t.time() - t1)
+        best = float("inf")
+        for _ in range(reps):
+            t1 = _t.time()
+            _mat(rk)
+            best = min(best, _t.time() - t1)
+        cums.append(best)
     tail = (
         chain[-1]
         .selectExpr(
@@ -525,9 +539,11 @@ def pagerank_iteration_telemetry(spark: SparkSession, sf_dir: str) -> dict:
         .limit(20)
         .select("node_type", "node_key", "microrank")
     )
-    t1 = _t.time()
-    _mat(tail)
-    full_tail_s = _t.time() - t1
+    full_tail_s = float("inf")
+    for _ in range(reps):  # same min-of-N discipline as the levels above
+        t1 = _t.time()
+        _mat(tail)
+        full_tail_s = min(full_tail_s, _t.time() - t1)
     # clamp at 0: per-iteration cost is a DIFFERENCE of cumulative
     # noop-job wall times, and at smoke SF the marginal cost sits below
     # per-job scheduler jitter, so cums[k] < cums[k-1] is plausible —
