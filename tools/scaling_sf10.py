@@ -150,14 +150,18 @@ def run() -> dict:
     }
 
 
-def run_sf100() -> dict:
+def run_sf100(only: list[str] | None = None) -> dict:
     """FOURTH decade for the text family: 500k vs 5M documents (100 vs
     1000 width-3 token-suffixed copies, tools/make_sf1.py
     --sf100-documents). The sf10-documents block proved the 2nd->3rd
     decade; this is the decade where the working set (~2.5 GB text,
     ~450M shingles for the n-gram family) decisively exceeds any
     single-executor memory slice, so a quadratic candidate set or an
-    ungated broadcast fails hard instead of hiding in page cache."""
+    ungated broadcast fails hard instead of hiding in page cache.
+
+    ``only`` re-measures a subset of QUERIES for a targeted refresh
+    after an engine change — main() merges the rows into the existing
+    block instead of replacing it (same contract as --full --only)."""
     small, large = "/root/repo/.localdata/sf10dw3", "/root/repo/.localdata/sf100d"
     for d in (small, large):
         if not os.path.exists(os.path.join(d, "documents.parquet")):
@@ -169,7 +173,7 @@ def run_sf100() -> dict:
     spark = get_session("scaling_sf100")
     rows: dict[str, dict] = {}
     flagged: list[str] = []
-    for name in QUERIES:
+    for name in only if only is not None else QUERIES:
         fn = registry[name].fn
         t_small = _warm_time(spark, fn, small)
         t_large = _warm_time(spark, fn, large)
@@ -218,6 +222,12 @@ def run_full(only: list[str] | None = None) -> dict:
     spark = get_session("scaling_sf10_full")
     rows: dict[str, dict] = {}
     flagged: list[str] = []
+    # streaming_incremental_dedup is measured through its own fixture
+    # (streaming_ingest_bench), not registry[name].fn — accept it in
+    # --only by routing it to the same fixture the full run uses
+    only_stream = only is not None and "streaming_incremental_dedup" in only
+    if only_stream:
+        only = [n for n in only if n != "streaming_incremental_dedup"]
     for name in only if only is not None else QUERIES_FULL:
         fn = registry[name].fn
         t_small = _warm_time(spark, fn, SF1_FULL)
@@ -233,6 +243,30 @@ def run_full(only: list[str] | None = None) -> dict:
             flagged.append(name)
         print(f"{name}: {rows[name]}", flush=True)
     if only is not None:
+        if only_stream:
+            from tracy_matdb_spark.streaming.ingest import streaming_ingest_bench
+
+            def _stream_time_only(sf_dir: str) -> float:
+                streaming_ingest_bench(spark, sf_dir)  # warmup
+                return min(
+                    streaming_ingest_bench(spark, sf_dir)["sec"] for _ in range(2)
+                )
+
+            t_small = _stream_time_only(SF1_FULL)
+            t_large = _stream_time_only(LARGE)
+            ratio = round(t_large / max(t_small, 1e-9), 2)
+            rows["streaming_incremental_dedup"] = {
+                "sec_sf1": round(t_small, 3),
+                "sec_sf10": round(t_large, 3),
+                "ratio": ratio,
+                "flagged": ratio > RATIO_THRESHOLD,
+            }
+            if ratio > RATIO_THRESHOLD:
+                flagged.append("streaming_incremental_dedup")
+            print(
+                f"streaming_incremental_dedup: {rows['streaming_incremental_dedup']}",
+                flush=True,
+            )
         spark.stop()
         return {
             "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -343,6 +377,26 @@ def main() -> None:
             if i + 1 >= len(argv):
                 raise SystemExit("usage: scaling_sf10.py --full --only q1,q2,...")
             only = argv[i + 1].split(",")
+    if "--sf100" in sys.argv[1:] and only is not None:
+        # targeted row refresh, merged into the existing sf100_documents
+        # block (same no-fabrication contract as --full --only)
+        sub = run_sf100(only=only)
+        full = read_scaling()
+        block = full.get("sf100_documents")
+        if not isinstance(block, dict) or "queries" not in block:
+            raise SystemExit(
+                "scaling_sf10: SCALING.json has no sf100_documents block to "
+                "merge --only rows into; run --sf100 without --only first"
+            )
+        block["queries"].update(sub["queries"])
+        block["flagged"] = sorted(
+            (set(block.get("flagged", [])) - set(only)) | set(sub["flagged"])
+        )
+        block["refresh_load1"] = sub["load1_start"]
+        block["driver_mem"] = sub["driver_mem"]
+        merge_scaling_block("sf100_documents", block)
+        print(json.dumps({"sf100_documents_refreshed": only, "flagged": sub["flagged"]}))
+        sys.exit(1 if sub["flagged"] else 0)
     if "--full" in sys.argv[1:] and only is not None:
         # targeted row refresh, merged into the existing sf10_full block
         sub = run_full(only=only)
